@@ -133,13 +133,38 @@ def _rule_entry(cond: Column, rule_id: str) -> Column:
     return F.when(cond, F.lit(rule_id))
 
 
+def _dup_md5() -> Column:
+    return F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+
+
+def dedup_flags(full_pages: DataFrame) -> DataFrame:
+    """Corpus-wide url-dedup flags: (url, warc_ts, _md5, is_dup_url).
+
+    First occurrence per url by (warc_ts, md5(text)) wins. Kept separate
+    from with_decisions so a RESUMED run can rank against the FULL corpus
+    (three light columns — column pruning keeps the scan cheap) while only
+    processing the remaining partitions; otherwise a duplicate whose
+    original sits in an already-completed partition would be missed.
+    """
+    w = Window.partitionBy("url").orderBy("warc_ts", "_md5")
+    return (full_pages
+            .select("url", "warc_ts", _dup_md5().alias("_md5"))
+            .withColumn("_rn", F.row_number().over(w))
+            .select("url", "warc_ts", "_md5",
+                    (F.col("_rn") > 1).alias("is_dup_url")))
+
+
 def with_decisions(pages: DataFrame, extract_from_html: bool = False,
-                   salt_repartition: int | None = None) -> DataFrame:
+                   salt_repartition: int | None = None,
+                   dedup_scope: DataFrame | None = None) -> DataFrame:
     """Full per-document decision pipeline.
 
     Input: `pages` with (url, warc_ts, html, text, lang).
     Output adds: host, partition_id, the heuristic stat columns, lang_pred,
     lang_score, ppl, text_scrubbed, pii_* counts, rule_hits, keep.
+
+    `dedup_scope`: pass the FULL pages frame when `pages` is a subset
+    (resume); url-dedup ranks are then computed corpus-wide and joined in.
     """
     df = assert_schema(pages)
     if extract_from_html:
@@ -165,10 +190,17 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
     df = df.select("*", *text_stats.stats_columns())
 
     # S2: corpus-level url dedup — first occurrence by (warc_ts, md5) wins.
-    w = Window.partitionBy("url").orderBy(
-        "warc_ts", F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")))
-    df = df.withColumn("_rn", F.row_number().over(w))
-    df = df.withColumn("is_dup_url", F.col("_rn") > 1).drop("_rn")
+    if dedup_scope is not None:
+        flags = dedup_flags(dedup_scope)
+        df = (df.withColumn("_md5", _dup_md5())
+                .join(flags, ["url", "warc_ts", "_md5"], "left")
+                .withColumn("is_dup_url",
+                            F.coalesce("is_dup_url", F.lit(False)))
+                .drop("_md5"))
+    else:
+        w = Window.partitionBy("url").orderBy("warc_ts", _dup_md5())
+        df = df.withColumn("_rn", F.row_number().over(w))
+        df = df.withColumn("is_dup_url", F.col("_rn") > 1).drop("_rn")
 
     # S3: language ID (Arrow batch)
     df = df.withColumn("_lid", langid_udf(F.col("text")))

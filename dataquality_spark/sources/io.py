@@ -1,0 +1,70 @@
+"""Storage layer behind one thin module (SURVEY.md §4.2, §7 risk 4).
+
+Production target is an Iceberg `pages` table partitioned by
+days(warc_ts) (+ hashed-host bucketing) so warc_ts predicates and the
+resume anti-join prune at the scan. The sandbox has no Iceberg jars, so
+the default path is plain Parquet with the derived `partition_id` column
+used as a physical partition directory — identical semantics (pruning,
+manifests, dynamic-partition-overwrite idempotence), different catalog.
+
+Reference ancestry: table access by fixed identifier
+(/root/reference/agents/unity_sql_agent.py:82-86) and the fixed declared
+schema discipline (main.py:378-433) — we read with an explicit schema,
+never inference, and fail fast on drift (pipeline.assert_schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, StringType, StructField,
+                               StructType, TimestampType)
+
+from .. import config as C
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_pages(spark: SparkSession, path_or_table: str,
+               columns: list[str] | None = None) -> DataFrame:
+    """Read the pages corpus (parquet path or catalog table name)."""
+    if path_or_table.endswith(".parquet") or "/" in path_or_table:
+        df = spark.read.schema(PAGES_SCHEMA).parquet(path_or_table)
+    else:
+        df = spark.read.table(path_or_table)  # Iceberg/catalog path
+    if columns:
+        df = df.select(*columns)  # column pruning reaches the scan
+    return df
+
+
+def write_decisions(decisions: DataFrame, out_dir: str) -> None:
+    """Write decisions partitioned by partition_id, idempotently.
+
+    Dynamic partition overwrite = only the partitions present in this
+    batch are replaced, so resume re-processing a partially-written
+    partition converges instead of duplicating.
+    """
+    (decisions.write
+     .mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(C.PARTITION_COL)
+     .parquet(out_dir))
+
+
+def append_audit(audit_df: DataFrame, out_dir: str) -> None:
+    audit_df.coalesce(1).write.mode("append").parquet(out_dir)

@@ -196,7 +196,9 @@ def gen_pages(n_rows: int, seed: int = 42) -> pd.DataFrame:
 
     df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
                                      "lang", "_category"])
-    df["warc_ts"] = pd.to_datetime(df["warc_ts"])
+    # Microsecond resolution: parquet has no TIMESTAMP(seconds) logical type,
+    # so datetime64[s] would be written as bare INT64 and break Spark reads.
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"]).astype("datetime64[us]")
     return df
 
 

@@ -1,0 +1,56 @@
+"""The headline correctness gate (BASELINE.md targets): Spark pipeline vs
+pure-pandas oracle on the deterministic synthetic corpus — keep/drop
+F1 >= 0.99 and byte-identical scrubbed text per url."""
+
+from dataquality_spark import pipeline
+
+
+def _merged(golden, pages_sdf):
+    out = pipeline.decisions(pages_sdf).toPandas()
+    m = golden.merge(out, on=["url", "warc_ts"], suffixes=("_g", "_s"))
+    assert len(m) == len(golden)
+    return m
+
+
+def test_keep_f1_and_exact_labels(golden, pages_sdf):
+    m = _merged(golden, pages_sdf)
+    tp = (m.keep_g & m.keep_s).sum()
+    fp = (~m.keep_g & m.keep_s).sum()
+    fn = (m.keep_g & ~m.keep_s).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1={f1}"
+    # we actually hold exact agreement, not just F1
+    assert (m.keep_g == m.keep_s).all()
+
+
+def test_rule_hits_exact(golden, pages_sdf):
+    m = _merged(golden, pages_sdf)
+    assert (m.rule_hits_g.map(tuple) == m.rule_hits_s.map(tuple)).all()
+
+
+def test_scrubbed_text_byte_identical(golden, pages_sdf):
+    m = _merged(golden, pages_sdf)
+    g = m.text_scrubbed_g.fillna("").map(lambda s: s.encode("utf-8"))
+    s = m.text_scrubbed_s.fillna("").map(lambda s: s.encode("utf-8"))
+    assert (g == s).all()
+
+
+def test_scores_exact(golden, pages_sdf):
+    m = _merged(golden, pages_sdf)
+    assert ((m.ppl_g.isna() & m.ppl_s.isna()) | (m.ppl_g == m.ppl_s)).all()
+    assert (m.lang_pred_g == m.lang_pred_s).all()
+    assert (m.lang_score_g == m.lang_score_s).all()
+
+
+def test_html_extraction_byte_identity(spark, pages_input):
+    """BASELINE.json input_hint: byte-identical extracted text per url.
+
+    Null out the text column and recover it from the html binary."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(pages_input)
+    sdf2 = sdf.withColumn("text", F.lit(None).cast("string"))
+    got = (pipeline.with_decisions(sdf2, extract_from_html=True)
+           .select("url", "warc_ts", "text").toPandas())
+    m = pages_input.merge(got, on=["url", "warc_ts"], suffixes=("_in", "_ex"))
+    assert (m.text_in == m.text_ex).all()
