@@ -1,38 +1,888 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator from SURVEY.md §2 (reference
+relational shapes B1-B25 re-expressed Spark-first) or a §2.C / training-
+pipeline addition (dedup, similarity search, text analysis, multimodal,
+scrub). ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL; entries
+whose semantics are not SQL-expressible (MinHash/SimHash/LSH signatures,
+the pandas-UDF model scores) are omitted there and verified instead by
+the pytest suite against pure-Python oracles.
+
+Cross-engine determinism rules used throughout (so value hashes match):
+* currency aggregates go through an integer cents lattice
+  (SUM(CAST(ROUND(x*100) AS BIGINT))/100.0) — double sums are partition-
+  order-dependent, long sums are exact;
+* every computed column is aliased identically on both sides;
+* ratios are single divisions of exact integers (deterministic IEEE);
+* scores are ROUND()ed to a fixed scale on both sides before output.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataquality_spark import config as C  # noqa: E402
+from dataquality_spark import pipeline, synth  # noqa: E402
+from dataquality_spark.operators import (dedup, multimodal, profile,  # noqa: E402
+                                         similarity, text_analysis)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sum_cents(col: str, alias: str) -> F.Column:
+    return (F.sum(F.round(F.col(col) * 100, 0).cast("long")) / 100.0
+            ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Webtext pipeline inputs derived from the driver's documents table
+# ---------------------------------------------------------------------------
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """Map the documents table onto the pages input shape
+    (url, warc_ts, html, text, lang) — deterministic, no wall clock."""
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.lit("2024-08-01 00:00:00").cast("timestamp_ntz")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full webtext quality-filter pipeline (heuristic rules
+    → langid UDF → gated perplexity UDF → PII scrub UDF → keep/drop) run
+    over sf0.001 documents mapped to the pages input shape."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    out = pipeline.decisions(_docs_as_pages(docs))
+    return out.select(
+        "url", "keep",
+        F.concat_ws(",", "rule_hits").alias("rules"),
+        "lang_pred",
+        F.round("lang_score", 6).alias("lang_score"),
+        F.round("ppl", 6).alias("ppl"),
+        F.length("text_scrubbed").alias("scrubbed_len"))
+
+
+# ---------------------------------------------------------------------------
+# Relational / six-pillar profiling queries (SURVEY §2.B)
+# ---------------------------------------------------------------------------
+
+def q_scalar_probe(spark, sf_dir):
+    """B25: liveness probe (unity_sql_agent.py:217-223)."""
+    return spark.range(1).select(F.lit(1).alias("test"))
+
+
+def q_row_counts(spark, sf_dir):
+    """B3/B4/B10: cardinality + distinct counts (main.py:100-103; the
+    reference's invalid COUNT(DISTINCT *) redefined as explicit keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count_distinct(F.concat_ws("|", F.col("l_orderkey"),
+                                     F.col("l_linenumber")))
+        .alias("n_lines_distinct"))
+
+
+def q_completeness_profile(spark, sf_dir):
+    """B5/B6: per-column non-null ratio in ONE scan (vs the reference's
+    per-column UNION ALL rescan, CaseStudy.md:736-747)."""
+    return profile.completeness_profile(_t(spark, sf_dir, "orders"))
+
+
+def q_uniqueness_profile(spark, sf_dir):
+    """B10: per-column + composite-key distinct (CaseStudy.md:822-824)."""
+    return profile.uniqueness_profile(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_nationkey", "c_mktsegment"],
+        composite=["c_nationkey", "c_mktsegment"])
+
+
+def q_validity_range(spark, sf_dir):
+    """B8/B9: CASE-WHEN range + domain pass counts (CaseStudy.md:836-838)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile.validity_conditional(li, [
+        ("qty_range", F.col("l_quantity").between(1, 50)),
+        ("discount_range", F.col("l_discount").between(0.0, 0.1)),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+        ("ship_after_1996", F.col("l_shipdate") >= F.lit("1996-01-01")),
+    ])
+
+
+def q_consistency_orphans(spark, sf_dir):
+    """B13/B15/B7: referential orphan probe via anti-joins
+    (CaseStudy.md:890-898)."""
+    return profile.consistency_orphans(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"),
+        "o_custkey", "c_custkey")
+
+
+def q_consistency_full_outer(spark, sf_dir):
+    """B14: symmetric diff via FULL OUTER JOIN (CaseStudy.md:900)."""
+    return profile.consistency_full_outer(
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
+        "n_regionkey", "r_regionkey")
+
+
+def q_timeliness_buckets(spark, sf_dir):
+    """B16/B22: recency CASE categorizer, fixed cutoffs
+    (CaseStudy.md:945)."""
+    return profile.timeliness_buckets(
+        _t(spark, sf_dir, "orders"), "o_orderdate",
+        cutoffs=["1997-01-01 00:00:00", "2000-01-01 00:00:00"],
+        labels=["stale", "aging", "fresh"])
+
+
+def q_drift_monthly(spark, sf_dir):
+    """B12/B18/B19/B20/B22/B23: month-over-month drift with LAG — the
+    reference's drift-detection query (CaseStudy.md:936-974)."""
+    return profile.drift_monthly(_t(spark, sf_dir, "orders"),
+                                 "o_orderdate", "o_totalprice")
+
+
+def q_segment_agg(spark, sf_dir):
+    """B11/B12: standard aggregates per group (CaseStudy.md:942-946)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (cust.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _sum_cents("c_acctbal", "sum_acctbal"),
+                 F.min("c_acctbal").alias("min_acctbal"),
+                 F.max("c_acctbal").alias("max_acctbal"))
+            .orderBy("c_mktsegment"))
+
+
+def q_revenue_by_segment(spark, sf_dir):
+    """B13: broadcast-joined revenue rollup — lineitem ⋈ orders ⋈
+    customer with the small dims broadcast (CaseStudy.md:896-898 join
+    probe, made productive)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cst = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev_e4 = (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+              * (100 - F.round(F.col("l_discount") * 100, 0).cast("long")))
+    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(cst), o.o_custkey == cst.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_lineitems"),
+                 (F.sum(rev_e4) / 10000.0).alias("revenue"))
+            .orderBy("c_mktsegment"))
+
+
+def q_topk_customers(spark, sf_dir):
+    """B23/B24: top-k report (ORDER BY + LIMIT, ties broken by key;
+    TakeOrderedAndProject — only k rows per partition reach the driver)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_custkey")
+            .agg(_sum_cents("o_totalprice", "total_spend"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+            .limit(10))
+
+
+def q_scalar_fns(spark, sf_dir):
+    """B17/B21: projection + scalar math/string functions
+    (CaseStudy.md:824,953-965)."""
+    n = _t(spark, sf_dir, "nation")
+    return (n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("name_upper"),
+        F.concat_ws("-", F.col("n_name"), F.col("n_regionkey").cast("string"))
+        .alias("name_region"),
+        F.abs(F.col("n_nationkey") - 12).alias("abs_diff"),
+        F.round(F.col("n_nationkey") / 7.0, 3).alias("key_ratio"),
+        F.substring("n_name", 1, 3).alias("name_prefix"))
+        .orderBy("n_nationkey"))
+
+
+def q_events_json(spark, sf_dir):
+    """JSON field extraction + temporal bucketing over the events table
+    (engine extension: semi-structured props column)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select("event_type", k.alias("k"),
+                      F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.count_distinct("day").alias("n_days"))
+            .orderBy("event_type"))
+
+
+def q_window_rank(spark, sf_dir):
+    """B19-adjacent: per-user top event by value (window row_number —
+    the LAG/window analytic family, CaseStudy.md:952-957)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"),
+                                              F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "value")
+            .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (text_analysis.token_counts(docs)
+            .select("doc_id", "n_ws_tokens", "n_bpeish_tokens",
+                    F.length("text").alias("n_chars_calc")))
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (text_analysis.quality_score(docs)
+            .select("doc_id", "word_count", "mean_word_len", "punct_ratio",
+                    "stopword_frac", "quality_score"))
+
+
+def q_langid_vote(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = text_analysis.langid_vote(docs)
+    return out.select("doc_id", "lang", "lang_pred_vote",
+                      *[f"lang_votes_{l}" for l in C.LANGS])
+
+
+def q_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (text_analysis.fingerprints(docs)
+            .select("doc_id", "fingerprint_md5",
+                    F.length("text").alias("n_chars_calc")))
+
+
+def q_fingerprint_roll(spark, sf_dir):
+    """Rolling-hash fingerprint (JVM long-wraparound arithmetic — not
+    SQL-portable, rows-only check; exactness covered in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (text_analysis.fingerprints(docs)
+            .select("doc_id", "fingerprint_roll"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (documents, with planted duplicates)
+# ---------------------------------------------------------------------------
+
+def _docs_with_planted_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies at doc_id+100000 (dedup ground truth)."""
+    copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                         "text", "lang", "source", "n_chars")
+    return docs.select("doc_id", "text", "lang", "source", "n_chars") \
+               .unionByName(copies)
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via content-hash groupBy: only (hash, id) shuffles."""
+    corpus = _docs_with_planted_dups(_t(spark, sf_dir, "documents"))
+    flagged = dedup.exact_dedup(corpus, "text", "doc_id")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        F.count_distinct("dup_of").alias("n_dup_groups"))
+
+
+def q_exact_dedup_pairs(spark, sf_dir):
+    """Per-duplicate mapping (dup doc → surviving original)."""
+    corpus = _docs_with_planted_dups(_t(spark, sf_dir, "documents"))
+    flagged = dedup.exact_dedup(corpus, "text", "doc_id")
+    return (flagged.filter("is_dup")
+            .select("doc_id", "dup_of")
+            .orderBy("doc_id"))
+
+
+def _docs_with_near_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ truncated variants (first ~80% of words) at
+    doc_id+100000 — near-duplicate ground truth pairs (d, d+100000)."""
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    trunc = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(
+            (F.size(words) * 8 / 10).cast("int"), F.lit(1))))
+    variants = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                           trunc.alias("text"))
+    return docs.select("doc_id", "text").unionByName(variants)
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only:
+    signature math is not SQL-expressible; recall/precision asserted in
+    tests/test_dedup.py against brute force)."""
+    corpus = _docs_with_near_dups(_t(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id",
+                                    shingle_n=3, jaccard_threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6)
+                        .alias("jaccard")).orderBy("id_a", "id_b")
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash Hamming-band near-dup pairs (rows-only)."""
+    corpus = _docs_with_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(corpus, "text", "doc_id",
+                               shingle_n=2, max_hamming=3) \
+                .orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard on the planted pair set (rows-only; the
+    shingle construction is array-lambda Spark, verified in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _docs_with_near_dups(docs)
+    pairs = docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 100000).alias("id_b"))
+    return (dedup.ngram_jaccard_pairs(corpus, pairs, "text", "doc_id")
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Per-vector L2 norm — sequential fold, deterministic both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(ed, lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    return emb.select("vec_id", "label",
+                      F.round(norm, 6).alias("l2_norm")).orderBy("vec_id")
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return (similarity.brute_force_topk(emb, "embedding", "vec_id", q,
+                                        k=10, round_decimals=6)
+            .withColumnRenamed("id", "vec_id"))
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return (similarity.lsh_topk(emb, "embedding", "vec_id", 64, q, k=10)
+            .withColumnRenamed("id", "vec_id"))
+
+
+def q_embedding_ivf(spark, sf_dir):
+    """IVF coarse-quantized ANN (rows-only; deterministic seeded k-means)."""
+    import numpy as np
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r[0] for r in emb.select("embedding").limit(256).collect()],
+        dtype=np.float64)
+    cents = similarity.train_centroids(sample, n_cells=8)
+    assigned = similarity.ivf_assign(emb, "embedding", cents)
+    q = _query_vec(spark, sf_dir)
+    return (similarity.ivf_topk(assigned, "embedding", "vec_id", cents, q,
+                                k=10, n_probe=3)
+            .withColumnRenamed("id", "vec_id"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over corpus ∪ jittered copies
+    (rows-only; planted-pair recall asserted in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    jit = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: x.cast("double") * 1.0001)
+                     .alias("embedding"))
+    corpus = emb.select("vec_id",
+                        F.transform("embedding",
+                                    lambda x: x.cast("double"))
+                        .alias("embedding")).unionByName(jit)
+    return (dedup.embedding_neardup_pairs(corpus, "embedding", "vec_id",
+                                          dim=64, cosine_threshold=0.999)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+            .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + scrub + full pipeline
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-payload metadata extraction via Arrow mapInPandas (decode
+    stubbed deterministically; oracle checks the SQL-derivable fields)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
+    meta = multimodal.extract_metadata(media)
+    return meta.select("media_id", "modality", "n_bytes").orderBy("media_id")
+
+
+def q_scrub_sql(spark, sf_dir):
+    """Compiled-regex PII/toxicity scrub as JVM regexp_replace chain
+    (the reference's forbidden-op regex layer, unity_sql_agent.py:127-159,
+    grafted onto text; fixed pattern order = byte-identical output)."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call +1-555-123-4567 from 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" said badword"), (F.col("doc_id") % 16 + 1).cast("string"))
+    scrubbed = dirty
+    for _rule, pat, repl in C.SCRUB_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select("doc_id", scrubbed.alias("text_scrubbed")) \
+               .orderBy("doc_id")
+
+
+def q_webtext_decisions(spark, sf_dir):
+    """Full decision pipeline on the deterministic synthetic pages corpus
+    (rows-only here; exact keep/rule_hits/scrub byte-identity vs the
+    pure-pandas oracle is the pytest F1/byte-identity gate)."""
+    pages_pd = synth.gen_pages(1000, seed=42)[
+        ["url", "warc_ts", "html", "text", "lang"]]
+    pages = spark.createDataFrame(pages_pd)
+    out = pipeline.decisions(pages)
+    return out.select("url", "keep",
+                      F.concat_ws(",", "rule_hits").alias("rules"),
+                      "lang_pred",
+                      F.round("lang_score", 6).alias("lang_score"),
+                      F.round("ppl", 6).alias("ppl"),
+                      F.length("text_scrubbed").alias("scrubbed_len"))
+
+
+def q_webtext_audit(spark, sf_dir):
+    """Per-partition audit rollup (lineage metrics: docs, kept, rule-hit
+    counts per partition_id) — the reference's per-assessment audit
+    metadata (base_agent.py:60-103) as a distributed aggregate."""
+    pages_pd = synth.gen_pages(1000, seed=42)[
+        ["url", "warc_ts", "html", "text", "lang"]]
+    pages = spark.createDataFrame(pages_pd)
+    out = pipeline.with_decisions(pages)
+    return (out.groupBy(C.PARTITION_COL)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.sum(F.size("rule_hits")).alias("n_rule_hits"))
+            .orderBy(C.PARTITION_COL))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scalar_probe": q_scalar_probe,
+        "row_counts": q_row_counts,
+        "completeness_profile": q_completeness_profile,
+        "uniqueness_profile": q_uniqueness_profile,
+        "validity_range": q_validity_range,
+        "consistency_orphans": q_consistency_orphans,
+        "consistency_full_outer": q_consistency_full_outer,
+        "timeliness_buckets": q_timeliness_buckets,
+        "drift_monthly": q_drift_monthly,
+        "segment_agg": q_segment_agg,
+        "revenue_by_segment": q_revenue_by_segment,
+        "topk_customers": q_topk_customers,
+        "scalar_fns": q_scalar_fns,
+        "events_json": q_events_json,
+        "window_rank": q_window_rank,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
+        "langid_vote": q_langid_vote,
+        "fingerprints": q_fingerprints,
+        "fingerprint_roll": q_fingerprint_roll,
+        "exact_dedup": q_exact_dedup,
+        "exact_dedup_pairs": q_exact_dedup_pairs,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_norms": q_embedding_norms,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ivf": q_embedding_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_meta": q_multimodal_meta,
+        "scrub_sql": q_scrub_sql,
+        "webtext_decisions": q_webtext_decisions,
+        "webtext_audit": q_webtext_audit,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _sql_words(text_expr: str) -> str:
+    return ("list_filter(string_split_regex(coalesce(" + text_expr +
+            ", ''), '\\s+'), x -> x <> '')")
+
+
+def _sql_stop_in(langs_words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in langs_words)
+
+
+def _langid_vote_sql() -> str:
+    votes = []
+    for l in C.LANGS:
+        inlist = _sql_stop_in(C.STOPWORDS[l])
+        votes.append(
+            f"CAST(len(list_filter(words, w -> lower(w) IN ({inlist}))) "
+            f"AS BIGINT) AS lang_votes_{l}")
+    case = ("CASE WHEN lang_votes_zh > GREATEST(lang_votes_en, lang_votes_fr,"
+            " lang_votes_es, lang_votes_de) THEN 'zh'"
+            " WHEN lang_votes_de > GREATEST(lang_votes_en, lang_votes_fr,"
+            " lang_votes_es) THEN 'de'"
+            " WHEN lang_votes_es > GREATEST(lang_votes_en, lang_votes_fr)"
+            " THEN 'es'"
+            " WHEN lang_votes_fr > lang_votes_en THEN 'fr'"
+            " WHEN lang_votes_en > 0 THEN 'en' ELSE 'und' END")
+    return f"""
+        WITH w AS (
+          SELECT doc_id, lang, {_sql_words('text')} AS words FROM documents
+        ), v AS (
+          SELECT doc_id, lang, {', '.join(votes)} FROM w
+        )
+        SELECT doc_id, lang, {case} AS lang_pred_vote,
+               {', '.join('lang_votes_' + l for l in C.LANGS)}
+        FROM v ORDER BY doc_id
     """
-    return {}
+
+
+def _scrub_sql_oracle() -> str:
+    expr = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@mail.example.com call +1-555-123-4567 from 10.0.0.' || "
+            "CAST(doc_id % 250 AS VARCHAR) || ' said badword' || "
+            "CAST(doc_id % 16 + 1 AS VARCHAR)")
+    for _rule, pat, repl in C.SCRUB_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {expr} AS text_scrubbed FROM documents "
+            "ORDER BY doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_stop = _sql_stop_in(C.STOPWORDS["en"])
+    sqls = {
+        "scalar_probe": "SELECT 1 AS test",
+
+        "row_counts": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   count(DISTINCT (CAST(l_orderkey AS VARCHAR) || '|' ||
+                                   CAST(l_linenumber AS VARCHAR)))
+                     AS n_lines_distinct
+            FROM lineitem
+        """,
+
+        "completeness_profile": """
+            WITH t AS (
+              SELECT count(*) AS n_total,
+                     count(o_orderkey)      AS nn_o_orderkey,
+                     count(o_custkey)       AS nn_o_custkey,
+                     count(o_orderstatus)   AS nn_o_orderstatus,
+                     count(o_totalprice)    AS nn_o_totalprice,
+                     count(o_orderdate)     AS nn_o_orderdate,
+                     count(o_orderpriority) AS nn_o_orderpriority
+              FROM orders
+            )
+            SELECT column_name, n_total, n_nonnull,
+                   n_nonnull * 100.0 / n_total AS completeness_pct
+            FROM (
+              SELECT 'o_orderkey' AS column_name, n_total,
+                     nn_o_orderkey AS n_nonnull FROM t
+              UNION ALL SELECT 'o_custkey', n_total, nn_o_custkey FROM t
+              UNION ALL SELECT 'o_orderstatus', n_total,
+                               nn_o_orderstatus FROM t
+              UNION ALL SELECT 'o_totalprice', n_total,
+                               nn_o_totalprice FROM t
+              UNION ALL SELECT 'o_orderdate', n_total,
+                               nn_o_orderdate FROM t
+              UNION ALL SELECT 'o_orderpriority', n_total,
+                               nn_o_orderpriority FROM t
+            )
+        """,
+
+        "uniqueness_profile": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT c_custkey) AS distinct_c_custkey,
+                   count(DISTINCT c_nationkey) AS distinct_c_nationkey,
+                   count(DISTINCT c_mktsegment) AS distinct_c_mktsegment,
+                   count(DISTINCT (CAST(c_nationkey AS VARCHAR) || '|' ||
+                                   CAST(c_mktsegment AS VARCHAR)))
+                     AS distinct_composite
+            FROM customer
+        """,
+
+        "validity_range": """
+            WITH t AS (
+              SELECT count(*) AS n_rows,
+                     sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                              THEN 1 ELSE 0 END) AS pass_qty_range,
+                     sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                              THEN 1 ELSE 0 END) AS pass_discount_range,
+                     sum(CASE WHEN l_returnflag IN ('A','N','R')
+                              THEN 1 ELSE 0 END) AS pass_returnflag_domain,
+                     sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                              THEN 1 ELSE 0 END) AS pass_ship_after_1996
+              FROM lineitem
+            )
+            SELECT n_rows, pass_qty_range, pass_discount_range,
+                   pass_returnflag_domain, pass_ship_after_1996,
+                   pass_qty_range * 100.0 / n_rows AS pct_qty_range,
+                   pass_discount_range * 100.0 / n_rows
+                     AS pct_discount_range,
+                   pass_returnflag_domain * 100.0 / n_rows
+                     AS pct_returnflag_domain,
+                   pass_ship_after_1996 * 100.0 / n_rows
+                     AS pct_ship_after_1996
+            FROM t
+        """,
+
+        "consistency_orphans": """
+            SELECT
+              (SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+                AS orphan_fact_rows,
+              (SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey))
+                AS orphan_dim_rows
+        """,
+
+        "consistency_full_outer": """
+            WITH l AS (SELECT DISTINCT n_regionkey AS lk FROM nation),
+                 r AS (SELECT DISTINCT r_regionkey AS rk FROM region)
+            SELECT CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 'both'
+                        WHEN lk IS NOT NULL THEN 'left_only'
+                        ELSE 'right_only' END AS match_status,
+                   count(*) AS n
+            FROM l FULL OUTER JOIN r ON l.lk = r.rk
+            GROUP BY 1
+        """,
+
+        "timeliness_buckets": """
+            SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'stale'
+                        WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'aging'
+                        ELSE 'fresh' END AS recency_bucket,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+
+        "drift_monthly": """
+            WITH monthly AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     count(*) AS n,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                       / count(o_totalprice) AS mean_value
+              FROM orders GROUP BY 1
+            ), lagged AS (
+              SELECT month, n, mean_value,
+                     lag(n, 1) OVER (ORDER BY month) AS prev_n
+              FROM monthly
+            )
+            SELECT month, n, mean_value, prev_n,
+                   CASE WHEN prev_n IS NOT NULL AND prev_n <> 0
+                        THEN ROUND((n - prev_n) * 100.0 / prev_n, 2)
+                   END AS pct_change,
+                   CASE WHEN prev_n IS NULL OR prev_n = 0 THEN 'Baseline'
+                        WHEN ABS(ROUND((n - prev_n) * 100.0 / prev_n, 2)) > 50.0
+                          THEN 'High Drift Alert'
+                        WHEN ABS(ROUND((n - prev_n) * 100.0 / prev_n, 2)) > 25.0
+                          THEN 'Medium Drift'
+                        ELSE 'Stable' END AS drift_status
+            FROM lagged ORDER BY month
+        """,
+
+        "segment_agg": """
+            SELECT c_mktsegment,
+                   count(*) AS n,
+                   SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0
+                     AS sum_acctbal,
+                   min(c_acctbal) AS min_acctbal,
+                   max(c_acctbal) AS max_acctbal
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   count(*) AS n_lineitems,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+                       (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+
+        "topk_customers": """
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS total_spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+            ORDER BY total_spend DESC, o_custkey ASC LIMIT 10
+        """,
+
+        "scalar_fns": """
+            SELECT n_nationkey,
+                   upper(n_name) AS name_upper,
+                   n_name || '-' || CAST(n_regionkey AS VARCHAR)
+                     AS name_region,
+                   abs(n_nationkey - 12) AS abs_diff,
+                   round(n_nationkey / 7.0, 3) AS key_ratio,
+                   substr(n_name, 1, 3) AS name_prefix
+            FROM nation ORDER BY n_nationkey
+        """,
+
+        "events_json": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS INT))
+                     AS sum_k,
+                   count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+
+        "window_rank": """
+            SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC)
+                       AS rn
+              FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({_sql_words('text')}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                     '[A-Za-zÀ-ɏ]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                     AS n_bpeish_tokens,
+                   length(text) AS n_chars_calc
+            FROM documents
+        """,
+
+        "quality_score": f"""
+            WITH w AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     {_sql_words('text')} AS words
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(words) AS DOUBLE) AS n,
+                     CAST(coalesce(list_sum(list_transform(words,
+                       w -> length(w))), 0) AS DOUBLE) AS total_chars,
+                     CAST(length(t) - length(translate(t, '.,;:!?', ''))
+                       AS DOUBLE) AS n_punct,
+                     CAST(len(list_filter(words,
+                       w -> lower(w) IN ({en_stop}))) AS DOUBLE) AS n_stop
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS word_count,
+                   ROUND(total_chars / (CASE WHEN n > 0 THEN n ELSE 1 END), 4)
+                     AS mean_word_len,
+                   ROUND(n_punct / (CASE WHEN n > 0 THEN n ELSE 1 END), 4)
+                     AS punct_ratio,
+                   ROUND(n_stop / (CASE WHEN n > 0 THEN n ELSE 1 END), 4)
+                     AS stopword_frac,
+                   CASE WHEN n > 0 THEN ROUND(
+                     LEAST(n / 100.0, 1.0) * 0.4
+                     + LEAST(n_stop / (CASE WHEN n > 0 THEN n ELSE 1 END),
+                             0.4) / 0.4 * 0.3
+                     + (1.0 - LEAST((n_punct / (CASE WHEN n > 0 THEN n
+                                                ELSE 1 END)) / 0.2, 1.0))
+                       * 0.3, 4)
+                   ELSE 0.0 END AS quality_score
+            FROM s
+        """,
+
+        "langid_vote": _langid_vote_sql(),
+
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint_md5,
+                   length(text) AS n_chars_calc
+            FROM documents
+        """,
+
+        "exact_dedup": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+            ), flagged AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY text) AS win
+              FROM corpus
+            )
+            SELECT count(*) AS n_rows,
+                   sum(CASE WHEN doc_id <> win THEN 1 ELSE 0 END) AS n_dups,
+                   count(DISTINCT CASE WHEN doc_id <> win THEN win END)
+                     AS n_dup_groups
+            FROM flagged
+        """,
+
+        "exact_dedup_pairs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+            ), flagged AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY text) AS dup_of
+              FROM corpus
+            )
+            SELECT doc_id, dup_of FROM flagged
+            WHERE doc_id <> dup_of ORDER BY doc_id
+        """,
+
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   ROUND(sqrt(list_dot_product(
+                     CAST(embedding AS DOUBLE[]),
+                     CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+            FROM embeddings ORDER BY vec_id
+        """,
+
+        "embedding_topk": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   ROUND(
+                     list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                     AS n_bytes
+            FROM documents ORDER BY media_id
+        """,
+
+        "scrub_sql": _scrub_sql_oracle(),
+    }
+    return sqls

@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints exactly ONE JSON line.
+
+Headline set = the webtext quality-filter pipeline (the engine's reason
+to exist: docs/sec through heuristics + langid + gated perplexity +
+scrub) plus the heaviest relational / dedup / similarity / text
+operators from __spark_entry__.queries(). Every query is forced to full
+execution with an aggregating action (count() alone would let Catalyst
+prune the expensive projections).
+
+    python bench.py            # {"metric": ..., "value": ..., ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from dataquality_spark import pipeline, synth  # noqa: E402
+from dataquality_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "completeness_profile", "validity_range", "drift_monthly",
+    "revenue_by_segment", "topk_customers", "window_rank", "events_json",
+    "token_counts", "quality_score", "langid_vote", "fingerprints",
+    "exact_dedup", "minhash_neardup", "simhash_neardup",
+    "embedding_topk", "embedding_neardup", "multimodal_meta", "scrub_sql",
+]
+
+
+def force(df) -> int:
+    """Execute the full plan (aggregate every column so nothing prunes)."""
+    row = df.agg(
+        F.count(F.lit(1)),
+        *[F.count(F.xxhash64(c)) for c in df.columns]).collect()[0]
+    return row[0]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark("dq-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus) * 2, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow path once (tiny query, not timed)
+    force(qs["scalar_probe"](spark, sf_dir))
+
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # Webtext pipeline throughput: synthetic pages corpus sized to sf.
+    n_pages = max(int(200_000 * sf), 2_000)
+    pages_pd = synth.gen_pages(n_pages, seed=42)[
+        ["url", "warc_ts", "html", "text", "lang"]]
+    pages = spark.createDataFrame(pages_pd).repartition(int(cpus) * 2)
+    pages.persist().count()  # materialize input outside the timed region
+    t0 = time.monotonic()
+    out = pipeline.decisions(pages)
+    out.agg(F.sum(F.length("text_scrubbed")),
+            F.sum(F.size("rule_hits")),
+            F.sum(F.col("keep").cast("long"))).collect()
+    dt = time.monotonic() - t0
+    timings["webtext_pipeline"] = round(dt, 3)
+    docs_per_sec = round(n_pages / dt, 1)
+    pages.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_docs_per_sec": docs_per_sec,
+        "pipeline_n_docs": n_pages,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()

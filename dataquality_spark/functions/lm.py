@@ -24,8 +24,9 @@ _ADD_K = 0.1
 _TRAIN_TOKENS_PER_LANG = 40_000
 _TRAIN_SEED_BASE = 2003
 
-_MODEL: tuple[dict, np.ndarray, dict, float] | None = None
-# (vocab word->id, unigram counts, bigram dict (id,id)->count, total)
+_MODEL: tuple[dict, np.ndarray, np.ndarray, np.ndarray, float] | None = None
+# (vocab word->id, unigram counts, sorted bigram keys prev*V+wid,
+#  bigram counts aligned to keys, total)
 
 
 def _build_model():
@@ -52,7 +53,15 @@ def _build_model():
                 bi[key] = bi.get(key, 0) + 1
             prev = wid
         # language streams are independent; reset context between them
-    return vocab, np.asarray(uni, dtype=np.float64), bi, float(total)
+    v = len(vocab)
+    # flatten the bigram dict into sorted key/count arrays so scoring can
+    # use vectorized np.searchsorted instead of per-token dict gets
+    keys = np.fromiter(((p * v + w) for (p, w) in bi), dtype=np.int64,
+                       count=len(bi))
+    counts = np.fromiter(bi.values(), dtype=np.float64, count=len(bi))
+    order = np.argsort(keys, kind="mergesort")
+    return (vocab, np.asarray(uni, dtype=np.float64), keys[order],
+            counts[order], float(total))
 
 
 def get_model():
@@ -67,37 +76,56 @@ def perplexity(texts: pd.Series) -> np.ndarray:
 
     Tokenization follows the engine-wide contract (split on ASCII
     whitespace). Empty/None text → NaN. Values rounded to SCORE_DECIMALS.
+
+    Vectorized across the whole Arrow batch: all documents' tokens are
+    flattened once, vocab lookup runs through pandas' C-level map,
+    bigram hits come from np.searchsorted on the sorted key array, and
+    per-document log-prob sums use np.add.reduceat. Scoring semantics
+    (stupid backoff: bigram if seen, else backoff·unigram; OOV →
+    backoff·add-k floor; no context after document start or an OOV)
+    are unchanged from the per-token reference loop.
     """
-    vocab, uni, bi, total = get_model()
+    vocab, uni, bkeys, bcounts, total = get_model()
     v = len(vocab)
     denom = total + _ADD_K * (v + 1)
     log_uni = np.log((uni + _ADD_K) / denom)
     log_oov = math.log(_ADD_K / denom)
     log_backoff = math.log(_BACKOFF)
 
-    out = np.full(len(texts), np.nan, dtype=np.float64)
+    n = len(texts)
+    out = np.full(n, np.nan, dtype=np.float64)
     vals = texts.to_numpy(dtype=object)
-    for i in range(len(vals)):
-        t = vals[i]
-        if t is None or not isinstance(t, str):
-            continue
-        words = t.split()
-        if not words:
-            continue
-        ids = [vocab.get(w, -1) for w in words]
-        lp = 0.0
-        prev = -2  # no context for the first token
-        for wid in ids:
-            if wid < 0:
-                lp += log_backoff + log_oov
-            elif prev >= 0:
-                c_bi = bi.get((prev, wid))
-                if c_bi is not None:
-                    lp += math.log(c_bi / uni[prev])
-                else:
-                    lp += log_backoff + log_uni[wid]
-            else:
-                lp += log_uni[wid]
-            prev = wid
-        out[i] = round(math.exp(-lp / len(ids)), C.SCORE_DECIMALS)
+    docs = [t.split() if isinstance(t, str) else [] for t in vals]
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    flat_words = [w for d in docs for w in d]
+    ids = (pd.Series(flat_words, dtype=object).map(vocab)
+           .fillna(-1).astype(np.int64).to_numpy())
+
+    prev = np.empty_like(ids)
+    prev[0] = -2
+    prev[1:] = ids[:-1]
+    starts = np.zeros(int(nz.sum()), dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    prev[starts] = -2  # document boundaries carry no context
+
+    known = ids >= 0
+    has_ctx = known & (prev >= 0)
+    key = np.where(has_ctx, prev * v + ids, 0)
+    pos = np.searchsorted(bkeys, key)
+    pos_c = np.minimum(pos, len(bkeys) - 1)
+    hit = has_ctx & (bkeys[pos_c] == key)
+
+    lp = np.where(
+        ~known, log_backoff + log_oov,
+        np.where(hit,
+                 np.log(bcounts[pos_c]
+                        / uni[np.maximum(prev, 0)]),
+                 np.where(has_ctx, log_backoff + log_uni[np.maximum(ids, 0)],
+                          log_uni[np.maximum(ids, 0)])))
+    doc_lp = np.add.reduceat(lp, starts)
+    ppl = np.exp(-doc_lp / lens[nz])
+    out[nz] = np.round(ppl, C.SCORE_DECIMALS)
     return out

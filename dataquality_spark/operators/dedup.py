@@ -1,0 +1,332 @@
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Semantic graft of the reference's uniqueness dimension
+(/root/reference/DataQuality_AI_CaseStudy.md:144-147 — COUNT(DISTINCT),
+composite-key dedup) scaled to web-corpus near-duplicate detection as a
+large training-data pipeline needs it.
+
+Scale design (the point at 100 TB):
+
+* exact_dedup         one shuffle on a 64-bit content hash; the text
+                      itself never shuffles (hash + id only), winner
+                      joined back — at 10^12 docs the shuffle payload is
+                      16 bytes/doc, not the document bytes.
+* minhash_lsh         signatures are computed in ONE Arrow-batched numpy
+                      pandas UDF ((k × m) min over affine permutations);
+                      docs shuffle only by (band_idx, band_hash) — a doc
+                      lands in `bands` buckets. Candidate pairs come from
+                      an in-bucket self-join; exact Jaccard verification
+                      runs JVM-side on shingle-hash arrays.
+* simhash             64-bit signature via numpy bit-bank; candidates by
+                      Hamming-band pigeonhole (4×16-bit bands ⇒ any pair
+                      with distance ≤3 shares a band), verified with a
+                      JVM popcount expression.
+* embedding near-dup  random-hyperplane LSH (numpy matmul per Arrow
+                      batch) → bucket join → exact cosine verify with
+                      zip_with/aggregate fold (JVM, no Python).
+
+Every candidate generator deduplicates pairs with `distinct()` before
+verification so a pair colliding in several bands verifies once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# Mersenne prime 2^61-1: affine MinHash permutations stay exact in uint64.
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the first row (min id) per exact text; adds is_dup flag.
+
+    Shuffles (hash, id) pairs only — O(16 bytes/doc) network, then a
+    broadcast-friendly winners join when the dup set is small.
+    """
+    h = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    keyed = df.withColumn("_h", h)
+    winners = keyed.groupBy("_h").agg(F.min(id_col).alias("_win"))
+    return (keyed.join(winners, "_h")
+            .withColumn("is_dup", F.col(id_col) != F.col("_win"))
+            .withColumn("dup_of", F.when(F.col("is_dup"), F.col("_win")))
+            .drop("_h", "_win"))
+
+
+# ---------------------------------------------------------------------------
+# Shingling (JVM-side: split → sliding n-gram → xxhash64)
+# ---------------------------------------------------------------------------
+
+def shingle_hashes(text, n: int = 3):
+    """array<long> of distinct xxhash64'd word n-gram shingles (codegen)."""
+    words = F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"),
+                     lambda w: w != "")
+    k = F.size(words) - (n - 1)
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n)))
+    )).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard(left_sh, right_sh):
+    """Exact Jaccard of two shingle-hash arrays (JVM set ops)."""
+    inter = F.size(F.array_intersect(left_sh, right_sh)).cast("double")
+    union = F.size(F.array_union(left_sh, right_sh)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def make_band_udf(num_perm: int = 128, bands: int = 16, seed: int = 7):
+    """pandas UDF: shingle-hash array → array<long> of `bands` band keys.
+
+    Band key = xxhash-free deterministic mix of the band's row minima,
+    offset by band index so band i of doc A never collides with band j
+    of doc B. All math vectorized uint64 numpy per Arrow batch.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    a, b = _minhash_params(num_perm, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # (k, m) affine permutations mod Mersenne prime, then row min.
+            sig = (((a[:, None] * x[None, :]) + b[:, None]) % _MERSENNE
+                   ).min(axis=1)                       # (num_perm,)
+            bl = sig.reshape(bands, rows)
+            # FNV-1a style fold per band — deterministic, collision-safe
+            # enough for bucketing (verification is exact anyway).
+            key = np.full(bands, 0xcbf29ce484222325, dtype=np.uint64)
+            for r in range(rows):
+                key ^= bl[:, r]
+                key *= np.uint64(0x100000001b3)
+            key ^= (np.arange(bands, dtype=np.uint64) << np.uint64(56))
+            out.append(key.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return band_keys
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      shingle_n: int = 3, num_perm: int = 128,
+                      bands: int = 16, jaccard_threshold: float = 0.5,
+                      ) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) with exact verification.
+
+    Stages: shingle (codegen) → minhash bands (one Arrow UDF) → explode →
+    in-bucket self-join → distinct candidate pairs → exact Jaccard on
+    shingle arrays → threshold filter.
+    """
+    band_udf = make_band_udf(num_perm, bands)
+    base = (df.select(F.col(id_col).alias("id"),
+                      shingle_hashes(F.col(text_col), shingle_n)
+                      .alias("shingles"))
+            .withColumn("band_key", band_udf("shingles")))
+    buckets = (base.select("id", F.explode("band_key").alias("bk")))
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cand = (l.join(r, (F.col("l.bk") == F.col("r.bk"))
+                      & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct())
+    sh = base.select("id", "shingles")
+    verified = (cand
+                .join(sh.withColumnRenamed("id", "id_a")
+                        .withColumnRenamed("shingles", "sh_a"), "id_a")
+                .join(sh.withColumnRenamed("id", "id_b")
+                        .withColumnRenamed("shingles", "sh_b"), "id_b")
+                .withColumn("jaccard", ngram_jaccard(F.col("sh_a"),
+                                                     F.col("sh_b")))
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select("id_a", "id_b", "jaccard"))
+    return verified
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
+                        id_col: str, shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit candidate-pair frame
+    (columns id_a, id_b) — the brute-force verifier reused standalone."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingle_hashes(F.col(text_col), shingle_n).alias("sh"))
+    return (pairs
+            .join(sh.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed("id", "id_b")
+                    .withColumnRenamed("sh", "sh_b"), "id_b")
+            .select("id_a", "id_b",
+                    ngram_jaccard(F.col("sh_a"), F.col("sh_b"))
+                    .alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def simhash64_udf(feature_hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from an array<long> of feature hashes.
+
+    Fully vectorized across the Arrow batch: all rows' features are
+    flattened into ONE (total_features, 64) bit matrix, per-row ±1 vote
+    sums come from np.add.reduceat over row offsets, and signatures are
+    packed with a single matmul against the bit-weight vector — no
+    per-row Python loop.
+    """
+    lens = np.array([0 if a is None else len(a) for a in feature_hashes],
+                    dtype=np.int64)
+    n = len(lens)
+    if n == 0:
+        return pd.Series([], dtype="int64")
+    flat = (np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a in feature_hashes
+         if a is not None and len(a)])
+        if lens.sum() else np.zeros(0, dtype=np.int64))
+    bitpos = np.arange(64, dtype=np.uint64)
+    sigs = np.zeros(n, dtype=np.int64)
+    nonempty = lens > 0
+    if flat.size:
+        bits = ((flat.astype(np.uint64)[:, None] >> bitpos[None, :])
+                & np.uint64(1)).astype(np.int64)      # (M, 64)
+        votes_flat = 2 * bits - 1
+        offsets = np.zeros(nonempty.sum(), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+        votes = np.add.reduceat(votes_flat, offsets, axis=0)  # (rows, 64)
+        # exact uint64 packing: sum of distinct powers of two, no overflow
+        packed = (((votes > 0).astype(np.uint64) << bitpos[None, :])
+                  .sum(axis=1, dtype=np.uint64))
+        sigs[nonempty] = packed.view(np.int64)
+    return pd.Series(sigs)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            shingle_n: int = 2) -> DataFrame:
+    """(id, simhash) — signature over word n-gram features."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        simhash64_udf(shingle_hashes(F.col(text_col), shingle_n))
+        .alias("simhash"))
+
+
+def hamming64(a, b):
+    """Popcount of XOR — JVM-side via bin(); no Python."""
+    return F.length(F.regexp_replace(F.bin(a.bitwiseXOR(b)), "0", ""))
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  shingle_n: int = 2, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 4×16-bit band pigeonhole (any pair at
+    Hamming ≤ 3 shares at least one intact band) then exact popcount."""
+    sigs = simhash(df, text_col, id_col)
+    banded = sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned("simhash", 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bits"))
+            for i in range(4)])).alias("bk"))
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (l.join(r, (F.col("l.bk") == F.col("r.bk"))
+                      & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("l.simhash").alias("sh_a"),
+                    F.col("r.id").alias("id_b"),
+                    F.col("r.simhash").alias("sh_b"))
+            .distinct())
+    return (cand.withColumn("hamming",
+                            hamming64(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (random-hyperplane LSH + exact verify)
+# ---------------------------------------------------------------------------
+
+def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 11):
+    """pandas UDF: embedding → long LSH bucket (sign bits of random
+    projections). One numpy matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @pandas_udf(LongType())
+    def bucket(emb: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        signs = (mat @ planes) > 0                     # (n, planes)
+        keys = np.zeros(len(emb), dtype=np.uint64)
+        for j in range(n_planes):
+            keys |= signs[:, j].astype(np.uint64) << np.uint64(j)
+        return pd.Series(keys.view(np.int64))
+
+    return bucket
+
+
+def cosine_cols(a, b):
+    """Exact cosine of two array<float/double> columns — sequential
+    zip_with/aggregate folds (deterministic order, stays in codegen)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_neardup_pairs(df: DataFrame, emb_col: str, id_col: str,
+                            dim: int, n_planes: int = 12,
+                            cosine_threshold: float = 0.95,
+                            n_tables: int = 4) -> DataFrame:
+    """Pairs with cosine ≥ threshold. `n_tables` independent hyperplane
+    banks raise recall (a pair is a candidate if ANY bank collides)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    bucket_cols = []
+    for t in range(n_tables):
+        udf = make_hyperplane_udf(dim, n_planes, seed=11 + t)
+        bucket_cols.append(
+            F.struct(F.lit(t).alias("t"), udf("emb").alias("b")))
+    buckets = (base.withColumn("bk", F.explode(F.array(*bucket_cols)))
+               .select("id", "bk"))
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cand = (l.join(r, (F.col("l.bk") == F.col("r.bk"))
+                      & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct())
+    e = base
+    return (cand
+            .join(e.select(F.col("id").alias("id_a"),
+                           F.col("emb").alias("emb_a")), "id_a")
+            .join(e.select(F.col("id").alias("id_b"),
+                           F.col("emb").alias("emb_b")), "id_b")
+            .withColumn("cosine", cosine_cols(F.col("emb_a"),
+                                              F.col("emb_b")))
+            .filter(F.col("cosine") >= cosine_threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,189 @@
+"""Six-pillar data-quality profiling operators over arbitrary tables.
+
+Spark-native re-expression of the relational shapes the reference emits
+as generated SQL (SURVEY.md §2.B; /root/reference/DataQuality_AI_CaseStudy.md
+worked examples at :736-781, :812-879, :890-924, :936-1011):
+
+* completeness_profile — per-column non-null ratio in ONE table scan
+  (the reference's per-column UNION ALL shape, CaseStudy.md:736-747,
+  rescans the table once per column; we aggregate every column in a
+  single HashAggregate and unpivot with stack()).
+* uniqueness_profile — COUNT(DISTINCT col) + composite keys
+  (CaseStudy.md:822-824), exact or approx_count_distinct at scale.
+* validity_conditional — CASE-WHEN range/domain pass counts
+  (CaseStudy.md:836-838).
+* consistency_orphans / consistency_full_outer — referential probes via
+  anti-join and full outer join (CaseStudy.md:890-924).
+* timeliness_buckets — recency CASE categorizer against a fixed cutoff
+  (CaseStudy.md:945; no wall clock — determinism).
+* drift_monthly — month-bucketed metric + LAG month-over-month change +
+  threshold alert labels (CaseStudy.md:936-1011).
+
+Scale notes: every operator is a single scan plus at most one shuffle
+(the groupBy/distinct); completeness/validity are map-side-combinable
+aggregates; joins take broadcast hints when one side is a dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Order-independent aggregation of currency-like double columns: round to
+# an integer cents lattice, sum exactly in long, divide once at the end.
+# Double sums are partition-order-dependent; long sums are exact, so the
+# result is reproducible bit-for-bit across engines and cluster sizes.
+
+
+def _cents(col) -> "F.Column":
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def sum_exact(col, alias: str):
+    """Order-independent sum of a 2-dp double column (cents lattice)."""
+    return (F.sum(_cents(col)) / 100.0).alias(alias)
+
+
+def avg_exact(col, alias: str):
+    """Order-independent mean of a 2-dp double column."""
+    return (F.sum(_cents(col)) / 100.0 / F.count(col)).alias(alias)
+
+
+def completeness_profile(df: DataFrame, columns: list[str] | None = None
+                         ) -> DataFrame:
+    """Per-column (column_name, n_total, n_nonnull, completeness_pct).
+
+    One scan, one aggregate row, unpivoted via stack — never the
+    reference's N-scan UNION ALL fan-out.
+    """
+    cols = columns or df.columns
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[F.count(F.col(c)).alias(f"_nn_{c}") for c in cols],
+    )
+    stack_args = ", ".join(f"'{c}', _nn_{c}" for c in cols)
+    return (agg.select(
+                F.col("_total"),
+                F.expr(f"stack({len(cols)}, {stack_args}) "
+                       "as (column_name, n_nonnull)"))
+            .select(
+                "column_name",
+                F.col("_total").alias("n_total"),
+                "n_nonnull",
+                (F.col("n_nonnull") * 100.0 / F.col("_total"))
+                .alias("completeness_pct")))
+
+
+def uniqueness_profile(df: DataFrame, columns: list[str],
+                       composite: list[str] | None = None,
+                       approx: bool = False) -> DataFrame:
+    """One row: n_rows + distinct count per column (+ composite key).
+
+    `approx=True` switches to HLL approx_count_distinct for the
+    10^9-row regime where exact distinct is a full shuffle per column.
+    """
+    cnt = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    aggs += [cnt(F.col(c)).alias(f"distinct_{c}") for c in columns]
+    if composite:
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in composite])
+        aggs.append(cnt(key).alias("distinct_composite"))
+    return df.agg(*aggs)
+
+
+def validity_conditional(df: DataFrame, checks: list[tuple[str, "F.Column"]]
+                         ) -> DataFrame:
+    """CASE-WHEN pass counts: one row with n_rows + per-check pass count
+    and pass percentage. `checks` = [(name, boolean Column), ...]."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, cond in checks:
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"pass_{name}"))
+    out = df.agg(*aggs)
+    for name, _ in checks:
+        out = out.withColumn(
+            f"pct_{name}", F.col(f"pass_{name}") * 100.0 / F.col("n_rows"))
+    return out
+
+
+def consistency_orphans(fact: DataFrame, dim: DataFrame,
+                        fact_key: str, dim_key: str) -> DataFrame:
+    """Referential-integrity probe: counts of fact rows with no matching
+    dim row and dim rows with no matching fact row (anti-joins; the dim
+    side is broadcast)."""
+    dimb = F.broadcast(dim.select(dim_key).distinct())
+    orphan_fact = fact.join(
+        dimb, fact[fact_key] == dimb[dim_key], "left_anti").count()
+    factk = fact.select(fact_key).distinct()
+    orphan_dim = dim.join(
+        F.broadcast(factk), dim[dim_key] == factk[fact_key],
+        "left_anti").count()
+    spark = fact.sparkSession
+    return spark.createDataFrame(
+        [(orphan_fact, orphan_dim)],
+        "orphan_fact_rows bigint, orphan_dim_rows bigint")
+
+
+def consistency_full_outer(left: DataFrame, right: DataFrame,
+                           left_key: str, right_key: str) -> DataFrame:
+    """Symmetric diff via FULL OUTER JOIN → (match_status, n) rows."""
+    l = left.select(F.col(left_key).alias("_lk")).distinct()
+    r = right.select(F.col(right_key).alias("_rk")).distinct()
+    j = l.join(r, l["_lk"] == r["_rk"], "full_outer")
+    status = (F.when(F.col("_lk").isNotNull() & F.col("_rk").isNotNull(),
+                     "both")
+              .when(F.col("_lk").isNotNull(), "left_only")
+              .otherwise("right_only"))
+    return (j.select(status.alias("match_status"))
+             .groupBy("match_status").agg(F.count(F.lit(1)).alias("n")))
+
+
+def timeliness_buckets(df: DataFrame, ts_col: str, cutoffs: list[str],
+                       labels: list[str]) -> DataFrame:
+    """Recency CASE categorizer: len(cutoffs)+1 buckets against FIXED
+    ISO timestamps (cutoffs ascending; label[i] applies below cutoff[i])."""
+    assert len(labels) == len(cutoffs) + 1
+    expr = None
+    for i, cut in enumerate(cutoffs):
+        # string literal auto-casts to the column's timestamp flavor
+        # (parquet reads back TIMESTAMP_NTZ in Spark 4 — an explicit
+        # cast("timestamp") would force TIMESTAMP_LTZ and fail to compare).
+        cond = F.col(ts_col) < F.lit(cut)
+        expr = F.when(cond, labels[i]) if expr is None else expr.when(
+            cond, labels[i])
+    expr = expr.otherwise(labels[-1])
+    return (df.select(expr.alias("recency_bucket"))
+              .groupBy("recency_bucket")
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def drift_monthly(df: DataFrame, ts_col: str, value_col: str,
+                  high_pct: float = 50.0, medium_pct: float = 25.0
+                  ) -> DataFrame:
+    """Month-over-month drift of row count + mean(value) with LAG and
+    threshold labels — the reference's registration-drift query
+    (CaseStudy.md:936-974) grafted onto any (timestamp, value) pair.
+
+    Output: month, n, mean_value, prev_n, pct_change, drift_status,
+    ordered by month. The window has a single global ordering over the
+    ~tens of month rows produced by the aggregate — the heavy lifting
+    (groupBy month) is a distributed partial+final HashAggregate; only
+    the month-level rows pass through the unpartitioned window.
+    """
+    monthly = (df.groupBy(F.date_format(ts_col, "yyyy-MM").alias("month"))
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      avg_exact(value_col, "mean_value")))
+    w = Window.orderBy("month")
+    out = (monthly
+           .withColumn("prev_n", F.lag("n", 1).over(w))
+           .withColumn(
+               "pct_change",
+               F.when(F.col("prev_n").isNotNull() & (F.col("prev_n") != 0),
+                      F.round((F.col("n") - F.col("prev_n")) * 100.0
+                              / F.col("prev_n"), 2)))
+           .withColumn(
+               "drift_status",
+               F.when(F.col("pct_change").isNull(), "Baseline")
+               .when(F.abs(F.col("pct_change")) > high_pct, "High Drift Alert")
+               .when(F.abs(F.col("pct_change")) > medium_pct, "Medium Drift")
+               .otherwise("Stable")))
+    return out.orderBy("month")

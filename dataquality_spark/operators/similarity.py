@@ -1,0 +1,126 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk — exact cosine top-k: per-row cosine as a sequential
+  zip_with/aggregate fold (JVM codegen, deterministic order), then a
+  global top-k. The scan is embarrassingly parallel; only k rows per
+  partition reach the final ordering (Spark's TakeOrderedAndProject).
+* ivf_topk — the scale path: k-means-style coarse quantizer (deterministic
+  seeded numpy, trained on a driver-side sample once), every vector
+  assigned to its nearest centroid JVM-broadcast; queries probe only
+  `n_probe` inverted lists, so the scan touches n_probe/n_cells of the
+  corpus. At 10^12 vectors the cell assignment is the partition key —
+  cells are co-located and the query never shuffles the corpus.
+* lsh_topk — random-hyperplane bucketed search (probe the query's bucket
+  ± multi-table OR), recall traded for a bounded candidate set.
+
+No Python on the per-row scoring path: cosine is a Catalyst fold;
+centroid assignment is one Arrow-batched numpy argmax UDF at WRITE time
+(amortized over all queries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from .dedup import cosine_cols, make_hyperplane_udf
+
+
+def _query_lit(query_vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(df: DataFrame, emb_col: str, id_col: str,
+                     query_vec, k: int = 10,
+                     round_decimals: int | None = 6) -> DataFrame:
+    """Exact top-k by cosine to `query_vec` → (id, cosine) sorted."""
+    q = _query_lit(query_vec)
+    scored = df.select(F.col(id_col).alias("id"),
+                       cosine_cols(F.col(emb_col), q).alias("cosine"))
+    if round_decimals is not None:
+        scored = scored.withColumn("cosine",
+                                   F.round("cosine", round_decimals))
+    return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization
+# ---------------------------------------------------------------------------
+
+def train_centroids(sample: np.ndarray, n_cells: int, seed: int = 5,
+                    iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (numpy)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cents = sample[rng.choice(n, size=min(n_cells, n), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
+
+
+def make_cell_udf(centroids: np.ndarray):
+    """pandas UDF: embedding → nearest-centroid cell id (numpy argmin)."""
+    cents = centroids.astype(np.float64)
+
+    @pandas_udf(IntegerType())
+    def cell(emb: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        # argmin over squared distance; ||x||² constant per row → argmin of
+        # -2x·c + ||c||².
+        scores = -2.0 * (mat @ cents.T) + (cents ** 2).sum(axis=1)[None, :]
+        return pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+    return cell
+
+
+def ivf_assign(df: DataFrame, emb_col: str, centroids: np.ndarray,
+               repartition_by_cell: bool = False) -> DataFrame:
+    """Add `cell` (coarse quantizer assignment). At scale, write the
+    corpus partitioned by cell so probes prune at the scan."""
+    out = df.withColumn("cell", make_cell_udf(centroids)(F.col(emb_col)))
+    if repartition_by_cell:
+        out = out.repartition("cell")
+    return out
+
+
+def ivf_topk(assigned: DataFrame, emb_col: str, id_col: str,
+             centroids: np.ndarray, query_vec, k: int = 10,
+             n_probe: int = 2) -> DataFrame:
+    """Probe the n_probe nearest cells only, then exact cosine top-k."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids.astype(np.float64) - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d.argsort()[:n_probe]]
+    cand = assigned.filter(F.col("cell").isin(probe))
+    return brute_force_topk(cand, emb_col, id_col, query_vec, k)
+
+
+def lsh_topk(df: DataFrame, emb_col: str, id_col: str, dim: int,
+             query_vec, k: int = 10, n_planes: int = 8,
+             n_tables: int = 4) -> DataFrame:
+    """Approximate top-k: candidates = union of the query's LSH buckets
+    across `n_tables` hyperplane banks, then exact cosine rank."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    conds = []
+    for t in range(n_tables):
+        udf = make_hyperplane_udf(dim, n_planes, seed=11 + t)
+        rng = np.random.default_rng(11 + t)
+        planes = rng.standard_normal((dim, n_planes))
+        signs = (q @ planes) > 0
+        qkey = np.uint64(0)
+        for j in range(n_planes):
+            if signs[j]:
+                qkey |= np.uint64(1) << np.uint64(j)
+        conds.append(udf(F.col(emb_col)) == int(qkey.view(np.int64)))
+    mask = conds[0]
+    for c in conds[1:]:
+        mask = mask | c
+    return brute_force_topk(df.filter(mask), emb_col, id_col, query_vec, k)

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data curation, all JVM-side.
+
+* token_counts — whitespace tokens + a BPE-ish subword proxy count
+  (regex segmentation into letter-runs/digit-runs/punct) — the standard
+  pre-tokenizer shape (GPT-2 style), enough for token budgeting.
+* quality_score — C4/Gopher-flavored 0-1 score from length, punctuation
+  density and stopword density (reference validity dimension,
+  /root/reference/DataQuality_AI_CaseStudy.md:139-142).
+* langid_vote — deterministic stopword-vote language ID (consistency
+  dimension, CaseStudy.md:134-137): count per-language stopword matches,
+  argmax with a fixed precedence order. Pure Catalyst expressions —
+  the pipeline's hashed-n-gram model (functions/langid.py) is the
+  higher-accuracy Arrow-UDF variant; this one is the SQL-parity-checkable
+  heuristic.
+* fingerprints — md5 content fingerprint + 64-bit polynomial rolling
+  hash over words (shift-invariant doc signature for fast prefiltering).
+
+Everything here is a single projection — no shuffle, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import config as C
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punct marks.
+BPEISH_REGEX = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_CHARS = ".,;:!?"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"),
+                    lambda w: w != "")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_ws_tokens (whitespace) and n_bpeish_tokens (subword proxy)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return (df
+            .withColumn("n_ws_tokens",
+                        F.size(_words(F.col(text_col))).cast("long"))
+            .withColumn("n_bpeish_tokens",
+                        F.regexp_count(text, F.lit(BPEISH_REGEX))
+                        .cast("long")))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  lang: str = "en") -> DataFrame:
+    """Adds word_count, mean_word_len, punct_ratio, stopword_frac and a
+    composite quality_score in [0,1] (rounded to 4 dp).
+
+    score = 0.4·min(words/100,1) + 0.3·stopword_frac_clamped/0.4
+          + 0.3·(1 − min(punct_ratio/0.2, 1))
+    Fixed left-to-right double arithmetic — reproducible bit-for-bit.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = _words(F.col(text_col))
+    n = F.size(words).cast("double")
+    total_chars = F.aggregate(words, F.lit(0).cast("long"),
+                              lambda a, w: a + F.length(w)).cast("double")
+    n_punct = (F.length(text)
+               - F.length(F.translate(text, PUNCT_CHARS, ""))).cast("double")
+    stop = [w for w in C.STOPWORDS.get(lang, C.ALL_STOPWORDS)]
+    n_stop = F.size(F.filter(words,
+                             lambda w: F.lower(w).isin(stop))).cast("double")
+    safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
+    word_count = n.cast("long")
+    mean_wl = F.round(total_chars / safe_n, 4)
+    punct_ratio = F.round(n_punct / safe_n, 4)
+    stop_frac = F.round(n_stop / safe_n, 4)
+    score = F.round(
+        F.least(n / 100.0, F.lit(1.0)) * 0.4
+        + F.least(n_stop / safe_n, F.lit(0.4)) / 0.4 * 0.3
+        + (1.0 - F.least((n_punct / safe_n) / 0.2, F.lit(1.0))) * 0.3, 4)
+    return (df.withColumn("word_count", word_count)
+            .withColumn("mean_word_len", mean_wl)
+            .withColumn("punct_ratio", punct_ratio)
+            .withColumn("stopword_frac", stop_frac)
+            .withColumn("quality_score",
+                        F.when(n > 0, score).otherwise(F.lit(0.0))))
+
+
+def langid_vote(df: DataFrame, text_col: str = "text",
+                langs: list[str] | None = None) -> DataFrame:
+    """Adds lang_votes_<l> per language and lang_pred (argmax, ties by
+    fixed order config.LANGS; all-zero votes → 'und')."""
+    langs = langs or C.LANGS
+    words = _words(F.col(text_col))
+
+    def _stop_filter(sw):
+        # single-arg lambda factory: a default-arg closure would make the
+        # higher-order filter see TWO parameters and bind the array index
+        # to the stopword list.
+        return lambda w: F.lower(w).isin(sw)
+
+    votes = {}
+    for l in langs:
+        votes[l] = F.size(F.filter(words,
+                                   _stop_filter(C.STOPWORDS[l]))).cast("long")
+    out = df
+    for l in langs:
+        out = out.withColumn(f"lang_votes_{l}", votes[l])
+    # argmax with fixed precedence (earlier lang wins ties): lang l takes
+    # the prediction only if its votes strictly exceed the running max.
+    pred_expr = F.lit("und")
+    taken = F.lit(0).cast("long")
+    for l in langs:
+        v = F.col(f"lang_votes_{l}")
+        pred_expr = F.when(v > taken, F.lit(l)).otherwise(pred_expr)
+        taken = F.greatest(taken, v)
+    out = out.withColumn("lang_pred_vote", pred_expr)
+    return out
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds fingerprint_md5 (hex) and fingerprint_roll (order-sensitive
+    chained xxhash64 fold over the word array: acc = xxhash64(acc, word)
+    — overflow-free under ANSI mode, pure JVM, word-order dependent)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = _words(F.col(text_col))
+    roll = F.aggregate(
+        words, F.lit(1469598103934665603).cast("long"),
+        lambda acc, w: F.xxhash64(acc, w))
+    return (df.withColumn("fingerprint_md5", F.md5(text))
+              .withColumn("fingerprint_roll", roll))

@@ -156,7 +156,8 @@ def dedup_flags(full_pages: DataFrame) -> DataFrame:
 
 def with_decisions(pages: DataFrame, extract_from_html: bool = False,
                    salt_repartition: int | None = None,
-                   dedup_scope: DataFrame | None = None) -> DataFrame:
+                   dedup_scope: DataFrame | None = None,
+                   mark_dups: bool = True) -> DataFrame:
     """Full per-document decision pipeline.
 
     Input: `pages` with (url, warc_ts, html, text, lang).
@@ -190,7 +191,11 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
     df = df.select("*", *text_stats.stats_columns())
 
     # S2: corpus-level url dedup — first occurrence by (warc_ts, md5) wins.
-    if dedup_scope is not None:
+    if not mark_dups:
+        # streaming path: unbounded window state is not allowed; dedup is
+        # handled upstream by watermarked dropDuplicates (streaming/).
+        df = df.withColumn("is_dup_url", F.lit(False))
+    elif dedup_scope is not None:
         flags = dedup_flags(dedup_scope)
         df = (df.withColumn("_md5", _dup_md5())
                 .join(flags, ["url", "warc_ts", "_md5"], "left")

@@ -1,0 +1,75 @@
+"""Incremental (streaming) quality filtering.
+
+The reference is strictly batch request/response
+(/root/reference/agents/unity_sql_agent.py:173-215 — synchronous
+execute), so streaming is an engine extension, not parity surface: a
+Common-Crawl dump lands as new files; we filter them incrementally with
+Structured Streaming instead of re-running the batch job.
+
+Design: `readStream` over the pages directory (file source, schema
+fixed) → the SAME `pipeline.decisions` transforms (they are stateless
+per-row projections + Arrow UDFs, so they lift to streaming unchanged —
+the url-dedup window is replaced by a `dropDuplicates` with watermark) →
+`writeStream` parquet sink with checkpointing. `Trigger.AvailableNow`
+drains the backlog then stops — the streaming twin of the batch resume
+manifest: the checkpoint IS the manifest.
+
+Watermarking: late pages older than `watermark` behind the max observed
+warc_ts are dropped from the dedup state so state stays bounded at
+10^12-doc scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import pipeline
+from ..sources.io import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = (spark.readStream
+              .schema(PAGES_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def streaming_decisions(pages: DataFrame,
+                        watermark: str = "30 days") -> DataFrame:
+    """Stateless decision transforms + watermarked url dedup.
+
+    The batch pipeline's corpus-wide first-occurrence-per-url window is
+    not streamable (unbounded state); the streaming contract is instead
+    "first arrival per (url, text-hash) within the watermark wins" via
+    dropDuplicates — bounded state, late arrivals beyond the watermark
+    are ignored.
+    """
+    from pyspark.sql import functions as F
+
+    deduped = (pages
+               .withWatermark("warc_ts", watermark)
+               .withColumn("_md5", F.md5(F.coalesce(F.col("text"),
+                                                    F.lit("")).cast("binary")))
+               .dropDuplicates(["url", "_md5"])
+               .drop("_md5"))
+    # mark_dups=False: a row_number window is not streamable; duplicate
+    # suppression is the watermarked dropDuplicates state above.
+    return pipeline.decisions(deduped, mark_dups=False)
+
+
+def run_available_now(spark: SparkSession, input_dir: str, output_dir: str,
+                      checkpoint_dir: str) -> None:
+    """Drain all currently-available files, then stop (incremental batch)."""
+    pages = read_pages_stream(spark, input_dir)
+    out = streaming_decisions(pages)
+    q = (out.writeStream
+         .format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    q.awaitTermination()

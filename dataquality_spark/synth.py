@@ -55,14 +55,16 @@ def _zipf_p(n: int) -> np.ndarray:
 
 def gen_tokens(lang: str, n: int, rng: np.random.Generator,
                stopword_rate: float = 0.4) -> list[str]:
-    """Sample a token stream: stopwords at `stopword_rate`, Zipf content."""
-    stop = C.STOPWORDS[lang]
-    content = C.CONTENT_WORDS[lang]
+    """Sample a token stream: stopwords at `stopword_rate`, Zipf content.
+
+    Vectorized; draws random(n) → integers(n) → choice(n) in that fixed
+    order so outputs are identical to the original per-token loop."""
+    stop = np.asarray(C.STOPWORDS[lang], dtype=object)
+    content = np.asarray(C.CONTENT_WORDS[lang], dtype=object)
     is_stop = rng.random(n) < stopword_rate
     stop_idx = rng.integers(0, len(stop), n)
     cont_idx = rng.choice(len(content), n, p=_zipf_p(len(content)))
-    return [stop[stop_idx[i]] if is_stop[i] else content[cont_idx[i]]
-            for i in range(n)]
+    return np.where(is_stop, stop[stop_idx], content[cont_idx]).tolist()
 
 
 def _to_lines(words: list[str], rng: np.random.Generator) -> str:

@@ -1,0 +1,52 @@
+"""Smoke the driver contract: entry() returns rows with a stable schema;
+every oracle_sql key has a queries() twin; a fast representative subset
+of queries matches its DuckDB oracle end-to-end (the full sweep lives in
+tools/check_contract.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.check_contract import compare
+
+SF = "/root/testdata/sf0.001"
+
+FAST_ORACLED = ["row_counts", "completeness_profile", "segment_agg",
+                "topk_customers", "langid_vote", "quality_score",
+                "fingerprints", "scrub_sql", "multimodal_meta"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(SF, "*.parquet")):
+        t = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    # the bulk of the surface must be oracle-checked, not rows-only
+    assert len(os_) >= 20
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert {"url", "keep", "rules"} <= set(df.columns)
+
+
+@pytest.mark.parametrize("name", FAST_ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF).toPandas()
+    odf = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, problems

@@ -1,0 +1,104 @@
+"""Two-cluster-size scaling evidence (north rule: throughput scaling
+efficiency ≥0.8 from N to 4N executors, proxied in-sandbox by local[N]
+vs local[4N] on the SAME input).
+
+    python tools/scaling_bench.py [--n-docs 60000] [--low 8] [--high 32]
+
+Writes the corpus once (64 parquet splits so both runs see identical
+input parallelism), then times the full decision pipeline in a fresh
+subprocess per cluster size (cold JVM each — no cross-run cache leaks),
+and prints a JSON summary + updates BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from dataquality_spark import pipeline
+from dataquality_spark.session import get_spark
+
+cores = {cores}
+spark = get_spark("scaling-bench", master=f"local[{{cores}}]",
+                  shuffle_partitions=2 * cores)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet({input_dir!r})
+# warm: JVM + python workers + model build, outside the timed region
+pipeline.decisions(pages.limit(500)).agg(
+    F.sum(F.length("text_scrubbed"))).collect()
+t0 = time.monotonic()
+out = pipeline.decisions(pages)
+row = out.agg(F.count(F.lit(1)),
+              F.sum(F.length("text_scrubbed")),
+              F.sum(F.size("rule_hits")),
+              F.sum(F.col("keep").cast("long"))).collect()[0]
+dt = time.monotonic() - t0
+print(json.dumps({{"cores": cores, "n_docs": row[0], "sec": round(dt, 3),
+                   "docs_per_sec": round(row[0] / dt, 1)}}))
+"""
+
+
+def run_at(cores: int, input_dir: str) -> dict:
+    code = RUNNER.format(repo=REPO, cores=cores, input_dir=input_dir)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600, check=False)
+    lines = [l for l in out.stdout.strip().splitlines()
+             if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"run at {cores} cores failed:\n{out.stderr[-3000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=60_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--input", default=None,
+                    help="existing pages parquet dir (else synthesized)")
+    args = ap.parse_args()
+
+    input_dir = args.input
+    if input_dir is None:
+        work = tempfile.mkdtemp(prefix="dq_scaling_")
+        input_dir = os.path.join(work, "pages")
+        print(f"synthesizing {args.n_docs} pages → {input_dir}",
+              file=sys.stderr)
+        code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from dataquality_spark import synth
+from dataquality_spark.session import get_spark
+pages = synth.gen_pages({args.n_docs}, seed=42)[
+    ["url", "warc_ts", "html", "text", "lang"]]
+spark = get_spark("synth", master="local[16]")
+spark.sparkContext.setLogLevel("ERROR")
+spark.createDataFrame(pages).repartition(64).write.mode(
+    "overwrite").parquet({input_dir!r})
+"""
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       timeout=1800)
+
+    low = run_at(args.low, input_dir)
+    high = run_at(args.high, input_dir)
+    ratio = args.high / args.low
+    eff = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
+    summary = {"low": low, "high": high,
+               "speedup": round(high["docs_per_sec"]
+                                / low["docs_per_sec"], 3),
+               "ideal_speedup": ratio,
+               "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
