@@ -36,10 +36,14 @@ HEADLINE = [
 
 
 def force(df) -> int:
-    """Execute the full plan (aggregate every column so nothing prunes)."""
+    """Execute the full plan: bit_xor(xxhash64(col)) actually consumes
+    every column's VALUES. (count(xxhash64(c)) does NOT force anything —
+    xxhash64 is non-nullable, so Catalyst rewrites it to count(*) and
+    prunes the column.)"""
     row = df.agg(
         F.count(F.lit(1)),
-        *[F.count(F.xxhash64(c)) for c in df.columns]).collect()[0]
+        *[F.expr(f"bit_xor(xxhash64(`{c}`))") for c in df.columns]
+    ).collect()[0]
     return row[0]
 
 
@@ -69,11 +73,20 @@ def main() -> None:
         ["url", "warc_ts", "html", "text", "lang"]]
     pages = spark.createDataFrame(pages_pd).repartition(int(cpus) * 2)
     pages.persist().count()  # materialize input outside the timed region
+
+    def run_pipeline_once(df):
+        out = pipeline.decisions(df)
+        out.agg(F.sum(F.length("text_scrubbed")),
+                F.sum(F.size("rule_hits")),
+                F.sum(F.col("keep").cast("long"))).collect()
+
+    # Warm with one full pass: codegen compilation, python-worker spawn,
+    # model load and allocator warm-up land outside the timed region, so
+    # the timed run measures steady-state throughput — the regime a
+    # long-running 100 TB job actually operates in.
+    run_pipeline_once(pages)
     t0 = time.monotonic()
-    out = pipeline.decisions(pages)
-    out.agg(F.sum(F.length("text_scrubbed")),
-            F.sum(F.size("rule_hits")),
-            F.sum(F.col("keep").cast("long"))).collect()
+    run_pipeline_once(pages)
     dt = time.monotonic() - t0
     timings["webtext_pipeline"] = round(dt, 3)
     docs_per_sec = round(n_pages / dt, 1)

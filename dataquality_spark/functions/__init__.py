@@ -1,1 +1,26 @@
-"""Vectorized scoring functions (numpy cores + Spark pandas-UDF wrappers)."""
+"""Model/scoring functions shared by the Spark pandas UDFs and the
+pure-pandas oracle.
+
+Importing this package tunes the glibc allocator for executor python
+workers: by default malloc serves >128 KB allocations via fresh mmap and
+returns them on free, so every Arrow batch's numpy temporaries touch
+brand-new pages. On lazily-backed VMs (and busy hosts generally) that
+first-touch cost measured 100×+ the arithmetic being done. Raising
+M_MMAP_THRESHOLD / M_TRIM_THRESHOLD keeps large buffers on the sbrk heap
+where freed pages are reused, so steady-state batches run fault-free.
+"""
+
+
+def _tune_allocator() -> None:
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(ctypes.c_int(M_MMAP_THRESHOLD), ctypes.c_int(1 << 29))
+        libc.mallopt(ctypes.c_int(M_TRIM_THRESHOLD), ctypes.c_int(1 << 29))
+    except Exception:  # non-glibc platforms: best-effort no-op
+        pass
+
+
+_tune_allocator()

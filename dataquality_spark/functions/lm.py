@@ -64,10 +64,39 @@ def _build_model():
             counts[order], float(total))
 
 
+_CACHE = "/tmp/dq_model_cache/lm_v1.npz"
+
+
 def get_model():
+    """Module-cached model + best-effort shared on-disk cache (see
+    langid.get_model — same atomic-publish pattern)."""
     global _MODEL
     if _MODEL is None:
-        _MODEL = _build_model()
+        import os
+        import tempfile
+        try:
+            z = np.load(_CACHE, allow_pickle=False)
+            words = z["vocab_words"]
+            vocab = {str(w): i for i, w in enumerate(words)}
+            _MODEL = (vocab, z["uni"], z["bkeys"], z["bcounts"],
+                      float(z["total"][0]))
+        except (OSError, ValueError, KeyError):
+            _MODEL = _build_model()
+            vocab, uni, bkeys, bcounts, total = _MODEL
+            try:
+                os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
+                words = np.empty(len(vocab), dtype=object)
+                for w, i in vocab.items():
+                    words[i] = w
+                fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_CACHE),
+                                           suffix=".npz")
+                with os.fdopen(fd, "wb") as f:
+                    np.savez(f, vocab_words=words.astype(str), uni=uni,
+                             bkeys=bkeys, bcounts=bcounts,
+                             total=np.array([total]))
+                os.replace(tmp, _CACHE)
+            except OSError:
+                pass
     return _MODEL
 
 

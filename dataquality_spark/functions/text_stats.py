@@ -44,10 +44,14 @@ def stats_columns() -> list[Column]:
     text = F.coalesce(F.col("text"), F.lit(""))
     words = words_col(text)
     lines = lines_col(text)
-    n_words = F.size(words).cast("long")
-    total_word_chars = F.aggregate(
-        words, F.lit(0).cast("long"),
-        lambda acc, w: acc + F.length(w).cast("long"))
+    # n_words = count of maximal non-separator runs: one regex pass, no
+    # word-array allocation (identical to size(split+filter)).
+    n_words = F.regexp_count(text, F.lit("[^ \\n\\t\\r]+")).cast("long")
+    # total word chars = total non-whitespace chars: translate+length
+    # arithmetic instead of an array fold (identical by definition —
+    # words are exactly the non-separator characters).
+    total_word_chars = F.length(
+        F.translate(text, " \n\t\r", "")).cast("long")
     # Symbol chars are never whitespace, so counting over the raw text equals
     # counting over words; translate+length diff stays in codegen (no arrays).
     n_symbols = F.length(text) - F.length(F.translate(text, C.SYMBOL_CHARS, ""))

@@ -143,10 +143,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     shingle arrays → threshold filter.
     """
     band_udf = make_band_udf(num_perm, bands)
+    # persist: the signature frame feeds both sides of the self-join AND
+    # the verification rejoin — without it the shingle+minhash UDF chain
+    # recomputes up to 4×. (At 10^12-doc scale this is a materialized
+    # signatures table, not an in-memory cache.)
     base = (df.select(F.col(id_col).alias("id"),
                       shingle_hashes(F.col(text_col), shingle_n)
                       .alias("shingles"))
-            .withColumn("band_key", band_udf("shingles")))
+            .withColumn("band_key", band_udf("shingles"))
+            .persist())
     buckets = (base.select("id", F.explode("band_key").alias("bk")))
     l = buckets.alias("l")
     r = buckets.alias("r")
@@ -202,24 +207,45 @@ def simhash64_udf(feature_hashes: pd.Series) -> pd.Series:
     n = len(lens)
     if n == 0:
         return pd.Series([], dtype="int64")
-    flat = (np.concatenate(
-        [np.asarray(a, dtype=np.int64) for a in feature_hashes
-         if a is not None and len(a)])
-        if lens.sum() else np.zeros(0, dtype=np.int64))
-    bitpos = np.arange(64, dtype=np.uint64)
     sigs = np.zeros(n, dtype=np.int64)
     nonempty = lens > 0
-    if flat.size:
-        bits = ((flat.astype(np.uint64)[:, None] >> bitpos[None, :])
-                & np.uint64(1)).astype(np.int64)      # (M, 64)
-        votes_flat = 2 * bits - 1
-        offsets = np.zeros(nonempty.sum(), dtype=np.int64)
-        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-        votes = np.add.reduceat(votes_flat, offsets, axis=0)  # (rows, 64)
-        # exact uint64 packing: sum of distinct powers of two, no overflow
-        packed = (((votes > 0).astype(np.uint64) << bitpos[None, :])
-                  .sum(axis=1, dtype=np.uint64))
-        sigs[nonempty] = packed.view(np.int64)
+    n_nz = int(nonempty.sum())
+    if n_nz == 0:
+        return pd.Series(sigs)
+    arrs = [np.asarray(a, dtype=np.int64) for a in feature_hashes
+            if a is not None and len(a)]
+    nzlens = lens[nonempty]
+    bitpos = np.arange(64, dtype=np.uint64)
+    # Doc-aligned chunks through preallocated buffers: a monolithic
+    # (M, 64) bit matrix is tens of MB of fresh pages per batch — 100×+
+    # slower under concurrent forked workers (page-fault storms).
+    # L2-resident chunks (bits buffer ~512 KB): see langid.score_texts
+    cap = max(2_048, int(nzlens.max()))
+    flat_buf = np.empty(cap, dtype=np.uint64)
+    bits_buf = np.empty((cap, 64), dtype=np.int32)
+    votes = np.empty((n_nz, 64), dtype=np.int64)
+    di = 0
+    while di < n_nz:
+        dj, m = di, 0
+        while dj < n_nz and m + nzlens[dj] <= cap:
+            m += int(nzlens[dj])
+            dj += 1
+        off = 0
+        for k in range(di, dj):
+            ln = int(nzlens[k])
+            flat_buf[off:off + ln] = arrs[k].astype(np.uint64)
+            off += ln
+        np.right_shift(flat_buf[:m, None], bitpos[None, :],
+                       out=bits_buf[:m], casting="unsafe")
+        np.bitwise_and(bits_buf[:m], 1, out=bits_buf[:m])
+        starts = np.zeros(dj - di, dtype=np.int64)
+        np.cumsum(nzlens[di:dj][:-1], out=starts[1:])
+        ones = np.add.reduceat(bits_buf[:m], starts, axis=0)  # per-doc 1s
+        votes[di:dj] = 2 * ones - nzlens[di:dj][:, None]      # ±1 votes
+        di = dj
+    packed = (((votes > 0).astype(np.uint64) << bitpos[None, :])
+              .sum(axis=1, dtype=np.uint64))
+    sigs[nonempty] = packed.view(np.int64)
     return pd.Series(sigs)
 
 
@@ -241,7 +267,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   shingle_n: int = 2, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: 4×16-bit band pigeonhole (any pair at
     Hamming ≤ 3 shares at least one intact band) then exact popcount."""
-    sigs = simhash(df, text_col, id_col)
+    sigs = simhash(df, text_col, id_col).persist()
     banded = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -306,7 +332,8 @@ def embedding_neardup_pairs(df: DataFrame, emb_col: str, id_col: str,
                             n_tables: int = 4) -> DataFrame:
     """Pairs with cosine ≥ threshold. `n_tables` independent hyperplane
     banks raise recall (a pair is a candidate if ANY bank collides)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(emb_col).alias("emb")).persist()
     bucket_cols = []
     for t in range(n_tables):
         udf = make_hyperplane_udf(dim, n_planes, seed=11 + t)

@@ -58,16 +58,23 @@ def run_oracle(pages: pd.DataFrame) -> pd.DataFrame:
 
     ts_min = pd.Timestamp(C.TS_MIN_ISO)
 
-    # Corpus-level url dedup: first occurrence by (warc_ts, md5(text)) wins.
+    # Corpus-level url dedup: the earliest (warc_ts, md5(text)) VALUE
+    # pair per url wins; strictly-greater pairs are duplicates (matches
+    # the pipeline's value-based min-pair formulation — rows that tie
+    # the minimum byte-for-byte are all kept).
     import hashlib
 
     text_md5 = df["text"].map(
         lambda t: hashlib.md5((t or "").encode("utf-8")).hexdigest())
     order = pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
                           "md5": text_md5})
-    first_idx = order.sort_values(["url", "warc_ts", "md5"],
-                                  kind="mergesort").groupby("url").head(1).index
-    is_dup = ~df.index.isin(first_idx)
+    first = (order.sort_values(["url", "warc_ts", "md5"], kind="mergesort")
+             .groupby("url").head(1)
+             .rename(columns={"warc_ts": "_min_ts", "md5": "_min_md5"}))
+    m = order.merge(first, on="url", how="left")
+    is_dup = ((m["warc_ts"].to_numpy() > m["_min_ts"].to_numpy())
+              | ((m["warc_ts"].to_numpy() == m["_min_ts"].to_numpy())
+                 & (m["md5"].to_numpy() > m["_min_md5"].to_numpy())))
 
     rows = []
     for i in range(len(df)):

