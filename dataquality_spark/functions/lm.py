@@ -105,14 +105,29 @@ def perplexity(texts: pd.Series) -> np.ndarray:
 
     Tokenization follows the engine-wide contract (split on ASCII
     whitespace). Empty/None text → NaN. Values rounded to SCORE_DECIMALS.
+    """
+    vocab, _uni, _bk, _bc, _t = get_model()
+    get = vocab.get
+    vals = texts.to_numpy(dtype=object)
+    ids_list = []
+    for t in vals:
+        words = t.split() if isinstance(t, str) else []
+        ids_list.append([get(w, -1) for w in words])
+    return perplexity_from_ids(ids_list)
 
-    Vectorized across the whole Arrow batch: all documents' tokens are
-    flattened once, vocab lookup runs through pandas' C-level map,
-    bigram hits come from np.searchsorted on the sorted key array, and
-    per-document log-prob sums use np.add.reduceat. Scoring semantics
-    (stupid backoff: bigram if seen, else backoff·unigram; OOV →
-    backoff·add-k floor; no context after document start or an OOV)
-    are unchanged from the per-token reference loop.
+
+def perplexity_from_ids(ids_list: list[list[int]]) -> np.ndarray:
+    """Score pre-tokenized documents given per-doc vocab-id lists
+    (-1 = OOV). Callers that already iterate words (the fused pipeline
+    UDF) pass ids directly, so the token stream is built and traversed
+    exactly once per document.
+
+    Vectorized: all documents' ids are flattened once, bigram hits come
+    from np.searchsorted on the sorted key array, and per-document
+    log-prob sums use np.add.reduceat. Scoring semantics (stupid
+    backoff: bigram if seen, else backoff·unigram; OOV → backoff·add-k
+    floor; no context after document start or an OOV) are unchanged
+    from the per-token reference loop.
     """
     vocab, uni, bkeys, bcounts, total = get_model()
     v = len(vocab)
@@ -121,17 +136,20 @@ def perplexity(texts: pd.Series) -> np.ndarray:
     log_oov = math.log(_ADD_K / denom)
     log_backoff = math.log(_BACKOFF)
 
-    n = len(texts)
+    n = len(ids_list)
     out = np.full(n, np.nan, dtype=np.float64)
-    vals = texts.to_numpy(dtype=object)
-    docs = [t.split() if isinstance(t, str) else [] for t in vals]
-    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    lens = np.array([len(d) for d in ids_list], dtype=np.int64)
     nz = lens > 0
     if not nz.any():
         return out
-    flat_words = [w for d in docs for w in d]
-    ids = (pd.Series(flat_words, dtype=object).map(vocab)
-           .fillna(-1).astype(np.int64).to_numpy())
+    total_tok = int(lens.sum())
+    ids = np.empty(total_tok, dtype=np.int64)
+    off = 0
+    for d in ids_list:
+        ln = len(d)
+        if ln:
+            ids[off:off + ln] = d
+            off += ln
 
     prev = np.empty_like(ids)
     prev[0] = -2

@@ -34,6 +34,30 @@ def lines_col(text: Column) -> Column:
     return F.filter(F.split(text, "\n", -1), lambda l: l != "")
 
 
+def stats_columns_cheap() -> list[Column]:
+    """The allocation-free arithmetic stats only: n_words (regexp run
+    count), mean_word_len (translate/length arithmetic), symbol_ratio.
+    The word/line-array stats (stopwords, repeated lines) are computed
+    in the pipeline's fused pandas UDF where the text transfer is
+    already paid — building those arrays JVM-side was the largest
+    non-scaling allocation cost at high parallelism."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_words = F.regexp_count(text, F.lit("[^ \\n\\t\\r]+")).cast("long")
+    total_word_chars = F.length(
+        F.translate(text, " \n\t\r", "")).cast("long")
+    n_symbols = F.length(text) - F.length(F.translate(text, C.SYMBOL_CHARS,
+                                                      ""))
+    return [
+        n_words.alias("n_words"),
+        F.when(n_words > 0,
+               total_word_chars.cast("double") / n_words.cast("double"))
+         .otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(n_words > 0,
+               n_symbols.cast("double") / n_words.cast("double"))
+         .otherwise(F.lit(0.0)).alias("symbol_ratio"),
+    ]
+
+
 def stats_columns() -> list[Column]:
     """Stat columns over a `text` column; select alongside the input.
 

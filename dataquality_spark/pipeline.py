@@ -38,11 +38,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (DoubleType, IntegerType, StringType,
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from . import config as C
 from .functions import text_stats
+
+# Frozen lowercase stopword set for the fused UDF's counting pass.
+_STOPSET = frozenset(C.ALL_STOPWORDS)
 
 # Explicit DataType return types (DDL strings would need a live session at
 # import time).
@@ -53,8 +56,12 @@ _SCRUB_T = StructType([StructField("text_scrubbed", StringType()),
                        StructField("pii_phone", IntegerType()),
                        StructField("pii_ipv4", IntegerType()),
                        StructField("pii_toxicity", IntegerType())])
-_MODELS_T = StructType(_LANGID_T.fields + [StructField("ppl", DoubleType())]
-                       + _SCRUB_T.fields)
+_MODELS_T = StructType(
+    _LANGID_T.fields + [StructField("ppl", DoubleType())] + _SCRUB_T.fields
+    + [StructField("stopword_count", LongType()),
+       StructField("stopword_frac", DoubleType()),
+       StructField("n_lines", LongType()),
+       StructField("repeated_line_frac", DoubleType())])
 
 # ---------------------------------------------------------------------------
 # Pandas UDFs (Arrow-batched; models rebuilt lazily per executor —
@@ -101,35 +108,81 @@ def scrub_udf(text: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(_MODELS_T)
 def models_udf(text: pd.Series, lang: pd.Series,
-               pre_ok: pd.Series) -> pd.DataFrame:
-    """Fused model stage: langid → (gated) perplexity → scrub in ONE
-    Arrow round-trip.
+               cheap_ok: pd.Series) -> pd.DataFrame:
+    """Fused model stage: word-level stats → langid → (gated)
+    perplexity → scrub in ONE Arrow round-trip.
 
-    Running these as three separate pandas UDFs puts 2-3 chained
-    ArrowEvalPython nodes in the stage, i.e. 2-3 concurrent Python
-    workers PER TASK — measured 10-50× worker-time inflation at 32
-    task slots from pure process thrash, plus three Arrow transfers of
-    the text column. Fused: one worker per task, one transfer, and the
-    cheap-rules-first gate (perplexity only for docs that passed every
-    cheaper rule) becomes a numpy mask instead of a plan dependency.
+    Running these as separate pandas UDFs puts chained ArrowEvalPython
+    nodes in the stage, i.e. several concurrent Python workers PER TASK
+    — measured 10-50× worker-time inflation at 32 task slots from pure
+    process thrash, plus repeated Arrow transfers of the text column.
+    Fused: one worker per task, one transfer, and the cheap-rules-first
+    gate (perplexity only for docs that passed every cheaper rule) is a
+    numpy mask instead of a plan dependency.
 
-    `pre_ok` = heuristics passed & not duplicate & not stale (JVM-side).
-    Gate = pre_ok & not lang-mismatch, with mismatch derived here from
-    the just-computed langid output — bit-identical to the oracle's
-    staging (oracle.py evaluates the same predicate order).
+    The stopword/repeated-line stats live HERE rather than as JVM array
+    expressions because they need the tokenized words/lines: building
+    those arrays JVM-side is allocation-bound and was the single
+    largest non-scaling cost; in Python the text is already paid for by
+    the langid/scrub transfer and the counting is a cache-resident pass.
+
+    `cheap_ok` = arithmetic heuristics passed & not duplicate & not
+    stale (JVM-side). Gate = cheap_ok & stopword ok & repeated-lines ok
+    & not lang-mismatch — the exact oracle staging (oracle.py evaluates
+    the same predicate order).
     """
     from .functions import langid, lm, scrub
+
+    stopset = _STOPSET
+    vocab_get = lm.get_model()[0].get
+    n = len(text)
+    sw_count = np.zeros(n, dtype=np.int64)
+    sw_frac = np.zeros(n, dtype=np.float64)
+    n_lines = np.zeros(n, dtype=np.int64)
+    rep_frac = np.zeros(n, dtype=np.float64)
+    nw_pos = np.zeros(n, dtype=bool)
+    ids_list: list[list[int]] = [[]] * n
+    vals = text.to_numpy(dtype=object)
+    for i in range(n):
+        t = vals[i]
+        if not isinstance(t, str) or not t:
+            continue
+        words = t.split()
+        nw = len(words)
+        if nw:
+            nw_pos[i] = True
+            c = 0
+            ids = []
+            # single pass per word: stopword membership AND LM vocab id
+            for w in words:
+                if w.lower() in stopset:
+                    c += 1
+                ids.append(vocab_get(w, -1))
+            ids_list[i] = ids
+            sw_count[i] = c
+            sw_frac[i] = c / nw
+        lines = [l for l in t.split("\n") if l != ""]
+        nl = len(lines)
+        n_lines[i] = nl
+        if nl:
+            rep_frac[i] = (nl - len(set(lines))) / nl
+
+    sw_rule = nw_pos & ((sw_count < C.MIN_STOPWORD_COUNT)
+                        | (sw_frac < C.MIN_STOPWORD_FRACTION))
+    rl_rule = nw_pos & (rep_frac > C.MAX_REPEATED_LINE_FRACTION)
 
     pred, score = langid.score_texts(text)
     lang_arr = lang.to_numpy(dtype=object)
     known = np.array([isinstance(l, str) for l in lang_arr])
     mismatch = ((pred != "und") & known
                 & (pred != lang_arr) & (score >= C.LANGID_MIN_SCORE))
-    gate = pre_ok.fillna(False).to_numpy(dtype=bool) & ~mismatch
+    gate = (cheap_ok.fillna(False).to_numpy(dtype=bool)
+            & ~sw_rule & ~rl_rule & ~mismatch)
 
-    ppl = np.full(len(text), np.nan)
+    ppl = np.full(n, np.nan)
     if gate.any():
-        ppl[gate] = lm.perplexity(text[gate])
+        gidx = np.flatnonzero(gate)
+        ppl[gidx] = lm.perplexity_from_ids([ids_list[i] for i in gidx])
     ppl_out = pd.array(ppl, dtype="Float64")
     ppl_out[~gate | np.isnan(ppl)] = pd.NA
 
@@ -145,6 +198,10 @@ def models_udf(text: pd.Series, lang: pd.Series,
         "pii_phone": hits.map(lambda h: h.get("phone", 0)).astype("int32"),
         "pii_ipv4": hits.map(lambda h: h.get("ipv4", 0)).astype("int32"),
         "pii_toxicity": hits.map(lambda h: h.get("toxicity", 0)).astype("int32"),
+        "stopword_count": sw_count,
+        "stopword_frac": sw_frac,
+        "n_lines": n_lines,
+        "repeated_line_frac": rep_frac,
     })
 
 
@@ -249,8 +306,9 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
                                            F.lit(C.SALT_BUCKETS)))
         df = df.repartition(salt_repartition, "host", "_salt").drop("_salt")
 
-    # S1: heuristics (pure codegen)
-    df = df.select("*", *text_stats.stats_columns())
+    # S1: arithmetic heuristics (pure codegen — no array allocations;
+    # the word/line-array stats come back from the fused UDF)
+    df = df.select("*", *text_stats.stats_columns_cheap())
 
     # S2: corpus-level url dedup — earliest (warc_ts, md5) pair per url
     # wins. The aggregate sees only slim key columns; text stays put.
@@ -281,23 +339,18 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
             C.MIN_MEAN_WORD_LEN, C.MAX_MEAN_WORD_LEN)),
         (C.R_SYMBOL_RATIO, has_text
          & (F.col("symbol_ratio") > C.MAX_SYMBOL_WORD_RATIO)),
-        (C.R_STOPWORD, has_text
-         & ((F.col("stopword_count") < C.MIN_STOPWORD_COUNT)
-            | (F.col("stopword_frac") < C.MIN_STOPWORD_FRACTION))),
-        (C.R_REPEATED_LINES, has_text
-         & (F.col("repeated_line_frac") > C.MAX_REPEATED_LINE_FRACTION)),
         (C.R_DUP_URL, F.col("is_dup_url")),
         (C.R_STALE, F.col("warc_ts") < F.lit(C.TS_MIN_ISO)),
     ]
-    pre_fail = None
+    cheap_fail = None
     for _rid, cond in rules_cheap:
         safe = F.coalesce(cond, F.lit(False))
-        pre_fail = safe if pre_fail is None else (pre_fail | safe)
+        cheap_fail = safe if cheap_fail is None else (cheap_fail | safe)
 
-    # S4-S6 fused: langid → gated perplexity → scrub in ONE Arrow node
-    # (one python worker per task, one transfer of the text column).
+    # S4-S6 fused: word-level stats → langid → gated perplexity → scrub
+    # in ONE Arrow node (one python worker per task, one text transfer).
     df = df.withColumn("_m", models_udf(F.col("text"), F.col("lang"),
-                                        ~pre_fail))
+                                        ~cheap_fail))
     df = df.select("*", *[
         (F.coalesce(F.col("_m.text_scrubbed"), F.col("text"))
          .alias("text_scrubbed") if f.name == "text_scrubbed"
@@ -306,15 +359,30 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
 
     # S7: decision. rule_hits keeps config.ALL_RULES order. The perplexity
     # gate implies every cheaper rule passed whenever ppl is non-null, so
-    # a ppl hit always yields exactly [R_PPL].
+    # a ppl hit always yields exactly [R_PPL]. The stopword/repeated-line
+    # conditions recompute the SAME comparisons the UDF used for its gate
+    # from the returned stat columns — identical floats, identical truth.
     mismatch = ((F.col("lang_pred") != F.lit("und"))
                 & (F.col("lang_pred") != F.col("lang"))
                 & (F.col("lang_score") >= C.LANGID_MIN_SCORE))
-    ordered = ([(rid, cond) for rid, cond in rules_cheap
-                if rid != C.R_STALE]
-               + [(C.R_LANG_MISMATCH, mismatch)]
-               + [(rid, cond) for rid, cond in rules_cheap
-                  if rid == C.R_STALE])
+    stopword_cond = has_text & (
+        (F.col("stopword_count") < C.MIN_STOPWORD_COUNT)
+        | (F.col("stopword_frac") < C.MIN_STOPWORD_FRACTION))
+    replines_cond = has_text & (
+        F.col("repeated_line_frac") > C.MAX_REPEATED_LINE_FRACTION)
+    by_id = dict(rules_cheap)
+    ordered = [
+        (C.R_EMPTY, by_id[C.R_EMPTY]),
+        (C.R_SHORT, by_id[C.R_SHORT]),
+        (C.R_LONG, by_id[C.R_LONG]),
+        (C.R_MEAN_WORD_LEN, by_id[C.R_MEAN_WORD_LEN]),
+        (C.R_SYMBOL_RATIO, by_id[C.R_SYMBOL_RATIO]),
+        (C.R_STOPWORD, stopword_cond),
+        (C.R_REPEATED_LINES, replines_cond),
+        (C.R_DUP_URL, by_id[C.R_DUP_URL]),
+        (C.R_LANG_MISMATCH, mismatch),
+        (C.R_STALE, by_id[C.R_STALE]),
+    ]
     pre_hits = F.array_compact(F.array(
         *[_rule_entry(cond, rid) for rid, cond in ordered]))
     ppl_hit = F.col("ppl").isNotNull() & (F.col("ppl") > C.MAX_PPL)

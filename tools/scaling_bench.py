@@ -54,7 +54,7 @@ run_once(pages.limit(2000))
 run_once(pages)
 trials = []
 row = None
-for _ in range(3):
+for _ in range({n_trials}):
     t0 = time.monotonic()
     row = run_once(pages)
     trials.append(round(time.monotonic() - t0, 3))
@@ -65,8 +65,9 @@ print(json.dumps({{"cores": cores, "n_docs": row[0], "sec": dt,
 """
 
 
-def run_at(cores: int, input_dir: str) -> dict:
-    code = RUNNER.format(repo=REPO, cores=cores, input_dir=input_dir)
+def run_at(cores: int, input_dir: str, n_trials: int = 3) -> dict:
+    code = RUNNER.format(repo=REPO, cores=cores, input_dir=input_dir,
+                         n_trials=n_trials)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600, check=False)
     lines = [l for l in out.stdout.strip().splitlines()
@@ -83,6 +84,8 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--input", default=None,
                     help="existing pages parquet dir (else synthesized)")
+    ap.add_argument("--trials", type=int, default=3,
+                    help="timed trials per cluster size (min is reported)")
     args = ap.parse_args()
 
     input_dir = args.input
@@ -105,8 +108,8 @@ spark.createDataFrame(pages).repartition(64).write.mode(
         subprocess.run([sys.executable, "-c", code], check=True,
                        timeout=1800)
 
-    low = run_at(args.low, input_dir)
-    high = run_at(args.high, input_dir)
+    low = run_at(args.low, input_dir, args.trials)
+    high = run_at(args.high, input_dir, args.trials)
     ratio = args.high / args.low
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
     summary = {"low": low, "high": high,
