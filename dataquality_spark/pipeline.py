@@ -2,19 +2,23 @@
 
 Stage order (cheap → expensive, SURVEY.md §3 lifecycle equivalent):
 
-  S1 heuristic stats     pure Catalyst expressions (whole-stage codegen)
-  S2 url dedup           slim aggregate: min (warc_ts, md5) pair per url
+  S1 url dedup           slim aggregate: min (warc_ts, md5) pair per url
                          — only key columns shuffle, never the text; the
                          flag join back is AQE-broadcast at bench scale
-  S3 timeliness          partition-prunable timestamp predicate
-  S4-S6 models (FUSED)   ONE Arrow-batched pandas UDF: language ID
-                         (hashed char-trigram model) → perplexity GATED
-                         on survivors of S1-S3+langid so the LM never
-                         scores already-dropped docs → compiled-regex
-                         scrub. Fused on purpose: chained pandas UDFs
-                         each add a concurrent python worker per task
-                         and an Arrow transfer of the text column.
+  S2 timeliness          partition-prunable timestamp predicate
+  S3-S6 models (FUSED)   ONE Arrow-batched pandas UDF: Gopher/C4
+                         heuristic stats (shared single token pass) →
+                         language ID (hashed char-trigram model) →
+                         perplexity GATED on survivors of every cheaper
+                         rule so the LM never scores already-dropped
+                         docs → compiled-regex scrub with sparse
+                         (changed-only) text return. Fused on purpose:
+                         chained pandas UDFs each add a concurrent
+                         python worker per task and an Arrow transfer
+                         of the text column, and every JVM stats
+                         formulation is an extra pass over text bytes.
   S7 decision            CASE-style rule_hits array + keep boolean
+                         assembled JVM-side from returned stat scalars
 
 Reference ancestry per SURVEY.md §0/§2: heuristics = validity/completeness
 (CaseStudy.md:108-142, CASE-WHEN conditional aggregates B8), dedup =
@@ -25,10 +29,11 @@ consistency (CaseStudy.md:134-137), perplexity = accuracy
 (CaseStudy.md:966-970).
 
 Scale notes: the per-doc path has exactly ONE shuffle, and it carries
-only (url, warc_ts, md5) — the document text never shuffles. All
-heuristics stay JVM-side; the fused Python stage is Arrow-batched and
-columnar. `html` is never read unless text extraction is requested —
-column pruning reaches the parquet/Iceberg scan.
+only (url, warc_ts, md5) — the document text never shuffles and crosses
+into Python exactly once. `html` is never read unless text extraction
+is requested — column pruning reaches the parquet/Iceberg scan. The
+standalone Catalyst stats expressions remain in functions/text_stats.py
+for the SQL-oracle-checkable operator surface.
 """
 
 from __future__ import annotations
@@ -42,7 +47,6 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from . import config as C
-from .functions import text_stats
 
 # Frozen lowercase stopword set for the fused UDF's counting pass.
 _STOPSET = frozenset(C.ALL_STOPWORDS)
@@ -58,10 +62,17 @@ _SCRUB_T = StructType([StructField("text_scrubbed", StringType()),
                        StructField("pii_toxicity", IntegerType())])
 _MODELS_T = StructType(
     _LANGID_T.fields + [StructField("ppl", DoubleType())] + _SCRUB_T.fields
-    + [StructField("stopword_count", LongType()),
+    + [StructField("n_words", LongType()),
+       StructField("mean_word_len", DoubleType()),
+       StructField("symbol_ratio", DoubleType()),
+       StructField("stopword_count", LongType()),
        StructField("stopword_frac", DoubleType()),
        StructField("n_lines", LongType()),
        StructField("repeated_line_frac", DoubleType())])
+
+# C-speed str.translate tables for the per-doc character stats.
+_DEL_WS = {ord(c): None for c in " \n\t\r"}
+_DEL_SYM = {ord(c): None for c in C.SYMBOL_CHARS}
 
 # ---------------------------------------------------------------------------
 # Pandas UDFs (Arrow-batched; models rebuilt lazily per executor —
@@ -108,8 +119,8 @@ def scrub_udf(text: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(_MODELS_T)
 def models_udf(text: pd.Series, lang: pd.Series,
-               cheap_ok: pd.Series) -> pd.DataFrame:
-    """Fused model stage: word-level stats → langid → (gated)
+               dup_or_stale: pd.Series) -> pd.DataFrame:
+    """Fused model stage: heuristic stats → langid → (gated)
     perplexity → scrub in ONE Arrow round-trip.
 
     Running these as separate pandas UDFs puts chained ArrowEvalPython
@@ -120,22 +131,27 @@ def models_udf(text: pd.Series, lang: pd.Series,
     gate (perplexity only for docs that passed every cheaper rule) is a
     numpy mask instead of a plan dependency.
 
-    The stopword/repeated-line stats live HERE rather than as JVM array
-    expressions because they need the tokenized words/lines: building
-    those arrays JVM-side is allocation-bound and was the single
-    largest non-scaling cost; in Python the text is already paid for by
-    the langid/scrub transfer and the counting is a cache-resident pass.
+    ALL per-doc text statistics live HERE rather than as JVM
+    expressions: every JVM formulation (split arrays, regexp_count,
+    translate) is another full pass over the text bytes, and those
+    passes were the non-scaling cost at high parallelism — the text is
+    already paid for by the langid/scrub Arrow transfer, and in Python
+    the char stats are C-level str.translate passes while the word loop
+    is shared with the LM vocab-id resolution.
 
-    `cheap_ok` = arithmetic heuristics passed & not duplicate & not
-    stale (JVM-side). Gate = cheap_ok & stopword ok & repeated-lines ok
-    & not lang-mismatch — the exact oracle staging (oracle.py evaluates
-    the same predicate order).
+    `dup_or_stale` carries the only JVM-computed drop votes (corpus
+    dedup flag, timeliness). Gate = all heuristics passed & not dup or
+    stale & not lang-mismatch — the exact oracle staging (oracle.py
+    evaluates the same predicate order).
     """
     from .functions import langid, lm, scrub
 
     stopset = _STOPSET
     vocab_get = lm.get_model()[0].get
     n = len(text)
+    n_words = np.zeros(n, dtype=np.int64)
+    mean_wl = np.zeros(n, dtype=np.float64)
+    sym_ratio = np.zeros(n, dtype=np.float64)
     sw_count = np.zeros(n, dtype=np.int64)
     sw_frac = np.zeros(n, dtype=np.float64)
     n_lines = np.zeros(n, dtype=np.int64)
@@ -151,6 +167,10 @@ def models_udf(text: pd.Series, lang: pd.Series,
         nw = len(words)
         if nw:
             nw_pos[i] = True
+            n_words[i] = nw
+            # char stats via C-level translate passes, no JVM text pass
+            mean_wl[i] = len(t.translate(_DEL_WS)) / nw
+            sym_ratio[i] = (len(t) - len(t.translate(_DEL_SYM))) / nw
             c = 0
             ids = []
             # single pass per word: stopword membership AND LM vocab id
@@ -167,17 +187,23 @@ def models_udf(text: pd.Series, lang: pd.Series,
         if nl:
             rep_frac[i] = (nl - len(set(lines))) / nl
 
-    sw_rule = nw_pos & ((sw_count < C.MIN_STOPWORD_COUNT)
-                        | (sw_frac < C.MIN_STOPWORD_FRACTION))
-    rl_rule = nw_pos & (rep_frac > C.MAX_REPEATED_LINE_FRACTION)
+    heur_fail = (
+        ~nw_pos
+        | (nw_pos & ((n_words < C.MIN_WORDS) | (n_words > C.MAX_WORDS)))
+        | (nw_pos & ((mean_wl < C.MIN_MEAN_WORD_LEN)
+                     | (mean_wl > C.MAX_MEAN_WORD_LEN)))
+        | (nw_pos & (sym_ratio > C.MAX_SYMBOL_WORD_RATIO))
+        | (nw_pos & ((sw_count < C.MIN_STOPWORD_COUNT)
+                     | (sw_frac < C.MIN_STOPWORD_FRACTION)))
+        | (nw_pos & (rep_frac > C.MAX_REPEATED_LINE_FRACTION)))
 
     pred, score = langid.score_texts(text)
     lang_arr = lang.to_numpy(dtype=object)
     known = np.array([isinstance(l, str) for l in lang_arr])
     mismatch = ((pred != "und") & known
                 & (pred != lang_arr) & (score >= C.LANGID_MIN_SCORE))
-    gate = (cheap_ok.fillna(False).to_numpy(dtype=bool)
-            & ~sw_rule & ~rl_rule & ~mismatch)
+    dup_stale = dup_or_stale.fillna(False).to_numpy(dtype=bool)
+    gate = ~dup_stale & ~heur_fail & ~mismatch
 
     ppl = np.full(n, np.nan)
     if gate.any():
@@ -198,6 +224,9 @@ def models_udf(text: pd.Series, lang: pd.Series,
         "pii_phone": hits.map(lambda h: h.get("phone", 0)).astype("int32"),
         "pii_ipv4": hits.map(lambda h: h.get("ipv4", 0)).astype("int32"),
         "pii_toxicity": hits.map(lambda h: h.get("toxicity", 0)).astype("int32"),
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio,
         "stopword_count": sw_count,
         "stopword_frac": sw_frac,
         "n_lines": n_lines,
@@ -306,9 +335,10 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
                                            F.lit(C.SALT_BUCKETS)))
         df = df.repartition(salt_repartition, "host", "_salt").drop("_salt")
 
-    # S1: arithmetic heuristics (pure codegen — no array allocations;
-    # the word/line-array stats come back from the fused UDF)
-    df = df.select("*", *text_stats.stats_columns_cheap())
+    # S1 note: ALL per-doc text stats come back from the fused UDF —
+    # any JVM formulation is an extra pass over the text bytes. The
+    # standalone Catalyst versions live in functions/text_stats.py for
+    # the SQL-checkable operators.
 
     # S2: corpus-level url dedup — earliest (warc_ts, md5) pair per url
     # wins. The aggregate sees only slim key columns; text stays put.
@@ -330,27 +360,14 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
     # evaluated both inside the fused UDF (for the perplexity gate) and
     # as a JVM expression afterwards (for rule assembly) — identical
     # float comparisons, so the two agree bit-for-bit.
-    has_text = F.col("n_words") > 0
-    rules_cheap = [
-        (C.R_EMPTY, ~has_text),
-        (C.R_SHORT, has_text & (F.col("n_words") < C.MIN_WORDS)),
-        (C.R_LONG, has_text & (F.col("n_words") > C.MAX_WORDS)),
-        (C.R_MEAN_WORD_LEN, has_text & ~F.col("mean_word_len").between(
-            C.MIN_MEAN_WORD_LEN, C.MAX_MEAN_WORD_LEN)),
-        (C.R_SYMBOL_RATIO, has_text
-         & (F.col("symbol_ratio") > C.MAX_SYMBOL_WORD_RATIO)),
-        (C.R_DUP_URL, F.col("is_dup_url")),
-        (C.R_STALE, F.col("warc_ts") < F.lit(C.TS_MIN_ISO)),
-    ]
-    cheap_fail = None
-    for _rid, cond in rules_cheap:
-        safe = F.coalesce(cond, F.lit(False))
-        cheap_fail = safe if cheap_fail is None else (cheap_fail | safe)
+    stale_cond = F.col("warc_ts") < F.lit(C.TS_MIN_ISO)
+    dup_or_stale = (F.coalesce(F.col("is_dup_url"), F.lit(False))
+                    | F.coalesce(stale_cond, F.lit(False)))
 
-    # S4-S6 fused: word-level stats → langid → gated perplexity → scrub
+    # S4-S6 fused: heuristic stats → langid → gated perplexity → scrub
     # in ONE Arrow node (one python worker per task, one text transfer).
     df = df.withColumn("_m", models_udf(F.col("text"), F.col("lang"),
-                                        ~cheap_fail))
+                                        dup_or_stale))
     df = df.select("*", *[
         (F.coalesce(F.col("_m.text_scrubbed"), F.col("text"))
          .alias("text_scrubbed") if f.name == "text_scrubbed"
@@ -362,26 +379,26 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
     # a ppl hit always yields exactly [R_PPL]. The stopword/repeated-line
     # conditions recompute the SAME comparisons the UDF used for its gate
     # from the returned stat columns — identical floats, identical truth.
+    has_text = F.col("n_words") > 0
     mismatch = ((F.col("lang_pred") != F.lit("und"))
                 & (F.col("lang_pred") != F.col("lang"))
                 & (F.col("lang_score") >= C.LANGID_MIN_SCORE))
-    stopword_cond = has_text & (
-        (F.col("stopword_count") < C.MIN_STOPWORD_COUNT)
-        | (F.col("stopword_frac") < C.MIN_STOPWORD_FRACTION))
-    replines_cond = has_text & (
-        F.col("repeated_line_frac") > C.MAX_REPEATED_LINE_FRACTION)
-    by_id = dict(rules_cheap)
     ordered = [
-        (C.R_EMPTY, by_id[C.R_EMPTY]),
-        (C.R_SHORT, by_id[C.R_SHORT]),
-        (C.R_LONG, by_id[C.R_LONG]),
-        (C.R_MEAN_WORD_LEN, by_id[C.R_MEAN_WORD_LEN]),
-        (C.R_SYMBOL_RATIO, by_id[C.R_SYMBOL_RATIO]),
-        (C.R_STOPWORD, stopword_cond),
-        (C.R_REPEATED_LINES, replines_cond),
-        (C.R_DUP_URL, by_id[C.R_DUP_URL]),
+        (C.R_EMPTY, ~has_text),
+        (C.R_SHORT, has_text & (F.col("n_words") < C.MIN_WORDS)),
+        (C.R_LONG, has_text & (F.col("n_words") > C.MAX_WORDS)),
+        (C.R_MEAN_WORD_LEN, has_text & ~F.col("mean_word_len").between(
+            C.MIN_MEAN_WORD_LEN, C.MAX_MEAN_WORD_LEN)),
+        (C.R_SYMBOL_RATIO, has_text
+         & (F.col("symbol_ratio") > C.MAX_SYMBOL_WORD_RATIO)),
+        (C.R_STOPWORD, has_text & (
+            (F.col("stopword_count") < C.MIN_STOPWORD_COUNT)
+            | (F.col("stopword_frac") < C.MIN_STOPWORD_FRACTION))),
+        (C.R_REPEATED_LINES, has_text & (
+            F.col("repeated_line_frac") > C.MAX_REPEATED_LINE_FRACTION)),
+        (C.R_DUP_URL, F.col("is_dup_url")),
         (C.R_LANG_MISMATCH, mismatch),
-        (C.R_STALE, by_id[C.R_STALE]),
+        (C.R_STALE, stale_cond),
     ]
     pre_hits = F.array_compact(F.array(
         *[_rule_entry(cond, rid) for rid, cond in ordered]))

@@ -86,6 +86,12 @@ def main() -> None:
                     help="existing pages parquet dir (else synthesized)")
     ap.add_argument("--trials", type=int, default=3,
                     help="timed trials per cluster size (min is reported)")
+    ap.add_argument("--alternate", type=int, default=0,
+                    help="N interleaved low/high rounds (each a fresh "
+                         "subprocess with --trials trials); both sizes "
+                         "then sample the same host-noise windows and "
+                         "the reported ratio is robust to shared-VM "
+                         "neighbors")
     args = ap.parse_args()
 
     input_dir = args.input
@@ -108,8 +114,23 @@ spark.createDataFrame(pages).repartition(64).write.mode(
         subprocess.run([sys.executable, "-c", code], check=True,
                        timeout=1800)
 
-    low = run_at(args.low, input_dir, args.trials)
-    high = run_at(args.high, input_dir, args.trials)
+    if args.alternate:
+        lows, highs = [], []
+        low = high = None
+        for _ in range(args.alternate):
+            low = run_at(args.low, input_dir, args.trials)
+            high = run_at(args.high, input_dir, args.trials)
+            lows += low["trials"]
+            highs += high["trials"]
+            print(json.dumps({"round_low": low, "round_high": high}),
+                  file=sys.stderr)
+        low = dict(low, trials=lows, sec=min(lows),
+                   docs_per_sec=round(low["n_docs"] / min(lows), 1))
+        high = dict(high, trials=highs, sec=min(highs),
+                    docs_per_sec=round(high["n_docs"] / min(highs), 1))
+    else:
+        low = run_at(args.low, input_dir, args.trials)
+        high = run_at(args.high, input_dir, args.trials)
     ratio = args.high / args.low
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
     summary = {"low": low, "high": high,
