@@ -30,8 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dataquality_spark import config as C  # noqa: E402
 from dataquality_spark import pipeline, synth  # noqa: E402
-from dataquality_spark.operators import (dedup, multimodal, profile,  # noqa: E402
-                                         similarity, text_analysis)
+from dataquality_spark.operators import (dedup, joins, multimodal,  # noqa: E402
+                                         profile, similarity, text_analysis)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -232,6 +232,101 @@ def q_window_rank(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select("user_id", "event_id", "value")
             .orderBy("user_id"))
+
+
+def q_rollup_status(spark, sf_dir):
+    """Hierarchical rollup aggregate (engine extension beyond the
+    reference's flat GROUP BY — grouping-set totals in one pass)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _sum_cents("o_totalprice", "total"))
+            .select(F.coalesce("o_orderstatus", F.lit("(all)"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("(all)"))
+                    .alias("priority"),
+                    "n", "total")
+            .orderBy("status", "priority"))
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT over distinct key sets (engine extension)."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 200000) \
+           .select(F.col("o_custkey").alias("k")).distinct()
+    building = cst.filter(F.col("c_mktsegment") == "BUILDING") \
+                  .select(F.col("c_custkey").alias("k"))
+    n_inter = big.intersect(building).count()
+    n_exc = big.exceptAll(building).distinct().count()
+    return spark.createDataFrame([(n_inter, n_exc)],
+                                 "n_intersect bigint, n_except bigint")
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (engine extension; Spark
+    `percentile` ↔ DuckDB `quantile_cont`, linear interpolation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25D)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75D)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_quantity, 0.5D)"), 4).alias("qty_p50"))
+
+
+def q_asof_purchase(spark, sf_dir):
+    """Backward as-of join: each click aligned with the user's latest
+    prior (or simultaneous) purchase — union + last(ignorenulls) window,
+    one shuffle, no range-join blowup (operators/joins.asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", "ts", "value"))
+    res = joins.asof_join(clicks, purchases, on="user_id",
+                          left_ts="ts", right_ts="ts",
+                          value_cols=["purchase_id", "value"])
+    return (res.select("event_id", "user_id",
+                       F.col("purchase_id_asof").alias("prior_purchase_id"),
+                       F.round("value_asof", 2)
+                       .alias("prior_purchase_value"))
+            .orderBy("event_id"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) + per-session rollup
+    (operators/joins.sessionize; one shuffle + linear window)."""
+    ev = _t(spark, sf_dir, "events")
+    s = joins.sessionize(ev, "user_id", "ts", gap_minutes=30.0)
+    return (s.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 _sum_cents("value", "session_value"))
+            .orderBy("user_id", "session_idx"))
+
+
+def q_host_extract(spark, sf_dir):
+    """Host extraction via parse_url (north_star: host keys for salting)
+    over deterministic synthesized urls, rolled up per host."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/doc/"),
+                   F.col("doc_id").cast("string"))
+    return (docs.select(F.parse_url(url, F.lit("HOST")).alias("host"))
+            .groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("host"))
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL approximate distinct vs exact (the 10^12-row path for B4/B10;
+    rows-only — sketch values differ across engines, tolerance asserted
+    in tests/test_operators.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"))
 
 
 # ---------------------------------------------------------------------------
@@ -498,6 +593,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_fns": q_scalar_fns,
         "events_json": q_events_json,
         "window_rank": q_window_rank,
+        "rollup_status": q_rollup_status,
+        "set_ops": q_set_ops,
+        "percentiles": q_percentiles,
+        "asof_purchase": q_asof_purchase,
+        "sessionize": q_sessionize,
+        "host_extract": q_host_extract,
+        "approx_distinct": q_approx_distinct,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "langid_vote": q_langid_vote,
@@ -764,6 +866,83 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM events
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+
+        "rollup_status": """
+            SELECT coalesce(o_orderstatus, '(all)') AS status,
+                   coalesce(o_orderpriority, '(all)') AS priority,
+                   count(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS total
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+
+        "set_ops": """
+            SELECT
+              (SELECT count(*) FROM (
+                 SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_totalprice > 200000
+                 INTERSECT
+                 SELECT c_custkey FROM customer
+                 WHERE c_mktsegment = 'BUILDING')) AS n_intersect,
+              (SELECT count(*) FROM (
+                 SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_totalprice > 200000
+                 EXCEPT
+                 SELECT c_custkey FROM customer
+                 WHERE c_mktsegment = 'BUILDING')) AS n_except
+        """,
+
+        "percentiles": """
+            SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+            FROM lineitem
+        """,
+
+        "asof_purchase": """
+            SELECT c.event_id, c.user_id,
+                   p.event_id AS prior_purchase_id,
+                   ROUND(p.value, 2) AS prior_purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.event_id
+        """,
+
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, value,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) - 1
+                       AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                     AS session_value
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+        """,
+
+        "host_extract": """
+            SELECT regexp_extract('https://' || source ||
+                                  '.example.org/doc/' ||
+                                  CAST(doc_id AS VARCHAR),
+                                  'https?://([^/]+)/', 1) AS host,
+                   count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY host
         """,
 
         "token_counts": f"""

@@ -29,6 +29,7 @@ from dataquality_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "completeness_profile", "validity_range", "drift_monthly",
     "revenue_by_segment", "topk_customers", "window_rank", "events_json",
+    "rollup_status", "percentiles", "asof_purchase", "sessionize",
     "token_counts", "quality_score", "langid_vote", "fingerprints",
     "exact_dedup", "minhash_neardup", "simhash_neardup",
     "embedding_topk", "embedding_neardup", "multimodal_meta", "scrub_sql",

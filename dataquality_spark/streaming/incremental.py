@@ -60,6 +60,31 @@ def streaming_decisions(pages: DataFrame,
     return pipeline.decisions(deduped, mark_dups=False)
 
 
+def streaming_quality_metrics(pages: DataFrame,
+                              watermark: str = "7 days",
+                              window: str = "1 day") -> DataFrame:
+    """Watermarked tumbling-window quality metrics over the decision
+    stream: per (warc_ts window) docs seen, docs kept, PII hits.
+
+    Late pages beyond the watermark are dropped from window state, so
+    state stays bounded on an unbounded crawl stream. Append output mode
+    — a window emits once its watermark passes.
+    """
+    from pyspark.sql import functions as F
+
+    # streaming_decisions already watermarks warc_ts for its dedup state;
+    # redefining the watermark downstream is disallowed — it propagates.
+    decided = streaming_decisions(pages, watermark=watermark)
+    return (decided
+            .groupBy(F.window("warc_ts", window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 (F.sum("pii_email") + F.sum("pii_phone")
+                  + F.sum("pii_ipv4")).alias("n_pii_hits"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_docs", "n_kept", "n_pii_hits"))
+
+
 def run_available_now(spark: SparkSession, input_dir: str, output_dir: str,
                       checkpoint_dir: str) -> None:
     """Drain all currently-available files, then stop (incremental batch)."""

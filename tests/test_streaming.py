@@ -59,3 +59,22 @@ def test_streaming_schema_matches_batch(spark, stream_dirs):
     out = spark.read.parquet(stream_dirs["out"])
     from dataquality_spark.pipeline import DECISION_COLUMNS
     assert set(DECISION_COLUMNS) <= set(out.columns)
+
+
+def test_streaming_windowed_metrics(spark, stream_dirs):
+    pages = synth.gen_pages(200, seed=11)[
+        ["url", "warc_ts", "html", "text", "lang"]]
+    _write_batch(stream_dirs["in"], pages, "b0")
+    stream = incremental.read_pages_stream(spark, stream_dirs["in"])
+    metrics = incremental.streaming_quality_metrics(stream)
+    q = (metrics.writeStream.format("parquet")
+         .option("path", stream_dirs["out"])
+         .option("checkpointLocation", stream_dirs["ckpt"])
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+    out = spark.read.parquet(stream_dirs["out"]).toPandas()
+    # append mode emits only windows fully behind the watermark; with a
+    # 7-day watermark over a year of synthetic warc_ts, most close
+    assert len(out) > 0
+    assert (out["n_kept"] <= out["n_docs"]).all()
+    assert out["n_docs"].sum() <= 200
