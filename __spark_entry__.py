@@ -432,8 +432,10 @@ def q_simhash_neardup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard on the planted pair set (rows-only; the
-    shingle construction is array-lambda Spark, verified in pytest)."""
+    """Exact word-3-gram Jaccard on the planted pair set (oracle: the
+    same shingle construction in DuckDB list lambdas; Spark side hashes
+    shingles with xxhash64 first — set sizes agree barring 2^-64
+    collisions)."""
     docs = _t(spark, sf_dir, "documents")
     corpus = _docs_with_near_dups(docs)
     pairs = docs.select(F.col("doc_id").alias("id_a"),
@@ -996,6 +998,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fingerprint_md5,
                    length(text) AS n_chars_calc
             FROM documents
+        """,
+
+        "ngram_jaccard": f"""
+            WITH w AS (
+              SELECT doc_id, {_sql_words('text')} AS words FROM documents
+            ), pairs AS (
+              SELECT doc_id AS id_a, doc_id + 100000 AS id_b, words,
+                     words[1:greatest(CAST(floor(len(words) * 8 / 10)
+                                           AS INT), 1)] AS wt
+              FROM w
+            ), sh AS (
+              SELECT id_a, id_b,
+                list_distinct(list_filter(list_transform(words, (x, i) ->
+                  CASE WHEN i + 2 <= len(words)
+                       THEN words[i] || ' ' || words[i+1] || ' ' ||
+                            words[i+2] END), s -> s IS NOT NULL)) AS sa,
+                list_distinct(list_filter(list_transform(wt, (x, i) ->
+                  CASE WHEN i + 2 <= len(wt)
+                       THEN wt[i] || ' ' || wt[i+1] || ' ' ||
+                            wt[i+2] END), s -> s IS NOT NULL)) AS sb
+              FROM pairs
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+                         (len(sa) + len(sb)
+                          - len(list_intersect(sa, sb))), 6) AS jaccard
+            FROM sh ORDER BY id_a
         """,
 
         "exact_dedup": """
