@@ -69,7 +69,9 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     # Webtext pipeline throughput: synthetic pages corpus sized to sf.
-    n_pages = max(int(200_000 * sf), 2_000)
+    # Big enough that per-job fixed costs don't dominate the docs/sec
+    # figure (corpus generation happens driver-side, outside the timing).
+    n_pages = max(int(800_000 * sf), 4_000)
     pages_pd = synth.gen_pages(n_pages, seed=42)[
         ["url", "warc_ts", "html", "text", "lang"]]
     pages = spark.createDataFrame(pages_pd).repartition(int(cpus) * 2)
