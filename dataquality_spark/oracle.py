@@ -58,14 +58,15 @@ def run_oracle(pages: pd.DataFrame) -> pd.DataFrame:
 
     ts_min = pd.Timestamp(C.TS_MIN_ISO)
 
-    # Corpus-level url dedup: the earliest (warc_ts, md5(text)) VALUE
+    # Corpus-level url dedup: the earliest (warc_ts, crc32(text)) VALUE
     # pair per url wins; strictly-greater pairs are duplicates (matches
     # the pipeline's value-based min-pair formulation — rows that tie
-    # the minimum byte-for-byte are all kept).
-    import hashlib
+    # the minimum byte-for-byte are all kept). zlib.crc32 == Spark crc32
+    # (same standard polynomial) so both sides rank identically.
+    import zlib
 
     text_md5 = df["text"].map(
-        lambda t: hashlib.md5((t or "").encode("utf-8")).hexdigest())
+        lambda t: zlib.crc32((t or "").encode("utf-8")))
     order = pd.DataFrame({"url": df["url"], "warc_ts": df["warc_ts"],
                           "md5": text_md5})
     first = (order.sort_values(["url", "warc_ts", "md5"], kind="mergesort")

@@ -2,7 +2,7 @@
 
 Stage order (cheap → expensive, SURVEY.md §3 lifecycle equivalent):
 
-  S1 url dedup           slim aggregate: min (warc_ts, md5) pair per url
+  S1 url dedup           slim aggregate: min (warc_ts, crc32) pair per url
                          — only key columns shuffle, never the text; the
                          flag join back is AQE-broadcast at bench scale
   S2 timeliness          partition-prunable timestamp predicate
@@ -29,7 +29,7 @@ consistency (CaseStudy.md:134-137), perplexity = accuracy
 (CaseStudy.md:966-970).
 
 Scale notes: the per-doc path has exactly ONE shuffle, and it carries
-only (url, warc_ts, md5) — the document text never shuffles and crosses
+only (url, warc_ts, crc32) — the document text never shuffles and crosses
 into Python exactly once. `html` is never read unless text extraction
 is requested — column pruning reaches the parquet/Iceberg scan. The
 standalone Catalyst stats expressions remain in functions/text_stats.py
@@ -276,22 +276,26 @@ def _rule_entry(cond: Column, rule_id: str) -> Column:
     return F.when(cond, F.lit(rule_id))
 
 
-def _dup_md5() -> Column:
-    return F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+def _dup_hash() -> Column:
+    """CRC-32 of the text bytes as the dedup content identity — the same
+    standard algorithm as Python's zlib.crc32, so the pandas oracle
+    computes bit-identical values, at ~5x the throughput of md5 (the
+    hash runs over every text byte in two plan branches)."""
+    return F.crc32(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
 
 
 def _dup_pair() -> Column:
-    return F.struct(F.col("warc_ts").alias("_ts"), _dup_md5().alias("_md5"))
+    return F.struct(F.col("warc_ts").alias("_ts"), _dup_hash().alias("_h"))
 
 
 def dedup_flags(full_pages: DataFrame) -> DataFrame:
     """Corpus-wide url-dedup reference: (url, _min_pair).
 
-    The earliest (warc_ts, md5(text)) pair per url wins; any row whose
+    The earliest (warc_ts, crc32(text)) pair per url wins; any row whose
     pair compares strictly greater is a duplicate. Value-based (not
     positional) on purpose: the flag frame is ONE slim row per distinct
     url, so the document text never enters the dedup shuffle — only
-    (url, ts, md5) aggregates, and the flag join back to the corpus is
+    (url, ts, crc32) aggregates, and the flag join back to the corpus is
     AQE-broadcastable at bench scale (sort-merge at 10^12 docs, where an
     Iceberg url-bucketed layout makes it shuffle-free). Kept separate
     from with_decisions so a RESUMED run can rank against the FULL
@@ -340,7 +344,7 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
     # standalone Catalyst versions live in functions/text_stats.py for
     # the SQL-checkable operators.
 
-    # S2: corpus-level url dedup — earliest (warc_ts, md5) pair per url
+    # S2: corpus-level url dedup — earliest (warc_ts, crc32) pair per url
     # wins. The aggregate sees only slim key columns; text stays put.
     if not mark_dups:
         # streaming path: unbounded dedup state is not allowed; dedup is
