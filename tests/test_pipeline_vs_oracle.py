@@ -54,3 +54,26 @@ def test_html_extraction_byte_identity(spark, pages_input):
            .select("url", "warc_ts", "text").toPandas())
     m = pages_input.merge(got, on=["url", "warc_ts"], suffixes=("_in", "_ex"))
     assert (m.text_in == m.text_ex).all()
+
+
+def test_salted_repartition_flattens_hot_host(spark, pages_input):
+    """north_star: salted keys for skewed hosts. The synth corpus plants
+    host00 at ~30% of docs; a plain repartition by host pins that 30% to
+    one task, the salted (host, salt) repartition spreads it."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(pages_input)
+    n = len(pages_input)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+
+    plain = (sdf.select(host.alias("h")).repartition(16, "h")
+             .select(F.spark_partition_id().alias("p"))
+             .groupBy("p").count().toPandas())
+    salted = (pipeline.with_decisions(sdf, salt_repartition=16)
+              .select(F.spark_partition_id().alias("p"))
+              .groupBy("p").count().toPandas())
+
+    # the hot host makes the plain layout's biggest task ≥ ~30% of rows;
+    # salting must cut the maximum task to well under that
+    assert plain["count"].max() >= 0.25 * n
+    assert salted["count"].max() <= 0.15 * n
