@@ -77,3 +77,17 @@ def test_salted_repartition_flattens_hot_host(spark, pages_input):
     # salting must cut the maximum task to well under that
     assert plain["count"].max() >= 0.25 * n
     assert salted["count"].max() <= 0.15 * n
+
+
+def test_keep_drop_f1_meets_target(golden, pages_sdf):
+    """BASELINE.json metric: keep/drop F1 ≥ 0.99 vs reference labels.
+    The engine targets (and achieves) exact agreement — F1 = 1.0."""
+    m = _merged(golden, pages_sdf)
+    tp = int((m.keep_g & m.keep_s).sum())
+    fp = int((~m.keep_g & m.keep_s).sum())
+    fn = int((m.keep_g & ~m.keep_s).sum())
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99
+    assert f1 == 1.0  # byte-exact rule parity implies perfect agreement
