@@ -374,11 +374,16 @@ def q_fingerprint_roll(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _docs_with_planted_dups(docs: DataFrame) -> DataFrame:
-    """documents ∪ exact copies at doc_id+100000 (dedup ground truth)."""
-    copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
-                         "text", "lang", "source", "n_chars")
-    return docs.select("doc_id", "text", "lang", "source", "n_chars") \
-               .unionByName(copies)
+    """documents ∪ exact copies at doc_id+100000 (dedup ground truth),
+    plus two NULL-text rows and two empty-text rows: NULL groups with
+    NULL (SQL PARTITION BY semantics) but never with '' — the oracle
+    and the Spark operator must agree on both."""
+    copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    extra = docs.sparkSession.createDataFrame(
+        [(900001, None), (900002, None), (900003, ""), (900004, "")],
+        "doc_id bigint, text string")
+    return (docs.select("doc_id", "text")
+            .unionByName(copies).unionByName(extra))
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -742,14 +747,21 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END) AS pass_ship_after_1996
               FROM lineitem
             )
-            SELECT n_rows, pass_qty_range, pass_discount_range,
-                   pass_returnflag_domain, pass_ship_after_1996,
-                   pass_qty_range * 100.0 / n_rows AS pct_qty_range,
-                   pass_discount_range * 100.0 / n_rows
+            SELECT n_rows,
+                   CAST(pass_qty_range AS BIGINT) AS pass_qty_range,
+                   CAST(pass_discount_range AS BIGINT)
+                     AS pass_discount_range,
+                   CAST(pass_returnflag_domain AS BIGINT)
+                     AS pass_returnflag_domain,
+                   CAST(pass_ship_after_1996 AS BIGINT)
+                     AS pass_ship_after_1996,
+                   ROUND(pass_qty_range * 100.0 / n_rows, 4)
+                     AS pct_qty_range,
+                   ROUND(pass_discount_range * 100.0 / n_rows, 4)
                      AS pct_discount_range,
-                   pass_returnflag_domain * 100.0 / n_rows
+                   ROUND(pass_returnflag_domain * 100.0 / n_rows, 4)
                      AS pct_returnflag_domain,
-                   pass_ship_after_1996 * 100.0 / n_rows
+                   ROUND(pass_ship_after_1996 * 100.0 / n_rows, 4)
                      AS pct_ship_after_1996
             FROM t
         """,
@@ -854,8 +866,8 @@ def oracle_sql() -> dict[str, str]:
 
         "events_json": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS INT))
-                     AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k,
                    count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -931,7 +943,8 @@ def oracle_sql() -> dict[str, str]:
                        AS session_idx
               FROM flagged
             )
-            SELECT user_id, session_idx, count(*) AS n_events,
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
                    SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
                      AS session_value
             FROM s GROUP BY user_id, session_idx
@@ -1032,13 +1045,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + 100000, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (CAST(900001 AS BIGINT), CAST(NULL AS VARCHAR)),
+                (CAST(900002 AS BIGINT), CAST(NULL AS VARCHAR)),
+                (CAST(900003 AS BIGINT), ''),
+                (CAST(900004 AS BIGINT), '')) AS v(doc_id, text)
             ), flagged AS (
               SELECT doc_id,
                      min(doc_id) OVER (PARTITION BY text) AS win
               FROM corpus
             )
             SELECT count(*) AS n_rows,
-                   sum(CASE WHEN doc_id <> win THEN 1 ELSE 0 END) AS n_dups,
+                   CAST(sum(CASE WHEN doc_id <> win THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dups,
                    count(DISTINCT CASE WHEN doc_id <> win THEN win END)
                      AS n_dup_groups
             FROM flagged
@@ -1049,6 +1069,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + 100000, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (CAST(900001 AS BIGINT), CAST(NULL AS VARCHAR)),
+                (CAST(900002 AS BIGINT), CAST(NULL AS VARCHAR)),
+                (CAST(900003 AS BIGINT), ''),
+                (CAST(900004 AS BIGINT), '')) AS v(doc_id, text)
             ), flagged AS (
               SELECT doc_id,
                      min(doc_id) OVER (PARTITION BY text) AS dup_of

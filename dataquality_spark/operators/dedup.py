@@ -50,16 +50,23 @@ _MERSENNE = (1 << 61) - 1
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the first row (min id) per exact text; adds is_dup flag.
 
-    Shuffles (hash, id) pairs only — O(16 bytes/doc) network, then a
+    Shuffles (hash, id) pairs only — O(17 bytes/doc) network, then a
     broadcast-friendly winners join when the dup set is small.
+
+    NULL semantics match SQL ``PARTITION BY text``: all NULL-text rows
+    form ONE group of their own, distinct from the empty string — the
+    group key is (text IS NULL, xxhash64(coalesce(text,''))) so NULL
+    and '' never merge and the key columns are never null (plain
+    equi-join, no null-safe comparison needed).
     """
+    hn = F.col(text_col).isNull()
     h = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
-    keyed = df.withColumn("_h", h)
-    winners = keyed.groupBy("_h").agg(F.min(id_col).alias("_win"))
-    return (keyed.join(winners, "_h")
+    keyed = df.withColumn("_hn", hn).withColumn("_h", h)
+    winners = keyed.groupBy("_hn", "_h").agg(F.min(id_col).alias("_win"))
+    return (keyed.join(winners, ["_hn", "_h"])
             .withColumn("is_dup", F.col(id_col) != F.col("_win"))
             .withColumn("dup_of", F.when(F.col("is_dup"), F.col("_win")))
-            .drop("_h", "_win"))
+            .drop("_hn", "_h", "_win"))
 
 
 # ---------------------------------------------------------------------------

@@ -100,8 +100,11 @@ def validity_conditional(df: DataFrame, checks: list[tuple[str, "F.Column"]]
         aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"pass_{name}"))
     out = df.agg(*aggs)
     for name, _ in checks:
+        # ROUND to a fixed scale: cross-engine float division bit
+        # patterns are only guaranteed identical after rounding.
         out = out.withColumn(
-            f"pct_{name}", F.col(f"pass_{name}") * 100.0 / F.col("n_rows"))
+            f"pct_{name}",
+            F.round(F.col(f"pass_{name}") * 100.0 / F.col("n_rows"), 4))
     return out
 
 

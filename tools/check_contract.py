@@ -58,6 +58,22 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def strict_repr(v) -> str:
+    """Type-sensitive canonical form approximating the driver's value
+    hash: int64 600 and float64 600.0 must NOT collide (DuckDB HUGEINT
+    sums come back as float64 and fail the driver hash even when the
+    values compare equal)."""
+    if v is None:
+        return "null"
+    if isinstance(v, float):
+        if np.isnan(v):
+            return "null"
+        return f"f:{v!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    return f"{type(v).__name__}:{v!r}"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -69,7 +85,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                         f"oracle={len(odf)}")
         return problems
     s, o = canon(sdf), canon(odf)
-    ndiff = 0
+    ndiff = nstrict = 0
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
         for i, (x, y) in enumerate(zip(sv, ov)):
@@ -79,8 +95,17 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                     problems.append(
                         f"value diff col={c} row={i}: "
                         f"spark={x!r} oracle={y!r}")
+            elif strict_repr(x) != strict_repr(y):
+                nstrict += 1
+                if nstrict <= 3:
+                    problems.append(
+                        f"HASH-RISK col={c} row={i}: values equal but "
+                        f"types differ: spark={strict_repr(x)} "
+                        f"oracle={strict_repr(y)}")
     if ndiff > 3:
         problems.append(f"... {ndiff} total value diffs")
+    if nstrict > 3:
+        problems.append(f"... {nstrict} total hash-risk diffs")
     return problems
 
 
