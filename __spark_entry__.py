@@ -264,14 +264,15 @@ def q_set_ops(spark, sf_dir):
 
 
 def q_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles (engine extension; Spark
-    `percentile` ↔ DuckDB `quantile_cont`, linear interpolation)."""
+    """Exact interpolated percentiles ↔ DuckDB `quantile_cont`, computed
+    scale-safely: distributed (value, count) histogram + two-phase
+    range-partitioned cumulative sum — never Spark's value-buffering
+    `percentile()` aggregate (profile.exact_percentiles)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25D)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75D)"), 4).alias("p75"),
-        F.round(F.expr("percentile(l_quantity, 0.5D)"), 4).alias("qty_p50"))
+    return profile.exact_percentiles(li, {
+        "l_extendedprice": [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")],
+        "l_quantity": [(0.5, "qty_p50")],
+    })
 
 
 def q_asof_purchase(spark, sf_dir):

@@ -108,6 +108,161 @@ def validity_conditional(df: DataFrame, checks: list[tuple[str, "F.Column"]]
     return out
 
 
+def exact_percentiles(df: DataFrame,
+                      col_probs: dict[str, list[tuple[float, str]]],
+                      round_decimals: int = 4,
+                      range_partitions: int = 32,
+                      approx: bool = False) -> DataFrame:
+    """Interpolated percentiles as ONE wide row, without ever buffering
+    raw values in an aggregation state.
+
+    ``col_probs``: {column: [(prob, output_alias), ...]}.
+
+    Spark's built-in exact ``percentile()`` collects every value of a
+    group into one aggregation buffer — an OOM/sort explosion at 10^9+
+    rows. This operator is the scale-safe exact formulation:
+
+      1. tag+union the target columns (one scan), groupBy (tag, value)
+         count — a distributed partial+final HashAggregate, so each
+         task holds counts, never value arrays;
+      2. repartitionByRange on (tag, value), per-partition running sum
+         (window over a range partition), plus a per-(tag, partition)
+         subtotal frame whose prefix sum gives each partition's global
+         offset — the classic two-phase distributed cumulative sum.
+         Both branches hang off the SAME range exchange (verified
+         ReusedExchange in the plan), so partition ids agree;
+      3. broadcast-join the tiny target table, keep the rows that
+         bracket ranks floor(k)/ceil(k) for k = (n-1)·p, and fold them
+         into one row with linear interpolation (DuckDB
+         quantile_cont / Spark percentile semantics).
+
+    No driver-side collect anywhere; every shuffle carries (tag, value,
+    count) triples. ``approx=True`` switches to approx_percentile for
+    the cheapest possible single-pass sketch at extreme scale (not used
+    by the exact-matching contract query).
+    """
+    aliases = [a for ps in col_probs.values() for _, a in ps]
+    if approx:
+        aggs = []
+        for col, ps in col_probs.items():
+            for p, alias in ps:
+                aggs.append(F.round(
+                    F.expr(f"approx_percentile({col}, {p}, 10000)")
+                    .cast("double"), round_decimals).alias(alias))
+        return df.agg(*aggs)
+
+    spark = df.sparkSession
+    structs = [F.struct(F.lit(col).alias("tag"),
+                        F.col(col).cast("double").alias("v"))
+               for col in col_probs]
+    vals = (df.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.tag", "s.v").filter(F.col("v").isNotNull()))
+    counts = vals.groupBy("tag", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    parts = (counts.repartitionByRange(range_partitions, "tag", "v")
+             .withColumn("pid", F.spark_partition_id())
+             .persist())
+    try:
+        # Driver-side coordination is BOUNDED: one row per (column,
+        # range-partition) here, ≤2 rows per requested percentile below —
+        # independent of data volume (same class as report-row collects).
+        sub = parts.groupBy("tag", "pid").agg(F.sum("cnt").alias("s")) \
+                   .collect()
+        # per tag: sorted [(pid, global_offset, size)]
+        spans: dict[str, list[tuple[int, int, int]]] = {}
+        n_by_tag: dict[str, int] = {}
+        offs: dict[tuple[str, int], int] = {}
+        for r in sorted(sub, key=lambda r: (r["tag"], r["pid"])):
+            off = n_by_tag.get(r["tag"], 0)
+            offs[(r["tag"], r["pid"])] = off
+            spans.setdefault(r["tag"], []).append((r["pid"], off, r["s"]))
+            n_by_tag[r["tag"]] = off + r["s"]
+
+        def pid_of(tag: str, idx: int) -> int:
+            for pid, off, size in spans[tag]:
+                if off <= idx < off + size:
+                    return pid
+            raise AssertionError(f"rank {idx} not found for {tag}")
+
+        # Which global 0-based sorted indexes we need, and in which
+        # range partition each one lives.
+        want: dict[str, list[tuple[float, str, int, int, float]]] = {}
+        need_pids: set[tuple[str, int]] = set()
+        for col, ps in col_probs.items():
+            n = n_by_tag.get(col, 0)
+            for p, alias in ps:
+                if n == 0:
+                    want.setdefault(col, []).append((p, alias, -1, -1, 0.0))
+                    continue
+                k = (n - 1) * float(p)
+                lo, hi = int(k // 1), -int(-k // 1)
+                want.setdefault(col, []).append((p, alias, lo, hi, k - lo))
+                need_pids.add((col, pid_of(col, lo)))
+                need_pids.add((col, pid_of(col, hi)))
+        # (tag, pid) -> local 0-based indexes wanted inside that partition
+        need_lidx: dict[tuple[str, int], set[int]] = {}
+        for col, ps in want.items():
+            for p, alias, lo, hi, frac in ps:
+                if lo < 0:
+                    continue
+                for idx in (lo, hi):
+                    key = (col, pid_of(col, idx))
+                    need_lidx.setdefault(key, set()).add(idx - offs[key])
+        if need_lidx:
+            pid_pred = F.lit(False)
+            for t, pid in need_lidx:
+                pid_pred = pid_pred | ((F.col("tag") == t)
+                                       & (F.col("pid") == pid))
+            w_local = (Window.partitionBy("tag", "pid").orderBy("v")
+                       .rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow))
+            # keep ONLY the bracketing rows: the collect is ≤2 rows per
+            # requested percentile no matter the data volume
+            brack = F.lit(False)
+            for (t, pid), lidxs in need_lidx.items():
+                here = (F.col("tag") == t) & (F.col("pid") == pid)
+                hit = F.lit(False)
+                for li in lidxs:
+                    hit = hit | ((F.col("lcum") - F.col("cnt") <= li)
+                                 & (F.col("lcum") > li))
+                brack = brack | (here & hit)
+            rows = (parts.filter(pid_pred)
+                    .withColumn("lcum", F.sum("cnt").over(w_local))
+                    .filter(brack)
+                    .collect())
+        else:
+            rows = []
+        # Per-tag global cumulative position of each collected row.
+        by_tag: dict[str, list[tuple[int, int, float]]] = {}
+        for r in rows:
+            cum = offs[(r["tag"], r["pid"])] + r["lcum"]
+            by_tag.setdefault(r["tag"], []).append((cum - r["cnt"], cum,
+                                                    r["v"]))
+
+        def value_at(tag: str, idx: int) -> float | None:
+            for prev, cum, v in by_tag.get(tag, []):
+                if prev <= idx < cum:
+                    return v
+            return None
+
+        out: dict[str, float | None] = {}
+        for col, ps in want.items():
+            for p, alias, lo, hi, frac in ps:
+                if lo < 0:
+                    out[alias] = None
+                    continue
+                vlo, vhi = value_at(col, lo), value_at(col, hi)
+                out[alias] = vlo + (vhi - vlo) * frac
+    finally:
+        parts.unpersist()
+    one = spark.createDataFrame(
+        [tuple(out[a] for a in aliases)],
+        ", ".join(f"`{a}` double" for a in aliases))
+    # final rounding stays Spark-side so HALF_UP ties break identically
+    # to the other contract queries
+    return one.select(*[F.round(F.col(a), round_decimals).alias(a)
+                        for a in aliases])
+
+
 def consistency_orphans(fact: DataFrame, dim: DataFrame,
                         fact_key: str, dim_key: str) -> DataFrame:
     """Referential-integrity probe: counts of fact rows with no matching

@@ -272,3 +272,39 @@ def test_drift_monthly_labels(spark):
                                 high_pct=50, medium_pct=25).toPandas()
     assert out.drift_status.tolist() == [
         "Baseline", "High Drift Alert", "Stable"]
+
+
+def test_exact_percentiles_matches_numpy(spark):
+    """Exact distributed percentiles == numpy linear interpolation (the
+    quantile_cont definition), including duplicate values, a
+    multi-partition layout, and an even/odd count mix."""
+    rng = np.random.default_rng(7)
+    a = np.round(rng.uniform(0, 1000, 5001), 2)      # odd count, dups
+    b = rng.integers(1, 50, 5001).astype("float64")  # heavy duplication
+    pdf = pd.DataFrame({"a": a, "b": b})
+    df = spark.createDataFrame(pdf).repartition(7)
+    out = profile.exact_percentiles(df, {
+        "a": [(0.25, "a25"), (0.5, "a50"), (0.75, "a75")],
+        "b": [(0.5, "b50")],
+    }, range_partitions=5).collect()[0]
+    assert out.a25 == round(float(np.quantile(a, 0.25)), 4)
+    assert out.a50 == round(float(np.quantile(a, 0.5)), 4)
+    assert out.a75 == round(float(np.quantile(a, 0.75)), 4)
+    assert out.b50 == round(float(np.quantile(b, 0.5)), 4)
+
+
+def test_exact_percentiles_nulls_and_approx(spark):
+    """NULLs are ignored (SQL semantics); an all-NULL column yields NULL;
+    the approx path returns values within the sketch tolerance."""
+    pdf = pd.DataFrame({"x": [1.0, None, 3.0, None, 5.0],
+                        "y": [None] * 5})
+    df = spark.createDataFrame(pdf)
+    out = profile.exact_percentiles(
+        df, {"x": [(0.5, "x50")], "y": [(0.5, "y50")]}).collect()[0]
+    assert out.x50 == 3.0 and out.y50 is None
+    rng = np.random.default_rng(11)
+    big = pd.DataFrame({"x": rng.uniform(0, 100, 20000)})
+    apx = profile.exact_percentiles(
+        spark.createDataFrame(big), {"x": [(0.5, "x50")]},
+        approx=True).collect()[0]
+    assert abs(apx.x50 - float(np.quantile(big.x, 0.5))) < 1.0
