@@ -270,18 +270,63 @@ def hamming64(a, b):
     return F.length(F.regexp_replace(F.bin(a.bitwiseXOR(b)), "0", ""))
 
 
+# Manku-style multi-probe blocking (Manku, Jain, Das Sarma, WWW 2007:
+# "Detecting Near-Duplicates for Web Crawling"): split the 64-bit
+# signature into 6 blocks; ≤3 flipped bits corrupt ≤3 blocks, so ≥3
+# blocks stay intact and SOME C(6,3) combination of 3 intact blocks is
+# shared by any pair at Hamming ≤ 3. Each probe key concatenates 3
+# blocks (32-33 bits) → ~10^9-10^10 buckets, so bucket occupancy stays
+# O(corpus/10^9) and the in-bucket self-join never goes quadratic —
+# unlike 16-bit bands whose 65,536 buckets pigeonhole 10^9+ docs into
+# ~10^4-row buckets.
+_SIMHASH_BLOCKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+
+
+def _simhash_probe_keys(sim) -> list:
+    from itertools import combinations
+
+    def block(i):
+        shift, width = _SIMHASH_BLOCKS[i]
+        return (F.shiftrightunsigned(sim, shift)
+                .bitwiseAND(F.lit((1 << width) - 1)))
+
+    keys = []
+    for ci, (i, j, k) in enumerate(combinations(range(6), 3)):
+        keys.append((block(i)
+                     + F.shiftleft(block(j), 16)
+                     + F.shiftleft(block(k), 32)
+                     + F.shiftleft(F.lit(ci).cast("long"), 48)))
+    return keys
+
+
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
-                  shingle_n: int = 2, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: 4×16-bit band pigeonhole (any pair at
-    Hamming ≤ 3 shares at least one intact band) then exact popcount."""
-    sigs = simhash(df, text_col, id_col).persist()
+                  shingle_n: int = 2, max_hamming: int = 3,
+                  max_bucket: int | None = 10_000) -> DataFrame:
+    """Near-dup pairs by SimHash: 6-block C(6,3)=20 probe keys (any pair
+    at Hamming ≤ 3 shares at least one fully-intact key) then exact
+    popcount verify.
+
+    ``max_bucket`` drops probe buckets larger than the cap before the
+    self-join, bounding candidate generation at ≤ C(cap,2) pairs per
+    bucket regardless of corpus pathology (mass-identical boilerplate
+    lands in exact_dedup's territory anyway; a capped bucket only loses
+    pairs whose every other probe bucket is ALSO over cap). Use
+    `simhash_bucket_stats` to monitor occupancy/drop counts.
+    """
+    assert max_hamming <= 3, "6-block probe guarantees Hamming ≤ 3 only"
+    sigs = simhash(df, text_col, id_col, shingle_n).persist()
     banded = sigs.select(
         "id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned("simhash", 16 * i)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("bits"))
-            for i in range(4)])).alias("bk"))
+        F.explode(F.array(*_simhash_probe_keys(F.col("simhash"))))
+        .alias("bk"))
+    if max_bucket is not None:
+        # hot buckets are few by definition: find them with a slim
+        # (bk, count) aggregate (map-side combined) and drop via
+        # broadcast anti-join — cheaper than window-counting the full
+        # exploded frame.
+        hot = (banded.groupBy("bk").agg(F.count(F.lit(1)).alias("_sz"))
+               .filter(F.col("_sz") > max_bucket).select("bk"))
+        banded = banded.join(F.broadcast(hot), "bk", "left_anti")
     l = banded.alias("l")
     r = banded.alias("r")
     cand = (l.join(r, (F.col("l.bk") == F.col("r.bk"))
@@ -295,6 +340,31 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                             hamming64(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_bucket_stats(df: DataFrame, text_col: str, id_col: str,
+                         shingle_n: int = 2,
+                         max_bucket: int | None = 10_000) -> DataFrame:
+    """Probe-bucket occupancy monitor for `simhash_pairs`: one row with
+    n_buckets, max_bucket_size, n_dropped_buckets, n_dropped_rows and the
+    worst-case candidate-pair bound sum(size·(size−1)/2) over SURVIVING
+    buckets — the lineage/metrics artifact a 100-TB run logs per batch."""
+    sigs = simhash(df, text_col, id_col, shingle_n)
+    sizes = (sigs.select(F.explode(
+                 F.array(*_simhash_probe_keys(F.col("simhash"))))
+                 .alias("bk"))
+             .groupBy("bk").agg(F.count(F.lit(1)).alias("sz")))
+    cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
+    kept = F.col("sz") <= cap
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("long")
+        .alias("n_dropped_buckets"),
+        F.sum(F.when(~kept, F.col("sz")).otherwise(0)).cast("long")
+        .alias("n_dropped_rows"),
+        F.sum(F.when(kept, F.col("sz") * (F.col("sz") - 1) / 2)
+              .otherwise(0)).cast("long").alias("candidate_pair_bound"))
 
 
 # ---------------------------------------------------------------------------

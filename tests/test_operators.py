@@ -308,3 +308,33 @@ def test_exact_percentiles_nulls_and_approx(spark):
         spark.createDataFrame(big), {"x": [(0.5, "x50")]},
         approx=True).collect()[0]
     assert abs(apx.x50 - float(np.quantile(big.x, 0.5))) < 1.0
+
+
+def test_simhash_bucket_cap_bounds_hot_bucket(spark, docs):
+    """A pathological bucket (10k identical docs ⇒ one mega-bucket in
+    every probe) must not send the self-join quadratic: with a cap the
+    hot buckets are dropped (their dups belong to exact_dedup anyway),
+    planted pairs outside them still surface, and the candidate-pair
+    bound stays small."""
+    hot = spark.range(20_000, 30_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate navigation footer copyright terms privacy")
+        .alias("text"))
+    normal = docs.select("doc_id", "text").limit(40)
+    copies = normal.select((F.col("doc_id") + 10_000).alias("doc_id"),
+                           "text")
+    corpus = normal.unionByName(copies).unionByName(hot)
+
+    stats = dedup.simhash_bucket_stats(
+        corpus, "text", "doc_id", max_bucket=100).collect()[0]
+    assert stats.n_dropped_buckets >= 20      # hot doc's 20 probe keys
+    assert stats.n_dropped_rows >= 20 * 10_000
+    # join work is bounded by the surviving-bucket pair bound, which must
+    # be microscopic next to the 10k*(10k-1)/2 ≈ 5e7 the cap prevented
+    assert stats.candidate_pair_bound < 100_000
+
+    pairs = dedup.simhash_pairs(corpus, "text", "doc_id",
+                                max_bucket=100).toPandas()
+    planted = pairs[(pairs.id_b - pairs.id_a) == 10_000]
+    assert len(planted) == 40 and (planted.hamming == 0).all()
+    assert not ((pairs.id_a >= 20_000) | (pairs.id_b >= 20_000)).any()
