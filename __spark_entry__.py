@@ -419,12 +419,17 @@ def _docs_with_near_dups(docs: DataFrame) -> DataFrame:
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only:
-    signature math is not SQL-expressible; recall/precision asserted in
-    tests/test_dedup.py against brute force)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. Oracle = the
+    brute-force shingle-inverted-index ground truth (ALL pairs with
+    exact Jaccard ≥ 0.5): with 64 bands × 2 rows the per-pair miss
+    probability at J=0.5 is (1−0.25)^64 < 1e-8, so the LSH output must
+    EQUAL brute force on this corpus — a hard equality gate, not a
+    recall bound. (Production presets with higher thresholds use fewer,
+    deeper bands; the S-curve midpoint here is (1/64)^(1/2) ≈ 0.125.)"""
     corpus = _docs_with_near_dups(_t(spark, sf_dir, "documents"))
     pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id",
-                                    shingle_n=3, jaccard_threshold=0.5)
+                                    shingle_n=3, num_perm=128, bands=64,
+                                    jaccard_threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6)
                         .alias("jaccard")).orderBy("id_a", "id_b")
 
@@ -505,8 +510,10 @@ def q_embedding_ivf(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs over corpus ∪ jittered copies
-    (rows-only; planted-pair recall asserted in pytest)."""
+    """Embedding-cosine near-dup pairs over corpus ∪ scaled copies.
+    Oracle = brute-force all-pairs cosine ≥ 0.999 (the LSH output must
+    EQUAL it: scaling preserves projection signs so planted pairs hit
+    every hyperplane table; nearest non-planted pair is at 0.51)."""
     emb = _t(spark, sf_dir, "embeddings")
     jit = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
                      F.transform("embedding",
@@ -1041,6 +1048,43 @@ def oracle_sql() -> dict[str, str]:
             FROM sh ORDER BY id_a
         """,
 
+        # Brute-force near-dup ground truth: shingle inverted index
+        # (any pair with J > 0 shares a shingle, so the candidate set is
+        # exact) → exact Jaccard ≥ 0.5. The LSH result must EQUAL this.
+        "minhash_neardup": f"""
+            WITH w AS (
+              SELECT doc_id, {_sql_words('text')} AS words FROM documents
+            ), corpus AS (
+              SELECT doc_id, words FROM w
+              UNION ALL
+              SELECT doc_id + 100000,
+                     words[1:greatest(CAST(floor(len(words) * 8 / 10)
+                                           AS INT), 1)]
+              FROM w
+            ), sh AS (
+              SELECT doc_id,
+                list_distinct(list_filter(list_transform(words, (x, i) ->
+                  CASE WHEN i + 2 <= len(words)
+                       THEN words[i] || ' ' || words[i+1] || ' ' ||
+                            words[i+2] END), s -> s IS NOT NULL)) AS s
+              FROM corpus
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ), j AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+                     (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                       AS jacc
+              FROM cand JOIN sh x ON x.doc_id = id_a
+                        JOIN sh y ON y.doc_id = id_b
+            )
+            SELECT id_a, id_b, ROUND(jacc, 6) AS jaccard FROM j
+            WHERE jacc >= 0.5 ORDER BY id_a, id_b
+        """,
+
         "exact_dedup": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents
@@ -1083,6 +1127,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, dup_of FROM flagged
             WHERE doc_id <> dup_of ORDER BY doc_id
+        """,
+
+        # Brute-force ground truth: ALL pairs at cosine ≥ 0.999 over the
+        # corpus ∪ scaled copies. The hyperplane-LSH result must EQUAL it
+        # (scaling preserves every projection sign, so planted pairs
+        # collide in all tables; the nearest non-planted pair sits at
+        # cosine 0.51 — no borderline membership).
+        "embedding_neardup": """
+            WITH corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> x * 1.0001)
+              FROM embeddings
+            ), j AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(b.e, b.e))) AS cos
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM j
+            WHERE cos >= 0.999 ORDER BY id_a, id_b
         """,
 
         "embedding_norms": """
