@@ -926,12 +926,21 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "asof_purchase": """
+            WITH p1 AS (
+              -- mirror the operator's explicit tie-break: one purchase
+              -- per (user_id, ts), largest (event_id, value) first
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id, ts
+                  ORDER BY event_id DESC, value DESC) AS rn
+                FROM events WHERE event_type = 'purchase'
+              ) WHERE rn = 1
+            )
             SELECT c.event_id, c.user_id,
                    p.event_id AS prior_purchase_id,
                    ROUND(p.value, 2) AS prior_purchase_value
             FROM (SELECT * FROM events WHERE event_type = 'click') c
-            ASOF LEFT JOIN
-                 (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN p1 p
               ON c.user_id = p.user_id AND c.ts >= p.ts
             ORDER BY c.event_id
         """,

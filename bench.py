@@ -24,6 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from dataquality_spark import pipeline, synth  # noqa: E402
+from dataquality_spark.operators import dedup  # noqa: E402
 from dataquality_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -67,6 +68,7 @@ def main() -> None:
         t0 = time.monotonic()
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
+        dedup.unpersist_all()  # release pair-operator intermediate caches
 
     # Webtext pipeline throughput: synthetic pages corpus sized to sf.
     # Big enough that per-job fixed costs don't dominate the docs/sec

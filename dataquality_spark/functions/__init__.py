@@ -24,3 +24,20 @@ def _tune_allocator() -> None:
 
 
 _tune_allocator()
+
+
+# ---------------------------------------------------------------------------
+# Contract tokenizer (config.WORD_SPLIT_REGEX): a word is a maximal run
+# of characters that are not ASCII whitespace (' ', '\n', '\t', '\r').
+# Python's bare str.split() splits on ALL Unicode whitespace
+# (\xa0,  , \x0b, ...) and silently diverges on HTML-extracted
+# text — every word-level consumer (fused pipeline UDF, LM
+# tokenization) must go through here, matching the pandas oracle's
+# independent replace-based implementation.
+# ---------------------------------------------------------------------------
+_WS_TO_SPACE = str.maketrans({"\t": " ", "\r": " ", "\n": " "})
+
+
+def tokenize(text: str) -> list[str]:
+    """ASCII-whitespace word split per the engine-wide contract."""
+    return [w for w in text.translate(_WS_TO_SPACE).split(" ") if w]

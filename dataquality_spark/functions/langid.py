@@ -72,7 +72,26 @@ def _build_model() -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
-_CACHE = "/tmp/dq_model_cache/langid_v3.npy"
+def _cache_path() -> str:
+    """Cache filename derived from a hash of every training parameter, in
+    a per-user directory: a stale or tampered shared cache can never be
+    silently loaded after N_BUCKETS/seeds/vocab change, and users don't
+    share a world-writable path."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = repr((N_BUCKETS, MAX_SCORED_CHARS, _TRAIN_TOKENS_PER_LANG,
+                _TRAIN_SEED_BASE, tuple(C.LANGS),
+                tuple(tuple(C.CONTENT_WORDS[l]) for l in C.LANGS),
+                tuple(tuple(C.STOPWORDS[l]) for l in C.LANGS)))
+    h = hashlib.sha256(key.encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(),
+                        f"dq_model_cache_{uid}", f"langid_{h}.npy")
+
+
+_CACHE = _cache_path()
 
 
 def get_model() -> np.ndarray:

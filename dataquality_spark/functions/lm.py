@@ -64,7 +64,24 @@ def _build_model():
             counts[order], float(total))
 
 
-_CACHE = "/tmp/dq_model_cache/lm_v1.npz"
+def _cache_path() -> str:
+    """Param-hash cache filename in a per-user dir (see langid._cache_path
+    — same rationale: no silent stale/tampered loads, no shared /tmp)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = repr((_BACKOFF, _ADD_K, _TRAIN_TOKENS_PER_LANG, _TRAIN_SEED_BASE,
+                tuple(C.LANGS),
+                tuple(tuple(C.CONTENT_WORDS[l]) for l in C.LANGS),
+                tuple(tuple(C.STOPWORDS[l]) for l in C.LANGS)))
+    h = hashlib.sha256(key.encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(),
+                        f"dq_model_cache_{uid}", f"lm_{h}.npz")
+
+
+_CACHE = _cache_path()
 
 
 def get_model():
@@ -106,12 +123,14 @@ def perplexity(texts: pd.Series) -> np.ndarray:
     Tokenization follows the engine-wide contract (split on ASCII
     whitespace). Empty/None text → NaN. Values rounded to SCORE_DECIMALS.
     """
+    from . import tokenize
+
     vocab, _uni, _bk, _bc, _t = get_model()
     get = vocab.get
     vals = texts.to_numpy(dtype=object)
     ids_list = []
     for t in vals:
-        words = t.split() if isinstance(t, str) else []
+        words = tokenize(t) if isinstance(t, str) else []
         ids_list.append([get(w, -1) for w in words])
     return perplexity_from_ids(ids_list)
 

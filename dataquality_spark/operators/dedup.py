@@ -42,6 +42,33 @@ from pyspark.sql.types import ArrayType, LongType
 # Mersenne prime 2^61-1: affine MinHash permutations stay exact in uint64.
 _MERSENNE = (1 << 61) - 1
 
+# Intermediate frames the pair operators persist (signature/base tables
+# feeding both sides of a self-join AND the verification rejoin). A
+# lazy-returning operator cannot unpersist before its caller
+# materializes, so callers own the lifecycle: materialize the returned
+# frame, then call `unpersist_all()` (bench.py and the CLI jobs do).
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_all() -> int:
+    """Release every intermediate cache created by the pair operators
+    since the last call. Returns how many frames were released."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -157,8 +184,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     base = (df.select(F.col(id_col).alias("id"),
                       shingle_hashes(F.col(text_col), shingle_n)
                       .alias("shingles"))
-            .withColumn("band_key", band_udf("shingles"))
-            .persist())
+            .withColumn("band_key", band_udf("shingles")))
+    base = _track_persist(base)
     buckets = (base.select("id", F.explode("band_key").alias("bk")))
     l = buckets.alias("l")
     r = buckets.alias("r")
@@ -314,7 +341,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     `simhash_bucket_stats` to monitor occupancy/drop counts.
     """
     assert max_hamming <= 3, "6-block probe guarantees Hamming ≤ 3 only"
-    sigs = simhash(df, text_col, id_col, shingle_n).persist()
+    sigs = _track_persist(simhash(df, text_col, id_col, shingle_n))
     banded = sigs.select(
         "id", "simhash",
         F.explode(F.array(*_simhash_probe_keys(F.col("simhash"))))
@@ -409,8 +436,8 @@ def embedding_neardup_pairs(df: DataFrame, emb_col: str, id_col: str,
                             n_tables: int = 4) -> DataFrame:
     """Pairs with cosine ≥ threshold. `n_tables` independent hyperplane
     banks raise recall (a pair is a candidate if ANY bank collides)."""
-    base = df.select(F.col(id_col).alias("id"),
-                     F.col(emb_col).alias("emb")).persist()
+    base = _track_persist(df.select(F.col(id_col).alias("id"),
+                                F.col(emb_col).alias("emb")))
     bucket_cols = []
     for t in range(n_tables):
         udf = make_hyperplane_udf(dim, n_planes, seed=11 + t)

@@ -20,16 +20,28 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               value_cols: list[str],
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              tie_break: list[str] | None = None) -> DataFrame:
     """For each left row, attach the latest right row with
     right_ts <= left_ts for the same key (backward as-of join).
 
     Implementation: union both sides tagged with a side marker, sort per
     key by (ts, side) with right rows first at equal timestamps, and
     carry right values forward with last(ignorenulls) — one shuffle, one
-    sort, linear state. Ties among right rows at the same timestamp are
-    broken toward the largest value tuple (deterministic).
+    sort, linear state.
+
+    Ties among right rows at the same (key, ts) are resolved BEFORE the
+    merge: only the row ranking first by ``tie_break`` DESC (default:
+    ``value_cols``) survives. An explicit pre-reduction rather than
+    whatever a window/engine happens to keep — SQL ASOF JOIN leaves the
+    surviving row engine-defined at equal timestamps, so any oracle must
+    apply the same reduction to compare exactly.
     """
+    tb = tie_break or value_cols
+    w_tie = Window.partitionBy(on, right_ts).orderBy(
+        *[F.desc(c) for c in tb])
+    right = (right.withColumn("_rn", F.row_number().over(w_tie))
+             .filter(F.col("_rn") == 1).drop("_rn"))
     lcols = left.columns
     l = left.select(
         *lcols,

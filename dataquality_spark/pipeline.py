@@ -76,7 +76,14 @@ _DEL_SYM = {ord(c): None for c in C.SYMBOL_CHARS}
 
 # ---------------------------------------------------------------------------
 # Pandas UDFs (Arrow-batched; models rebuilt lazily per executor —
-# deterministic, so no closure shipping / broadcast needed)
+# deterministic, so no closure shipping / broadcast needed).
+#
+# langid_udf / perplexity_udf / scrub_udf are the UNFUSED stage UDFs:
+# the production path is the fused models_udf (one Arrow crossing, one
+# python worker per task), and tests/test_models.py::
+# test_standalone_udfs_equal_fused holds fused ≡ unfused as the fusion
+# regression oracle. They are also the composable single-stage surface
+# for pipelines that only need one model.
 # ---------------------------------------------------------------------------
 
 
@@ -144,7 +151,7 @@ def models_udf(text: pd.Series, lang: pd.Series,
     stale & not lang-mismatch — the exact oracle staging (oracle.py
     evaluates the same predicate order).
     """
-    from .functions import langid, lm, scrub
+    from .functions import langid, lm, scrub, tokenize
 
     stopset = _STOPSET
     vocab_get = lm.get_model()[0].get
@@ -163,7 +170,9 @@ def models_udf(text: pd.Series, lang: pd.Series,
         t = vals[i]
         if not isinstance(t, str) or not t:
             continue
-        words = t.split()
+        # contract tokenizer: ASCII-whitespace only — bare str.split()
+        # would also split on \xa0/  and diverge from the oracle
+        words = tokenize(t)
         nw = len(words)
         if nw:
             nw_pos[i] = True

@@ -67,6 +67,17 @@ def run(argv: list[str] | None = None) -> dict:
         assert p[0] and ppl[0] > 0 and "<EMAIL>" in out
         return {"langid_pred": str(p[0])}
 
+    @check("catalog")
+    def _catalog():
+        # A2/A3 analog (reference unity_sql_agent.py:72-86 lists
+        # schemas/tables; get_health_status reports catalog counts):
+        # enumerate databases and tables visible to this session.
+        dbs = [d.name for d in spark.catalog.listDatabases()]
+        tables = [t.name for db in dbs
+                  for t in spark.catalog.listTables(db)]
+        return {"databases": dbs, "tables_count": len(tables),
+                "tables": tables[:5]}
+
     @check("input_schema")
     def _schema():
         if args.input is None:

@@ -25,11 +25,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from dataquality_spark import audit, config as C, pipeline, resume  # noqa: E402
+from dataquality_spark.errors import format_error_response  # noqa: E402
 from dataquality_spark.session import get_spark  # noqa: E402
 from dataquality_spark.sources import io  # noqa: E402
 
 
 def run(argv: list[str] | None = None) -> dict:
+    """CLI wrapper: on failure print ONE structured JSON error line
+    (category + suggestions, reference A22 analog) and exit non-zero."""
+    import json
+
+    try:
+        return _run(argv)
+    except SystemExit:
+        raise
+    except Exception as e:
+        report = format_error_response(e, job="run_pipeline")
+        print(json.dumps(report))
+        raise SystemExit(2)
+
+
+def _run(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)

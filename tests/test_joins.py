@@ -78,3 +78,17 @@ def test_approx_distinct_tolerance(spark):
         F.approx_count_distinct("l_orderkey", 0.01).alias("a"),
         F.count_distinct("l_orderkey").alias("e")).collect()[0]
     assert abs(row["a"] - row["e"]) / row["e"] < 0.03
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    """Two right rows at the same (key, ts): the explicit pre-reduction
+    keeps the largest tie_break tuple, independent of engine-internal
+    window ordering."""
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1], "lts": pd.to_datetime(["2024-01-02"]), "id": [10]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1], "rts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+        "rid": [7, 9], "v": [5.0, 3.0]}))
+    out = joins.asof_join(left, right, "k", "lts", "rts",
+                          ["rid", "v"]).collect()[0]
+    assert out["rid_asof"] == 9 and out["v_asof"] == 3.0

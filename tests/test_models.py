@@ -46,3 +46,28 @@ def test_ppl_separates_gibberish():
 def test_ppl_rounding_stability():
     d = _docs("es")
     assert (lm.perplexity(d) == lm.perplexity(d)).all()
+
+
+def test_standalone_udfs_equal_fused(spark, pages_sdf, golden):
+    """The standalone langid/perplexity/scrub pandas UDFs are the
+    unfused regression oracle for the fused models_udf: same scores,
+    byte-identical scrub, same gated perplexity wherever the fused gate
+    evaluated it."""
+    from pyspark.sql import functions as F
+
+    from dataquality_spark import pipeline
+
+    unfused = pages_sdf.select(
+        "url", "warc_ts",
+        pipeline.langid_udf("text").alias("li"),
+        pipeline.scrub_udf("text").alias("sc"),
+        pipeline.perplexity_udf("text", F.lit(True)).alias("ppl_all"),
+    ).select("url", "warc_ts", "li.lang_pred", "li.lang_score",
+             "sc.text_scrubbed", "ppl_all").toPandas()
+    m = golden.merge(unfused, on=["url", "warc_ts"], suffixes=("_g", "_s"))
+    assert len(m) == len(golden)
+    assert (m.lang_pred_g == m.lang_pred_s).all()
+    assert (m.lang_score_g == m.lang_score_s).all()
+    assert (m.text_scrubbed_g == m.text_scrubbed_s).all()
+    gated = m.ppl.notna()   # golden's ppl has no name collision → no suffix
+    assert (m.loc[gated, "ppl"] == m.loc[gated, "ppl_all"]).all()

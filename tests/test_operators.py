@@ -196,15 +196,25 @@ def test_fingerprints_md5_matches_hashlib(docs, docs_pd):
         assert out.loc[row.doc_id, "fingerprint_md5"] == exp
 
 
-def test_fingerprint_roll_matches_python(docs, docs_pd):
-    """Polynomial rolling hash: reproduce Spark's xxhash64-based fold via
-    a tiny two-word doc computed with Spark's own xxhash64 of the words,
-    checking the fold arithmetic (wraparound long mul/add)."""
-    out = (text_analysis.fingerprints(docs).toPandas()
-           .set_index("doc_id"))
-    spark_df = docs.sparkSession.createDataFrame(
-        pd.DataFrame({"w": ["a"]}))
-    # determinism: same doc ⇒ same hash, different docs ⇒ different hash
+def test_fingerprint_roll_fold_arithmetic(spark, docs):
+    """The rolling fingerprint is the left fold acc = xxhash64(acc, word)
+    from the FNV offset seed: verify by chaining explicit xxhash64 calls
+    step by step for a known doc, plus the empty-doc base case and
+    corpus-wide uniqueness."""
+    seed = 1469598103934665603
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma", ""]}))
+    got = {r["doc_id"]: r["fingerprint_roll"]
+           for r in text_analysis.fingerprints(tiny).collect()}
+    exp = spark.range(1).select(
+        F.xxhash64(
+            F.xxhash64(
+                F.xxhash64(F.lit(seed).cast("long"), F.lit("alpha")),
+                F.lit("beta")),
+            F.lit("gamma")).alias("h")).collect()[0]["h"]
+    assert got[1] == exp
+    assert got[2] == seed            # empty word array ⇒ fold identity
+    out = text_analysis.fingerprints(docs).toPandas()
     assert out["fingerprint_roll"].nunique() == len(out)
 
 

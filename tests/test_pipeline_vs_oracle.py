@@ -91,3 +91,29 @@ def test_keep_drop_f1_meets_target(golden, pages_sdf):
     f1 = 2 * precision * recall / (precision + recall)
     assert f1 >= 0.99
     assert f1 == 1.0  # byte-exact rule parity implies perfect agreement
+
+
+def test_unicode_whitespace_matches_oracle(spark, pages_input):
+    """Contract tokenizer: NBSP (\\xa0), LINE SEPARATOR (\\u2028) and
+    \\x0b are WORD characters (only ASCII whitespace splits). Bare
+    str.split() would split on them and silently skew n_words /
+    stopword_frac / mean_word_len on HTML-extracted text — pipeline and
+    oracle must agree on such docs exactly."""
+    from dataquality_spark import oracle
+
+    base = pages_input.head(4).copy().reset_index(drop=True)
+    nbsp_doc = ("the of and to in is was that for with " * 8
+                + "word\xa0pair unit sep tab\x0bver ") * 3
+    base.loc[0, "text"] = nbsp_doc
+    base.loc[1, "text"] = "the\xa0of\xa0and " * 40  # 40 words, not 120
+    base.loc[2, "text"] = ("als der die das und von zu mit ist den "
+                           "im für auf ein eine nicht " * 10)
+    base["html"] = base["text"].map(
+        lambda t: f"<html><body>{t}</body></html>".encode())
+    golden = oracle.run_oracle(base)
+    out = pipeline.decisions(spark.createDataFrame(base)).toPandas()
+    m = golden.merge(out, on=["url", "warc_ts"], suffixes=("_g", "_s"))
+    assert len(m) == len(base)
+    assert (m.keep_g == m.keep_s).all()
+    assert (m.rule_hits_g.map(tuple) == m.rule_hits_s.map(tuple)).all()
+    assert ((m.ppl_g.isna() & m.ppl_s.isna()) | (m.ppl_g == m.ppl_s)).all()

@@ -23,6 +23,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from dataquality_spark.operators import dedup as _dedup  # noqa: E402
 from dataquality_spark.session import get_spark  # noqa: E402
 
 
@@ -133,6 +134,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            _dedup.unpersist_all()
         dt = time.monotonic() - t0
         if name not in oracles:
             status = "rows-only"
