@@ -97,6 +97,31 @@ def main() -> None:
     docs_per_sec = round(n_pages / dt, 1)
     pages.unpersist()
 
+    # Scaling evidence (north rule: efficiency N→4N): the SAME job at
+    # local[8] and local[32] over the SAME parquet input, fresh cold-JVM
+    # subprocess per size, min-of-trials — full pipeline plus the
+    # isolated fused-model stage (the per-executor compute profile that
+    # extrapolates to real multi-node clusters, which don't share this
+    # sandbox's single memory bus). Wider sweep + Amdahl fit lives in
+    # BENCH/scaling_r02.json (tools/scaling_bench.py --fit).
+    scaling = None
+    try:
+        import tempfile
+
+        from tools.scaling_bench import measure
+
+        n_scale = max(n_pages, 160_000)
+        scale_pd = synth.gen_pages(n_scale, seed=42)[
+            ["url", "warc_ts", "html", "text", "lang"]]
+        scale_dir = os.path.join(
+            tempfile.mkdtemp(prefix="dq_bench_scale_"), "pages")
+        (spark.createDataFrame(scale_pd).repartition(64)
+         .write.mode("overwrite").parquet(scale_dir))
+        del scale_pd
+        scaling = measure([8, 32], scale_dir, trials=2, alternate=1)
+    except Exception as e:  # never let the scaling probe kill the bench
+        scaling = {"error": str(e)[:300]}
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -107,6 +132,7 @@ def main() -> None:
         "pipeline_docs_per_sec": docs_per_sec,
         "pipeline_n_docs": n_pages,
         "cpus": int(cpus),
+        "scaling": scaling,
     }))
 
 
