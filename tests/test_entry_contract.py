@@ -18,7 +18,11 @@ SF = "/root/testdata/sf0.001"
 
 FAST_ORACLED = ["row_counts", "completeness_profile", "segment_agg",
                 "topk_customers", "langid_vote", "quality_score",
-                "fingerprints", "scrub_sql", "multimodal_meta"]
+                "fingerprints", "scrub_sql", "multimodal_meta",
+                # the round-1 driver-hash failures (HUGEINT/rounding) —
+                # kept here so the type-strict compare guards them
+                "validity_range", "events_json", "sessionize",
+                "exact_dedup", "percentiles"]
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +38,7 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     # the bulk of the surface must be oracle-checked, not rows-only
-    assert len(os_) >= 20
+    assert len(os_) >= 34
 
 
 def test_entry_returns_rows(spark):
