@@ -98,3 +98,70 @@ def run_available_now(spark: SparkSession, input_dir: str, output_dir: str,
          .outputMode("append")
          .start())
     q.awaitTermination()
+
+
+def streaming_sessionize(events: DataFrame, key: str = "user_id",
+                         ts: str = "ts", gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stateful gap-sessionization — the streaming twin of
+    operators/joins.sessionize, via Structured Streaming's built-in
+    session windows: events for a key whose gaps stay under ``gap``
+    merge into one session; the watermark bounds session state and
+    closes (emits) sessions once no in-gap event can still arrive.
+
+    Boundary note: a batch gap of EXACTLY ``gap`` stays in-session
+    (strict >), while session_window's half-open [ts, ts+gap) starts a
+    new one — sub-second timestamps make this a measure-zero edge; the
+    equivalence test uses off-boundary gaps.
+
+    Output (append mode, one row per CLOSED session): key,
+    session_start, session_end, n_events.
+    """
+    from pyspark.sql import functions as F
+
+    return (events
+            .withWatermark(ts, watermark)
+            .groupBy(F.col(key),
+                     F.session_window(F.col(ts), gap).alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(key),
+                    F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"),
+                    "n_events"))
+
+
+def host_quality_state(decided: DataFrame,
+                       out_mode: str = "update") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-host cumulative (n_docs, n_kept, keep_rate) maintained across
+    micro-batches — the per-host health signal a long-running crawl
+    filter feeds back to its scheduler (quality-collapsing hosts get
+    deprioritized at the source).
+
+    State per host is two longs — bounded by the host cardinality, not
+    the document count; Arrow-batched like every other Python crossing
+    in this engine (no per-row Python).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("host string, n_docs bigint, n_kept bigint, "
+                  "keep_rate double")
+    state_schema = "n_docs bigint, n_kept bigint"
+
+    def update(key, pdfs, state):
+        n, k = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            k += int(pdf["keep"].sum())
+        state.update((n, k))
+        yield pd.DataFrame({"host": [key[0]], "n_docs": [n],
+                            "n_kept": [k],
+                            "keep_rate": [round(k / n, 6) if n else 0.0]})
+
+    return (decided
+            .select("host", "keep")
+            .groupBy("host")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    out_mode,
+                                    GroupStateTimeout.NoTimeout))

@@ -78,3 +78,94 @@ def test_streaming_windowed_metrics(spark, stream_dirs):
     assert len(out) > 0
     assert (out["n_kept"] <= out["n_docs"]).all()
     assert out["n_docs"].sum() <= 200
+
+
+def test_streaming_sessionize_matches_batch(spark, stream_dirs):
+    """session_window gap-merge == batch sessionize session structure on
+    off-boundary gaps: same number of sessions per user, same event
+    totals (append mode emits every session once the watermark passes)."""
+    import numpy as np
+
+    from dataquality_spark.operators import joins
+
+    rng = np.random.default_rng(13)
+    rows = []
+    base = pd.Timestamp("2024-08-01 00:00:00")
+    for u in range(12):
+        t = base
+        for _ in range(rng.integers(3, 20)):
+            # gaps: mostly in-session (<30m), some >30m — never exactly 30m
+            gap_s = int(rng.choice([60, 300, 900, 2100, 3700]))
+            t = t + pd.Timedelta(seconds=gap_s + 1)
+            rows.append((u, t))
+    # watermark pusher: a far-future dummy event advances the global
+    # watermark past every real session so append mode emits them all
+    rows.append((999, base + pd.Timedelta(days=30)))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    # pandas writes nanos; coerce to micros so the declared schema matches
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(os.path.join(stream_dirs["in"], "ev.parquet"), index=False)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(stream_dirs["in"]))
+    sess = incremental.streaming_sessionize(stream, key="user_id", ts="ts",
+                                            gap="30 minutes",
+                                            watermark="10 minutes")
+    q = (sess.writeStream.format("parquet")
+         .option("path", stream_dirs["out"])
+         .option("checkpointLocation", stream_dirs["ckpt"])
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+    got = spark.read.parquet(stream_dirs["out"]).toPandas()
+    got = got[got.user_id != 999]
+
+    batch = (joins.sessionize(
+        spark.createDataFrame(ev[ev.user_id != 999]), "user_id", "ts",
+        gap_minutes=30.0)
+             .groupBy("user_id", "session_idx").count().toPandas())
+    gb = got.groupby("user_id").agg(n_sessions=("session_start", "count"),
+                                    n_events=("n_events", "sum"))
+    bb = batch.groupby("user_id").agg(n_sessions=("session_idx", "count"),
+                                      n_events=("count", "sum"))
+    m = gb.join(bb, lsuffix="_s", rsuffix="_b")
+    assert (m.n_sessions_s == m.n_sessions_b).all()
+    assert (m.n_events_s == m.n_events_b).all()
+
+
+def test_host_quality_state_accumulates_across_batches(spark, stream_dirs):
+    """applyInPandasWithState: per-host counters persist across
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches in one
+    availableNow drain); the final update per host equals the batch
+    ground truth."""
+    pages = synth.gen_pages(240, seed=17)[
+        ["url", "warc_ts", "html", "text", "lang"]]
+    _write_batch(stream_dirs["in"], pages.iloc[:120], "b0")
+    _write_batch(stream_dirs["in"], pages.iloc[120:], "b1")
+
+    stream = incremental.read_pages_stream(spark, stream_dirs["in"],
+                                           max_files_per_trigger=1)
+    decided = incremental.streaming_decisions(stream)
+    state = incremental.host_quality_state(decided)
+    q = (state.writeStream.format("memory").queryName("hostq")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    ups = spark.sql("SELECT * FROM hostq").toPandas()
+    # last update per host carries the cumulative totals
+    final = (ups.groupby("host").last())
+
+    from dataquality_spark import pipeline as P
+
+    # ground truth: run the same dedup+decision semantics in batch
+    from pyspark.sql import functions as F
+    sdf = spark.createDataFrame(pages)
+    dedup_batch = (sdf.withColumn("_md5", F.md5(
+        F.coalesce(F.col("text"), F.lit("")).cast("binary")))
+        .dropDuplicates(["url", "_md5"]).drop("_md5"))
+    gt = (P.decisions(dedup_batch, mark_dups=False)
+          .groupBy("host")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum(F.col("keep").cast("long")).alias("n_kept"))
+          .toPandas().set_index("host"))
+    m = final.join(gt, lsuffix="_s", rsuffix="_b")
+    assert (m.n_docs_s == m.n_docs_b).all()
+    assert (m.n_kept_s == m.n_kept_b).all()
