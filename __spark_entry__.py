@@ -534,12 +534,41 @@ def q_embedding_neardup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-payload metadata extraction via Arrow mapInPandas (decode
-    stubbed deterministically; oracle checks the SQL-derivable fields)."""
+    """Binary-payload metadata extraction via Arrow mapInPandas. The
+    decode stub derives dims/duration from md5 bytes, so the DuckDB
+    oracle re-derives EVERY field (md5 + hex-parse) — full value parity,
+    not just the trivially-SQL columns."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
     meta = multimodal.extract_metadata(media)
-    return meta.select("media_id", "modality", "n_bytes").orderBy("media_id")
+    return meta.select("media_id", "modality", "n_bytes", "md5_prefix",
+                       "width", "height", "duration_ms").orderBy("media_id")
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (sequence/explode, pure Catalyst): one
+    row per frame a decoder would pull at 60 s steps."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
+    meta = multimodal.extract_metadata(media)
+    return (multimodal.frame_sample_plan(meta, every_ms=60_000)
+            .orderBy("media_id", "frame_ts_ms"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Byte-histogram content features (rows-only: the fixed random
+    projection is not SQL-expressible; exactness pytest-verified against
+    a numpy re-derivation). Unit-norm rounded to 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
+    feats = multimodal.extract_features(media, dim=16)
+    norm = F.sqrt(F.aggregate(
+        F.transform("features",
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    return (feats.select("media_id", "modality",
+                         F.round(norm, 4).alias("l2_norm"))
+            .orderBy("media_id"))
 
 
 def q_scrub_sql(spark, sf_dir):
@@ -631,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf": q_embedding_ivf,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_features": q_multimodal_features,
         "scrub_sql": q_scrub_sql,
         "webtext_decisions": q_webtext_decisions,
         "webtext_audit": q_webtext_audit,
@@ -1187,13 +1218,51 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "multimodal_meta": """
-            SELECT doc_id AS media_id,
-                   CASE WHEN doc_id % 3 = 0 THEN 'image'
-                        WHEN doc_id % 3 = 1 THEN 'audio'
-                        ELSE 'video' END AS modality,
-                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
-                     AS n_bytes
-            FROM documents ORDER BY media_id
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'image'
+                          WHEN doc_id % 3 = 1 THEN 'audio'
+                          ELSE 'video' END AS modality,
+                     CAST(octet_length(encode(coalesce(text, '')))
+                          AS BIGINT) AS n_bytes,
+                     md5(coalesce(text, '')) AS h
+              FROM documents
+            ), b AS (
+              SELECT *,
+                     ('0x' || substr(h, 1, 2))::INTEGER AS h0,
+                     ('0x' || substr(h, 3, 2))::INTEGER AS h1,
+                     ('0x' || substr(h, 5, 2))::INTEGER AS h2
+              FROM m
+            )
+            SELECT media_id, modality, n_bytes,
+                   substr(h, 1, 12) AS md5_prefix,
+                   CAST(CASE WHEN modality = 'image' THEN 64 + h0 % 1024
+                             WHEN modality = 'video' THEN 320 + h0 % 1600
+                             ELSE -1 END AS INTEGER) AS width,
+                   CAST(CASE WHEN modality = 'image' THEN 64 + h1 % 1024
+                             WHEN modality = 'video' THEN 240 + h1 % 840
+                             ELSE -1 END AS INTEGER) AS height,
+                   CAST(CASE WHEN modality = 'image' THEN -1
+                             WHEN modality = 'video'
+                               THEN 1000 * (1 + h2 % 600)
+                             ELSE 1000 * (1 + h2 % 3600) END AS BIGINT)
+                     AS duration_ms
+            FROM b ORDER BY media_id
+        """,
+
+        "multimodal_frame_sample": """
+            WITH v AS (
+              SELECT doc_id AS media_id,
+                     1000 * (1 + ('0x' || substr(md5(coalesce(text, '')),
+                                                 5, 2))::INTEGER % 600)
+                       AS duration_ms
+              FROM documents WHERE doc_id % 3 = 2
+            )
+            SELECT media_id,
+                   CAST(unnest(range(0, duration_ms, 60000)) AS BIGINT)
+                     AS frame_ts_ms
+            FROM v
+            ORDER BY media_id, frame_ts_ms
         """,
 
         "scrub_sql": _scrub_sql_oracle(),

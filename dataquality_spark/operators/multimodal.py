@@ -22,8 +22,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, FloatType,
+                               IntegerType, LongType, StringType, StructField,
+                               StructType)
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -36,7 +37,7 @@ META_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("modality", StringType()),
     StructField("n_bytes", LongType()),
-    StructField("sha1_prefix", StringType()),
+    StructField("md5_prefix", StringType()),
     StructField("width", IntegerType()),        # image/video; -1 otherwise
     StructField("height", IntegerType()),
     StructField("duration_ms", LongType()),     # audio/video; -1 otherwise
@@ -46,11 +47,13 @@ META_SCHEMA = StructType([
 def _fake_decode(payload: bytes, modality: str) -> tuple[int, int, int]:
     """STUB for the real codec call (Pillow / ffprobe / soundfile).
 
-    Deterministic fake: dimensions/duration derived from payload bytes so
-    tests are stable. Replace the body with the real decoder on a cluster
-    image that ships codec libraries.
+    Deterministic fake: dimensions/duration derived from the payload's
+    md5 bytes so tests are stable AND the DuckDB oracle can re-derive
+    them in SQL (md5 + hex-parse — sha1 is not SQL-portable). Replace
+    the body with the real decoder on a cluster image that ships codec
+    libraries.
     """
-    h = hashlib.sha1(payload).digest()
+    h = hashlib.md5(payload).digest()
     if modality == "image":
         return 64 + h[0] % 1024, 64 + h[1] % 1024, -1
     if modality == "video":
@@ -79,8 +82,8 @@ def extract_metadata(df: DataFrame, strict: bool = False) -> DataFrame:
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
                 "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                "sha1_prefix": [hashlib.sha1(bytes(p)).hexdigest()[:12]
-                                for p in pdf["payload"]],
+                "md5_prefix": [hashlib.md5(bytes(p)).hexdigest()[:12]
+                               for p in pdf["payload"]],
                 "width": pd.array(w, dtype="int32"),
                 "height": pd.array(h, dtype="int32"),
                 "duration_ms": pd.array(d, dtype="int64"),
@@ -120,3 +123,97 @@ def synthesize_media_from_text(df: DataFrame, id_col: str, text_col: str,
         F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
         .alias("payload"),
         mime.alias("mime"))
+
+
+FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("modality", StringType()),
+    StructField("features", ArrayType(FloatType())),
+])
+
+
+def extract_features(df: DataFrame, dim: int = 64, seed: int = 29
+                     ) -> DataFrame:
+    """Content features per media item via Arrow-batched mapInPandas:
+    a REAL extractor (no codec needed) — the L2-normalized 256-bin byte
+    histogram projected to `dim` dims by a fixed seeded random matrix.
+    Weak but honest content signal (byte distributions separate media
+    types and near-identical payloads project near-identically), and the
+    output feeds the similarity stack (`embedding_neardup_pairs`,
+    IVF/LSH top-k) unchanged. Swap the histogram for a CNN/audio
+    embedding on a cluster image with model weights — the Spark plumbing
+    (schema, batching, array<float> output) stays identical.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((256, dim)).astype(np.float64)
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b, minlength=256).astype(np.float64)
+                n = np.linalg.norm(hist)
+                if n > 0:
+                    hist /= n
+                vec = hist @ proj
+                vn = np.linalg.norm(vec)
+                if vn > 0:
+                    vec /= vn
+                out.append(np.round(vec, 6).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "modality": pdf["modality"],
+                                "features": out})
+
+    return df.mapInPandas(_feat, FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Image resize stage: target dimensions computed from the metadata
+    (aspect-preserving clamp of the longest side to `max_dim`) with the
+    pixel transcode STUBBED — the payload passes through unchanged and
+    `resized` is False wherever a real decoder would have re-encoded.
+    On a codec-equipped image, replace the passthrough branch with
+    Pillow's resize; the schema and batch shape are production-real.
+
+    Input: MEDIA_SCHEMA joined with width/height (e.g. extract_metadata
+    output). Non-images pass through untouched with target == source.
+    """
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tw, th, resized = [], [], []
+            for m, w, h in zip(pdf["modality"], pdf["width"],
+                               pdf["height"]):
+                if m != "image" or w <= 0 or h <= 0:
+                    tw.append(int(w)), th.append(int(h))
+                    resized.append(False)
+                    continue
+                scale = min(1.0, max_dim / max(int(w), int(h)))
+                tw.append(max(1, int(int(w) * scale)))
+                th.append(max(1, int(int(h) * scale)))
+                # STUB: a real decoder re-encodes payload here
+                resized.append(False)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "payload": pdf["payload"],
+                "width": pd.array(pdf["width"], dtype="int32"),
+                "height": pd.array(pdf["height"], dtype="int32"),
+                "target_width": pd.array(tw, dtype="int32"),
+                "target_height": pd.array(th, dtype="int32"),
+                "resized": resized,
+            })
+
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("target_width", IntegerType()),
+        StructField("target_height", IntegerType()),
+        StructField("resized", BooleanType()),
+    ])
+    return df.mapInPandas(_resize, out_schema)

@@ -230,7 +230,7 @@ def test_multimodal_metadata_roundtrip(spark, docs, docs_pd):
         payload = row.text.encode("utf-8")
         m = meta.loc[row.doc_id]
         assert m.n_bytes == len(payload)
-        assert m.sha1_prefix == hashlib.sha1(payload).hexdigest()[:12]
+        assert m.md5_prefix == hashlib.md5(payload).hexdigest()[:12]
         modality = ["image", "audio", "video"][row.doc_id % 3]
         assert m.modality == modality
         if modality == "image":
@@ -348,3 +348,49 @@ def test_simhash_bucket_cap_bounds_hot_bucket(spark, docs):
     planted = pairs[(pairs.id_b - pairs.id_a) == 10_000]
     assert len(planted) == 40 and (planted.hamming == 0).all()
     assert not ((pairs.id_a >= 20_000) | (pairs.id_b >= 20_000)).any()
+
+
+def test_multimodal_features_match_numpy(spark, docs, docs_pd):
+    """Byte-histogram features: non-circular numpy re-derivation per
+    payload must match the mapInPandas output exactly (round-6)."""
+    media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
+    out = (multimodal.extract_features(media, dim=16, seed=29).toPandas()
+           .set_index("media_id"))
+    rng = np.random.default_rng(29)
+    proj = rng.standard_normal((256, 16)).astype(np.float64)
+    for _, row in docs_pd.head(10).iterrows():
+        b = np.frombuffer(row.text.encode("utf-8"), dtype=np.uint8)
+        hist = np.bincount(b, minlength=256).astype(np.float64)
+        hist /= np.linalg.norm(hist)
+        vec = hist @ proj
+        vec /= np.linalg.norm(vec)
+        exp = np.round(vec, 6).astype(np.float32)
+        got = np.asarray(out.loc[row.doc_id, "features"], dtype=np.float32)
+        assert np.array_equal(got, exp)
+    # unit-norm embeddings feed the similarity stack directly
+    norms = out["features"].map(
+        lambda v: float(np.linalg.norm(np.asarray(v, dtype=np.float64))))
+    assert ((norms - 1.0).abs() < 1e-4).all()
+
+
+def test_multimodal_resize_targets(spark, docs):
+    """Aspect-preserving clamp of the longest side; non-images pass
+    through; payload untouched while the decode stays stubbed."""
+    media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
+    meta = multimodal.extract_metadata(media)
+    joined = media.join(meta.select("media_id", "width", "height"),
+                        "media_id")
+    out = multimodal.resize_images(joined, max_dim=128).toPandas()
+    img = out[out.modality == "image"]
+    assert (np.maximum(img.target_width, img.target_height) <= 128).all()
+    # aspect ratio preserved within integer truncation
+    big = img[np.maximum(img.width, img.height) > 128]
+    assert len(big) > 0
+    ratio_src = big.width / big.height
+    ratio_dst = big.target_width / big.target_height
+    assert (abs(ratio_src - ratio_dst) / ratio_src < 0.05).all()
+    small = img[np.maximum(img.width, img.height) <= 128]
+    assert (small.target_width == small.width).all()
+    non_img = out[out.modality != "image"]
+    assert (non_img.target_width == non_img.width).all()
+    assert (~out.resized).all()        # stub never transcodes
