@@ -16,7 +16,6 @@ never inference, and fail fast on drift (pipeline.assert_schema).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, StringType, StructField,
                                StructType, TimestampType)
 

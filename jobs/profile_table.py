@@ -59,6 +59,19 @@ def run(argv: list[str] | None = None) -> dict:
         drift = profile.drift_monthly(df, args.ts_col, args.value_col)
         report["drift"] = [r.asDict() for r in drift.collect()]
 
+    # numeric distribution pillar: quartiles per numeric column —
+    # exact via the distributed-histogram operator, or the
+    # approx_percentile sketch under --approx (the 10^12-row setting)
+    numeric = [f.name for f in df.schema.fields
+               if f.dataType.typeName() in
+               ("double", "float", "integer", "long", "decimal")
+               and f.name in cols]
+    if numeric:
+        spec = {c: [(0.25, f"{c}_p25"), (0.5, f"{c}_p50"),
+                    (0.75, f"{c}_p75")] for c in numeric[:8]}
+        pct = profile.exact_percentiles(df, spec, approx=args.approx)
+        report["percentiles"] = pct.collect()[0].asDict()
+
     if args.output:
         comp.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(args.output, "completeness"))
