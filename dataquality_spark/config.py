@@ -52,6 +52,9 @@ TS_MIN_ISO = "2024-07-01 00:00:00"  # timeliness: fixed recency cutoff (no
                                     # wall clock anywhere — determinism)
 
 # Arrow batch sizing for pandas UDF stages (docs per batch).
+# Swept at 32 slots on 240k docs (round 2): 2.5k→69.8k, 5k→63.7k,
+# 10k→73.9k, 20k→58.4k docs/s (min-of-3) — 10k is the knee between
+# per-batch overhead and L2-evicting working sets; keep it.
 ARROW_MAX_RECORDS_PER_BATCH = 10_000
 
 # ---------------------------------------------------------------------------

