@@ -16,6 +16,7 @@ never inference, and fail fast on drift (pipeline.assert_schema).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, StringType, StructField,
                                StructType, TimestampType)
 
@@ -49,6 +50,37 @@ def read_pages(spark: SparkSession, path_or_table: str,
     if columns:
         df = df.select(*columns)  # column pruning reaches the scan
     return df
+
+
+def read_pages_lenient(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Schema-fallback chain (reference A13 analog, main.py:378-433 —
+    declared schema first, tolerant mapping second, loud failure third):
+
+    1. exact fixed-schema read (`read_pages`) when columns line up;
+    2. else: case-insensitive column-name mapping + cast to the
+       contract types (URL/Warc_TS/HTML drift from upstream exporters);
+    3. else: ValueError listing exactly which contract columns could
+       not be found (feeds errors.format_error_response suggestions).
+    """
+    if path_or_table.endswith(".parquet") or "/" in path_or_table:
+        raw = spark.read.parquet(path_or_table)
+    else:
+        raw = spark.read.table(path_or_table)
+    want = {f.name: f.dataType for f in PAGES_SCHEMA.fields}
+    if set(want) <= set(raw.columns):
+        return read_pages(spark, path_or_table)
+    by_lower = {c.lower(): c for c in raw.columns}
+    cols, missing = [], []
+    for name, dtype in want.items():
+        src = by_lower.get(name.lower())
+        if src is None:
+            missing.append(name)
+            continue
+        cols.append(F.col(f"`{src}`").cast(dtype).alias(name))
+    if missing:
+        raise ValueError(f"pages input is missing columns: {missing} "
+                         f"(found: {sorted(raw.columns)})")
+    return raw.select(*cols)
 
 
 def write_decisions(decisions: DataFrame, out_dir: str) -> None:
