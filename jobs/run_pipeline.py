@@ -53,6 +53,9 @@ def _run(argv: list[str] | None = None) -> dict:
                     help="process at most K remaining partitions (resume demo)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--extract-html", action="store_true")
+    ap.add_argument("--lenient-schema", action="store_true",
+                    help="tolerate case-drifted input columns "
+                         "(io.read_pages_lenient fallback chain)")
     ap.add_argument("--approx-distinct", action="store_true")
     ap.add_argument("--repartition", type=int, default=None,
                     help="salted (host, salt) repartition width")
@@ -66,7 +69,8 @@ def _run(argv: list[str] | None = None) -> dict:
     audit_dir = os.path.join(args.output, "audit")
     manifest_dir = os.path.join(args.output, "manifests")
 
-    pages = io.read_pages(spark, args.input)
+    reader = io.read_pages_lenient if args.lenient_schema else io.read_pages
+    pages = reader(spark, args.input)
     pages = pages.withColumn(
         C.PARTITION_COL, F.date_format("warc_ts", "yyyy-MM"))
 
