@@ -144,6 +144,10 @@ SCRUB_PATTERNS.append(
 # ---------------------------------------------------------------------------
 PARTITION_COL = "partition_id"       # derived: date_format(warc_ts,'yyyy-MM')
 SALT_BUCKETS = 16                    # salt modulus for skewed-host repartition
+# Broadcast the url-dedup flag frame when the duplicated-url set is at
+# most this many rows (~60 B/row ⇒ ≤ ~300 MB build side); beyond it the
+# flag join falls back to a shuffle join.
+BROADCAST_FLAGS_MAX_ROWS = 5_000_000
 
 # Float rounding applied before any cross-engine comparison.
 SCORE_DECIMALS = 6

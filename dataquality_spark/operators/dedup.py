@@ -43,31 +43,11 @@ from pyspark.sql.types import ArrayType, LongType
 _MERSENNE = (1 << 61) - 1
 
 # Intermediate frames the pair operators persist (signature/base tables
-# feeding both sides of a self-join AND the verification rejoin). A
-# lazy-returning operator cannot unpersist before its caller
-# materializes, so callers own the lifecycle: materialize the returned
-# frame, then call `unpersist_all()` (bench.py and the CLI jobs do).
-_PERSISTED: list[DataFrame] = []
-
-
-def _track_persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
-
-
-def unpersist_all() -> int:
-    """Release every intermediate cache created by the pair operators
-    since the last call. Returns how many frames were released."""
-    n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
-    return n
+# feeding both sides of a self-join AND the verification rejoin) go
+# through the shared tracked-persist lifecycle — callers materialize,
+# then call `unpersist_all()` (re-exported from ..caching).
+from ..caching import track_persist as _track_persist  # noqa: E402
+from ..caching import unpersist_all  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

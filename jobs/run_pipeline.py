@@ -120,6 +120,8 @@ def _run(argv: list[str] | None = None) -> dict:
                        [(r[C.PARTITION_COL], r.n) for r in per_part],
                        finished)
     enriched.unpersist()
+    from dataquality_spark.caching import unpersist_all
+    unpersist_all()  # release the dedup-flags cache
 
     stats = {"n_docs": n_docs, "n_partitions": len(per_part),
              "elapsed_sec": round(elapsed, 3),
