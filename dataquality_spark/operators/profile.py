@@ -112,34 +112,44 @@ def exact_percentiles(df: DataFrame,
                       col_probs: dict[str, list[tuple[float, str]]],
                       round_decimals: int = 4,
                       range_partitions: int = 32,
-                      approx: bool = False) -> DataFrame:
-    """Interpolated percentiles as ONE wide row, without ever buffering
-    raw values in an aggregation state.
+                      approx: bool = False,
+                      method: str = "histogram",
+                      sketch_accuracy: int = 10_000) -> DataFrame:
+    """EXACT interpolated percentiles (DuckDB quantile_cont / Spark
+    percentile semantics) as ONE wide row, without ever buffering raw
+    values in an aggregation state.
 
     ``col_probs``: {column: [(prob, output_alias), ...]}.
 
     Spark's built-in exact ``percentile()`` collects every value of a
     group into one aggregation buffer — an OOM/sort explosion at 10^9+
-    rows. This operator is the scale-safe exact formulation:
+    rows. Two scale-safe exact formulations:
 
-      1. tag+union the target columns (one scan), groupBy (tag, value)
-         count — a distributed partial+final HashAggregate, so each
-         task holds counts, never value arrays;
-      2. repartitionByRange on (tag, value), per-partition running sum
-         (window over a range partition), plus a per-(tag, partition)
-         subtotal frame whose prefix sum gives each partition's global
-         offset — the classic two-phase distributed cumulative sum.
-         Both branches hang off the SAME range exchange (verified
-         ReusedExchange in the plan), so partition ids agree;
-      3. broadcast-join the tiny target table, keep the rows that
-         bracket ranks floor(k)/ceil(k) for k = (n-1)·p, and fold them
-         into one row with linear interpolation (DuckDB
-         quantile_cont / Spark percentile semantics).
+    ``method="sketch"`` — sketch-bracketed exact selection, zero wide
+    shuffles:
+      1. one scan: per-column non-null counts + a GK approx_percentile
+         sketch queried a rank-margin below/above each target — GK's
+         DETERMINISTIC ε = 1/accuracy bound makes the returned value
+         window provably contain the target ranks;
+      2. one scan: exact count of values below each window (map-side
+         combined conditional sums);
+      3. one scan: the in-window values only (≈ 6·n/accuracy rows by
+         the sketch guarantee) → tiny groupBy + running sum → the ≤2
+         bracketing rows per percentile reach the driver.
+      Columns with n < 4·accuracy skip the window (the whole column is
+      already tiny). Best when partial sketches stay small — i.e. up to
+      n ≈ accuracy², beyond which the final sketch merge concentrates
+      on one reducer.
 
-    No driver-side collect anywhere; every shuffle carries (tag, value,
-    count) triples. ``approx=True`` switches to approx_percentile for
-    the cheapest possible single-pass sketch at extreme scale (not used
-    by the exact-matching contract query).
+    ``method="histogram"`` (default) — distributed (value, count)
+    histogram → repartitionByRange two-phase cumulative ranks → bracket
+    rows. One groupBy + one range shuffle of the DISTINCT values; no
+    sketch state anywhere — the robust choice at 10^11+ rows with
+    high-cardinality columns, and locally both methods floor at the
+    same ~3-job overhead (measured equal at sf0.1).
+
+    ``approx=True`` short-circuits to the raw approx_percentile sketch
+    (rank error ≤ n/accuracy, cheapest possible single pass).
     """
     aliases = [a for ps in col_probs.values() for _, a in ps]
     if approx:
@@ -147,11 +157,19 @@ def exact_percentiles(df: DataFrame,
         for col, ps in col_probs.items():
             for p, alias in ps:
                 aggs.append(F.round(
-                    F.expr(f"approx_percentile({col}, {p}, 10000)")
+                    F.expr(f"approx_percentile({col}, {p}, "
+                           f"{sketch_accuracy})")
                     .cast("double"), round_decimals).alias(alias))
         return df.agg(*aggs)
 
     spark = df.sparkSession
+    if method == "sketch":
+        out = _sketch_percentile_targets(df, col_probs, sketch_accuracy)
+        one = spark.createDataFrame(
+            [tuple(out[a] for a in aliases)],
+            ", ".join(f"`{a}` double" for a in aliases))
+        return one.select(*[F.round(F.col(a), round_decimals).alias(a)
+                            for a in aliases])
     structs = [F.struct(F.lit(col).alias("tag"),
                         F.col(col).cast("double").alias("v"))
                for col in col_probs]
@@ -261,6 +279,132 @@ def exact_percentiles(df: DataFrame,
     # to the other contract queries
     return one.select(*[F.round(F.col(a), round_decimals).alias(a)
                         for a in aliases])
+
+
+def _sketch_percentile_targets(df: DataFrame,
+                               col_probs: dict,
+                               accuracy: int) -> dict:
+    """{alias: exact interpolated value} via sketch-bracketed selection
+    (see exact_percentiles docstring). The GK bound is deterministic, so
+    the window ALWAYS contains ranks floor(k)/ceil(k); the exact answer
+    comes from integer counts, never from the sketch value itself.
+    """
+    # pass 1 — one scan: non-null counts + windows. Querying the sketch
+    # at p ± 3/accuracy gives a rank margin of 3·n/accuracy, which
+    # exceeds the ε·n = n/accuracy error by 2·n/accuracy ≥ 8 ranks
+    # whenever n ≥ 4·accuracy; below that the whole column is tiny and
+    # the window opens fully.
+    eps3 = 3.0 / accuracy
+    aggs = []
+    for col, ps in col_probs.items():
+        aggs.append(F.count(F.col(col)).alias(f"__n_{col}"))
+        qs = []
+        for p, alias in ps:
+            qs += [max(0.0, p - eps3), min(1.0, p + eps3)]
+        arr = ", ".join(repr(q) for q in qs)
+        aggs.append(F.expr(
+            f"approx_percentile(`{col}`, array({arr}), {accuracy})")
+            .alias(f"__w_{col}"))
+    row1 = df.agg(*aggs).collect()[0]
+
+    # per column: target ranks + a single [lo, hi] value window
+    want: dict[str, list[tuple[str, int, int, float]]] = {}
+    win: dict[str, tuple[float, float] | None] = {}
+    n_by: dict[str, int] = {}
+    for col, ps in col_probs.items():
+        n = int(row1[f"__n_{col}"] or 0)
+        n_by[col] = n
+        w = row1[f"__w_{col}"]
+        lows, highs = [], []
+        for j, (p, alias) in enumerate(ps):
+            if n == 0:
+                want.setdefault(col, []).append((alias, -1, -1, 0.0))
+                continue
+            k = (n - 1) * float(p)
+            lo, hi = int(k // 1), -int(-k // 1)
+            want.setdefault(col, []).append((alias, lo, hi, k - lo))
+            lows.append(float(w[2 * j]))
+            highs.append(float(w[2 * j + 1]))
+        if n == 0:
+            win[col] = None
+        elif n < 4 * accuracy:
+            win[col] = (float("-inf"), float("inf"))
+        else:
+            win[col] = (min(lows), max(highs))
+
+    # pass 2 — one scan: exact count strictly below each window start
+    # (the global offset of the window's first in-window rank)
+    aggs2 = []
+    for col, w in win.items():
+        if w is None:
+            continue
+        lo = w[0]
+        cond = (F.lit(False) if lo == float("-inf")
+                else (F.col(col) < F.lit(lo)))
+        aggs2.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+                     .alias(f"__b_{col}"))
+    below = {c: 0 for c in col_probs}
+    if aggs2:
+        row2 = df.agg(*aggs2).collect()[0]
+        for col, w in win.items():
+            if w is not None:
+                below[col] = int(row2[f"__b_{col}"] or 0)
+
+    # pass 3 — one scan: ONLY in-window values through a tiny groupBy +
+    # running sum; keep the ≤2 bracketing rows per target
+    structs, preds = [], []
+    for col, w in win.items():
+        if w is None:
+            continue
+        lo, hi = w
+        pred = F.col(col).isNotNull()
+        if lo != float("-inf"):
+            pred = pred & (F.col(col) >= F.lit(lo)) \
+                        & (F.col(col) <= F.lit(hi))
+        structs.append(F.when(pred, F.struct(
+            F.lit(col).alias("tag"),
+            F.col(col).cast("double").alias("v"))))
+    by_tag: dict[str, list[tuple[int, int, float]]] = {}
+    if structs:
+        sub = (df.select(F.explode(F.array_compact(F.array(*structs)))
+                         .alias("s"))
+               .select("s.tag", "s.v")
+               .groupBy("tag", "v").agg(F.count(F.lit(1)).alias("cnt")))
+        w_cum = (Window.partitionBy("tag").orderBy("v")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = sub.withColumn("lcum", F.sum("cnt").over(w_cum))
+        brack = F.lit(False)
+        for col, ps in want.items():
+            if win[col] is None:
+                continue
+            hit = F.lit(False)
+            for alias, lo, hi, frac in ps:
+                for idx in (lo, hi):
+                    li = idx - below[col]
+                    hit = hit | ((F.col("lcum") - F.col("cnt") <= li)
+                                 & (F.col("lcum") > li))
+            brack = brack | ((F.col("tag") == col) & hit)
+        for r in cum.filter(brack).collect():
+            g = below[r["tag"]] + r["lcum"]
+            by_tag.setdefault(r["tag"], []).append(
+                (g - r["cnt"], g, r["v"]))
+
+    def value_at(tag: str, idx: int) -> float:
+        for prev, cumv, v in by_tag.get(tag, []):
+            if prev <= idx < cumv:
+                return v
+        raise AssertionError(
+            f"rank {idx} not bracketed for {tag} — sketch window bug")
+
+    out: dict[str, float | None] = {}
+    for col, ps in want.items():
+        for alias, lo, hi, frac in ps:
+            if lo < 0:
+                out[alias] = None
+                continue
+            vlo, vhi = value_at(col, lo), value_at(col, hi)
+            out[alias] = vlo + (vhi - vlo) * frac
+    return out
 
 
 def consistency_orphans(fact: DataFrame, dim: DataFrame,

@@ -394,3 +394,38 @@ def test_multimodal_resize_targets(spark, docs):
     non_img = out[out.modality != "image"]
     assert (non_img.target_width == non_img.width).all()
     assert (~out.resized).all()        # stub never transcodes
+
+
+@pytest.mark.parametrize("method", ["histogram", "sketch"])
+def test_exact_percentiles_methods_agree(spark, method):
+    """Both exact formulations (shuffled histogram ranks vs
+    sketch-bracketed selection) produce the same interpolated values,
+    including heavy duplication and the n < 4·accuracy small-column
+    regime of the sketch path."""
+    rng = np.random.default_rng(23)
+    a = np.round(rng.uniform(0, 100, 4001), 2)
+    b = np.repeat([1.0, 2.0, 2.0, 9.0], 1001)[:4001]   # pathological dups
+    pdf = pd.DataFrame({"a": a, "b": b})
+    df = spark.createDataFrame(pdf).repartition(5)
+    out = profile.exact_percentiles(df, {
+        "a": [(0.25, "a25"), (0.5, "a50"), (0.75, "a75")],
+        "b": [(0.5, "b50"), (0.99, "b99")],
+    }, method=method, sketch_accuracy=1000).collect()[0]
+    assert out.a25 == round(float(np.quantile(a, 0.25)), 4)
+    assert out.a50 == round(float(np.quantile(a, 0.5)), 4)
+    assert out.a75 == round(float(np.quantile(a, 0.75)), 4)
+    assert out.b50 == round(float(np.quantile(b, 0.5)), 4)
+    assert out.b99 == round(float(np.quantile(b, 0.99)), 4)
+
+
+def test_exact_percentiles_sketch_large_n(spark):
+    """n ≫ 4·accuracy exercises the real sketch-window path (accuracy
+    kept low so the window is narrow relative to the data)."""
+    rng = np.random.default_rng(31)
+    x = np.round(rng.normal(500, 100, 60_000), 2)
+    df = spark.createDataFrame(pd.DataFrame({"x": x})).repartition(7)
+    out = profile.exact_percentiles(
+        df, {"x": [(0.5, "x50"), (0.9, "x90")]},
+        method="sketch", sketch_accuracy=1000).collect()[0]
+    assert out.x50 == round(float(np.quantile(x, 0.5)), 4)
+    assert out.x90 == round(float(np.quantile(x, 0.9)), 4)
