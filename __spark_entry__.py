@@ -275,6 +275,18 @@ def q_percentiles(spark, sf_dir):
     })
 
 
+def q_percentiles_sketch(spark, sf_dir):
+    """Same exact quantiles via the sketch-bracketed selection method
+    (zero wide shuffles; see profile.exact_percentiles method='sketch')
+    — must equal the quantile_cont oracle bit-for-bit like the
+    histogram path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile.exact_percentiles(li, {
+        "l_extendedprice": [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")],
+        "l_quantity": [(0.5, "qty_p50")],
+    }, method="sketch")
+
+
 def q_asof_purchase(spark, sf_dir):
     """Backward as-of join: each click aligned with the user's latest
     prior (or simultaneous) purchase — union + last(ignorenulls) window,
@@ -640,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_status": q_rollup_status,
         "set_ops": q_set_ops,
         "percentiles": q_percentiles,
+        "percentiles_sketch": q_percentiles_sketch,
         "asof_purchase": q_asof_purchase,
         "sessionize": q_sessionize,
         "host_extract": q_host_extract,
@@ -949,6 +962,14 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "percentiles": """
+            SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+            FROM lineitem
+        """,
+
+        "percentiles_sketch": """
             SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
                    ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                    ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
