@@ -70,3 +70,33 @@ def test_perplexity_positive_and_deterministic(t):
 def test_langid_on_pure_stopwords_matches_some_lang(words):
     p, _ = langid.score_texts(pd.Series([" ".join(words)]))
     assert p[0] in set(C.LANGS)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenize_matches_contract_regex(t):
+    """functions.tokenize ≡ the documented contract regex
+    (config.WORD_SPLIT_REGEX) ≡ the oracle's replace-chain split, on
+    arbitrary unicode — NBSP//\\u2028 and friends must stay INSIDE
+    words; only ASCII ' \\n\\t\\r' split."""
+    from dataquality_spark.functions import tokenize
+
+    by_regex = [w for w in re.split(C.WORD_SPLIT_REGEX, t) if w]
+    by_oracle = [w for w in t.replace("\t", " ").replace("\r", " ")
+                 .replace("\n", " ").split(" ") if w]
+    assert tokenize(t) == by_regex == by_oracle
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_char_count_identities(t):
+    """The memchr count identities the fused UDF relies on: sum of word
+    lengths == len(t) − #ASCII-ws chars; per-symbol counts sum to the
+    translate-delete delta."""
+    from dataquality_spark.functions import tokenize
+
+    n_ws = sum(t.count(ch) for ch in " \n\t\r")
+    assert sum(len(w) for w in tokenize(t)) == len(t) - n_ws
+    del_sym = {ord(c): None for c in C.SYMBOL_CHARS}
+    assert sum(t.count(ch) for ch in C.SYMBOL_CHARS) == \
+        len(t) - len(t.translate(del_sym))
