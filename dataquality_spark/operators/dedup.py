@@ -146,13 +146,28 @@ def make_band_udf(num_perm: int = 128, bands: int = 16, seed: int = 7):
     return band_keys
 
 
+def _drop_hot_buckets(banded: DataFrame, key: str,
+                      max_bucket: int | None) -> DataFrame:
+    """Drop candidate buckets larger than the cap before a self-join:
+    slim (key, count) aggregate (map-side combined) + broadcast
+    anti-join — bounds in-bucket pair generation at C(cap, 2) per
+    bucket regardless of corpus pathology. Hot buckets are few by
+    definition, so the anti-join build side stays tiny."""
+    if max_bucket is None:
+        return banded
+    hot = (banded.groupBy(key).agg(F.count(F.lit(1)).alias("_sz"))
+           .filter(F.col("_sz") > max_bucket).select(key))
+    return banded.join(F.broadcast(hot), key, "left_anti")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, num_perm: int = 128,
                       bands: int = 16, jaccard_threshold: float = 0.5,
-                      ) -> DataFrame:
+                      max_bucket: int | None = 10_000) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) with exact verification.
 
     Stages: shingle (codegen) → minhash bands (one Arrow UDF) → explode →
+    hot-bucket cap (boilerplate-identical docs belong to exact_dedup) →
     in-bucket self-join → distinct candidate pairs → exact Jaccard on
     shingle arrays → threshold filter.
     """
@@ -166,7 +181,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       .alias("shingles"))
             .withColumn("band_key", band_udf("shingles")))
     base = _track_persist(base)
-    buckets = (base.select("id", F.explode("band_key").alias("bk")))
+    buckets = _drop_hot_buckets(
+        base.select("id", F.explode("band_key").alias("bk")), "bk",
+        max_bucket)
     l = buckets.alias("l")
     r = buckets.alias("r")
     cand = (l.join(r, (F.col("l.bk") == F.col("r.bk"))
@@ -326,14 +343,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
         "id", "simhash",
         F.explode(F.array(*_simhash_probe_keys(F.col("simhash"))))
         .alias("bk"))
-    if max_bucket is not None:
-        # hot buckets are few by definition: find them with a slim
-        # (bk, count) aggregate (map-side combined) and drop via
-        # broadcast anti-join — cheaper than window-counting the full
-        # exploded frame.
-        hot = (banded.groupBy("bk").agg(F.count(F.lit(1)).alias("_sz"))
-               .filter(F.col("_sz") > max_bucket).select("bk"))
-        banded = banded.join(F.broadcast(hot), "bk", "left_anti")
+    banded = _drop_hot_buckets(banded, "bk", max_bucket)
     l = banded.alias("l")
     r = banded.alias("r")
     cand = (l.join(r, (F.col("l.bk") == F.col("r.bk"))
@@ -413,9 +423,13 @@ def cosine_cols(a, b):
 def embedding_neardup_pairs(df: DataFrame, emb_col: str, id_col: str,
                             dim: int, n_planes: int = 12,
                             cosine_threshold: float = 0.95,
-                            n_tables: int = 4) -> DataFrame:
+                            n_tables: int = 4,
+                            max_bucket: int | None = 10_000) -> DataFrame:
     """Pairs with cosine ≥ threshold. `n_tables` independent hyperplane
-    banks raise recall (a pair is a candidate if ANY bank collides)."""
+    banks raise recall (a pair is a candidate if ANY bank collides);
+    `max_bucket` drops degenerate buckets (e.g. a dominant embedding
+    cluster collapsing onto one hyperplane cell) before the self-join.
+    """
     base = _track_persist(df.select(F.col(id_col).alias("id"),
                                 F.col(emb_col).alias("emb")))
     bucket_cols = []
@@ -423,8 +437,9 @@ def embedding_neardup_pairs(df: DataFrame, emb_col: str, id_col: str,
         udf = make_hyperplane_udf(dim, n_planes, seed=11 + t)
         bucket_cols.append(
             F.struct(F.lit(t).alias("t"), udf("emb").alias("b")))
-    buckets = (base.withColumn("bk", F.explode(F.array(*bucket_cols)))
-               .select("id", "bk"))
+    buckets = _drop_hot_buckets(
+        base.withColumn("bk", F.explode(F.array(*bucket_cols)))
+            .select("id", "bk"), "bk", max_bucket)
     l = buckets.alias("l")
     r = buckets.alias("r")
     cand = (l.join(r, (F.col("l.bk") == F.col("r.bk"))
