@@ -116,7 +116,7 @@ def main() -> None:
 
         from tools.scaling_bench import measure
 
-        n_scale = max(n_pages, 160_000)
+        n_scale = max(n_pages, 120_000)
         scale_pd = synth.gen_pages(n_scale, seed=42)[
             ["url", "warc_ts", "html", "text", "lang"]]
         scale_dir = os.path.join(
