@@ -143,6 +143,11 @@ def main() -> None:
             "n_to_4n_pairs": ref.get("n_to_4n_pairs"),
             "amdahl_fit": ref.get("amdahl_fit"),
             "command": ref.get("command")}
+        scaling["note"] = (
+            "live probe = one shared-VM window and is steal-sensitive "
+            "(neighbor bursts inflate trials up to 4x); committed_sweep "
+            "is the canonical interleaved six-size min-of-trials "
+            "artifact, reproducible via its command")
     except Exception:
         pass
 
