@@ -429,3 +429,13 @@ def test_exact_percentiles_sketch_large_n(spark):
         method="sketch", sketch_accuracy=1000).collect()[0]
     assert out.x50 == round(float(np.quantile(x, 0.5)), 4)
     assert out.x90 == round(float(np.quantile(x, 0.9)), 4)
+
+
+@pytest.mark.parametrize("method", ["histogram", "sketch"])
+def test_exact_percentiles_empty_input(spark, method):
+    """Zero rows ⇒ NULL percentiles (SQL semantics), no errors, both
+    methods."""
+    df = spark.createDataFrame([], "x double")
+    out = profile.exact_percentiles(
+        df, {"x": [(0.5, "x50"), (0.9, "x90")]}, method=method).collect()[0]
+    assert out.x50 is None and out.x90 is None
