@@ -30,8 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dataquality_spark import config as C  # noqa: E402
 from dataquality_spark import pipeline, synth  # noqa: E402
-from dataquality_spark.operators import (dedup, joins, multimodal,  # noqa: E402
-                                         profile, similarity, text_analysis)
+from dataquality_spark.operators import (curation, dedup, joins,  # noqa: E402
+                                         multimodal, profile, similarity,
+                                         text_analysis)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -469,6 +470,78 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation (decontamination / splits / mixing / line dedup)
+# ---------------------------------------------------------------------------
+
+def _eval_slices(docs):
+    """Deterministic benchmark/eval set: a 30-word span (words 6..35) of
+    every 10th document with ≥40 words — so the operator must flag those
+    source docs (and their planted exact dups) and nothing else."""
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                     lambda w: w != "")
+    return (docs.where(F.col("doc_id") % 10 == 0)
+            .select(words.alias("w")).where(F.size("w") >= 40)
+            .select(F.concat_ws(" ", F.slice("w", 6, 30)).alias("text")))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark 13-gram decontamination (GPT-3/Llama-style): distinct
+    word-13-gram overlap of every training doc against a broadcast eval
+    shingle set; flag ≥1 shared shingle. Oracle builds the identical
+    gram strings with DuckDB list lambdas (Spark hashes them with
+    xxhash64 first — counts agree barring 2^-64 collisions)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.decontaminate(docs, _eval_slices(docs), "text",
+                                   "doc_id", n=13, min_overlap=1)
+            .orderBy("doc_id"))
+
+
+def q_split_sample(spark, sf_dir):
+    """Deterministic train/val/test split by key hash (no rand(): stable
+    across runs, cluster sizes and task retries). Contract uses the
+    portable LCG bucket so DuckDB reproduces it bit-identically; the
+    production path is xxhash64(key, salt)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.split_assign(docs, "doc_id",
+                                  {"train": 0.8, "val": 0.1, "test": 0.1},
+                                  buckets=1000, method="lcg")
+            .select("doc_id", F.col("bucket").cast("long").alias("bucket"),
+                    "split")
+            .orderBy("doc_id"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Dataset-mixing weights: per-source deterministic sampling rates
+    via a broadcast rates table (rate = 0.1 + 0.05·(src_idx mod 10)),
+    keep iff lcg_bucket(doc_id) < rate·10^6."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = {f"src{i}": (100_000 + 50_000 * (i % 10)) / 1_000_000
+             for i in range(20)}
+    return (curation.stratified_sample(docs, "source", rates, "doc_id",
+                                       buckets=1_000_000, method="lcg")
+            .select("doc_id", "source",
+                    F.col("bucket").cast("long").alias("bucket"))
+            .orderBy("doc_id"))
+
+
+def q_dedupe_lines(spark, sf_dir):
+    """Gopher-style repeated-line removal: documents get deterministic
+    multi-line structure (' table ' → newline) plus two planted copies
+    of their first line; the operator drops repeats keeping first
+    occurrence and reports duplicate-line stats. Deduped text must be
+    byte-identical to the DuckDB list_position oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.replace(F.coalesce(F.col("text"), F.lit("")),
+                   F.lit(" table "), F.lit("\n"))
+    line1 = F.split(t2, "\n").getItem(0)
+    docs2 = docs.withColumn("mtext", F.concat_ws("\n", t2, line1, line1))
+    return (curation.dedupe_lines(docs2, "mtext")
+            .select("doc_id", "text_dedup", "n_lines", "n_unique_lines",
+                    "dup_line_frac")
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
 
@@ -667,6 +740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
+        "split_sample": q_split_sample,
+        "stratified_sample": q_stratified_sample,
+        "dedupe_lines": q_dedupe_lines,
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -1107,6 +1184,96 @@ def oracle_sql() -> dict[str, str]:
                          (len(sa) + len(sb)
                           - len(list_intersect(sa, sb))), 6) AS jaccard
             FROM sh ORDER BY id_a
+        """,
+
+        # Benchmark decontamination ground truth: identical 13-gram
+        # strings via list lambdas; eval set = words[6:35] of every
+        # 10th doc with ≥40 words (same construction as the Spark side).
+        "decontaminate": f"""
+            WITH w AS (
+              SELECT doc_id, {_sql_words('text')} AS words FROM documents
+            ), ev AS (
+              SELECT words[6:35] AS ew FROM w
+              WHERE doc_id % 10 = 0 AND len(words) >= 40
+            ), eg AS (
+              SELECT list(DISTINCT g) AS grams FROM (
+                SELECT unnest(list_filter(list_transform(ew, (x, i) ->
+                  CASE WHEN i + 12 <= len(ew)
+                       THEN array_to_string(ew[i:i+12], ' ') END),
+                  s -> s IS NOT NULL)) AS g FROM ev)
+            ), sh AS (
+              SELECT doc_id, list_distinct(list_filter(
+                list_transform(words, (x, i) ->
+                  CASE WHEN i + 12 <= len(words)
+                       THEN array_to_string(words[i:i+12], ' ') END),
+                s -> s IS NOT NULL)) AS sh
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(len(sh) AS BIGINT) AS n_shingles,
+                   CAST(len(list_intersect(sh, grams)) AS BIGINT)
+                     AS n_matched,
+                   len(list_intersect(sh, grams)) >= 1 AS contaminated
+            FROM sh CROSS JOIN eg ORDER BY doc_id
+        """,
+
+        # Deterministic LCG split: pure integer arithmetic, portable.
+        "split_sample": """
+            WITH b AS (
+              SELECT doc_id,
+                     (((doc_id % 2147483648) * 1103515245 + 12345)
+                      % 2147483648) % 1000 AS bucket
+              FROM documents)
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 800 THEN 'train'
+                        WHEN bucket < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
+        """,
+
+        # Stratified mixing: integer per-source thresholds, LCG bucket.
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     (((doc_id % 2147483648) * 1103515245 + 12345)
+                      % 2147483648) % 1000000 AS bucket,
+                     100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10)
+                       AS thr
+              FROM documents)
+            SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket
+            FROM b WHERE bucket < thr ORDER BY doc_id
+        """,
+
+        # Repeated-line removal: first-occurrence filter via
+        # list_position (DuckDB lambda index i is 1-based; Spark's is
+        # 0-based — both compare position-of-first == own index).
+        "dedupe_lines": """
+            WITH m AS (
+              SELECT doc_id,
+                     replace(coalesce(text, ''), ' table ', chr(10)) AS t2
+              FROM documents
+            ), m2 AS (
+              SELECT doc_id,
+                     t2 || chr(10) || string_split(t2, chr(10))[1] ||
+                     chr(10) || string_split(t2, chr(10))[1] AS mtext
+              FROM m
+            ), l AS (
+              SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM m2
+            ), k AS (
+              SELECT doc_id, lines,
+                     list_filter(lines, (x, i) ->
+                                 list_position(lines, x) = i) AS kept
+              FROM l
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS text_dedup,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_unique_lines,
+                   ROUND(CASE WHEN len(lines) > 0
+                              THEN (len(lines) - len(kept))
+                                   / CAST(len(lines) AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_line_frac
+            FROM k ORDER BY doc_id
         """,
 
         # Brute-force near-dup ground truth: shingle inverted index

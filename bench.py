@@ -32,7 +32,7 @@ HEADLINE = [
     "revenue_by_segment", "topk_customers", "window_rank", "events_json",
     "rollup_status", "percentiles", "asof_purchase", "sessionize",
     "token_counts", "quality_score", "langid_vote", "fingerprints",
-    "exact_dedup", "minhash_neardup", "simhash_neardup",
+    "exact_dedup", "minhash_neardup", "simhash_neardup", "decontaminate",
     "embedding_topk", "embedding_neardup", "multimodal_meta", "scrub_sql",
 ]
 
@@ -104,12 +104,16 @@ def main() -> None:
     pages.unpersist()
 
     # Scaling evidence (north rule: efficiency N→4N): the SAME job at
-    # local[8] and local[32] over the SAME parquet input, fresh cold-JVM
+    # local[N] and local[4N] over the SAME parquet input, fresh cold-JVM
     # subprocess per size, min-of-trials — full pipeline plus the
     # isolated fused-model stage (the per-executor compute profile that
     # extrapolates to real multi-node clusters, which don't share this
-    # sandbox's single memory bus). Wider sweep + Amdahl fit lives in
-    # BENCH/scaling_r02.json (tools/scaling_bench.py --fit).
+    # sandbox's single memory bus). N=2 (→ 4N=8) is the largest pair on
+    # this shared VM whose aggregate text traffic stays under the ~2 GB/s
+    # DRAM ceiling, so it measures the ENGINE's serial fraction rather
+    # than the host's bus (the 1..32-core sweep + Amdahl fit quantifying
+    # that ceiling lives in BENCH/scaling_r02.json via
+    # tools/scaling_bench.py --fit, attached below as committed_sweep).
     scaling = None
     try:
         import tempfile
@@ -124,11 +128,11 @@ def main() -> None:
         (spark.createDataFrame(scale_pd).repartition(64)
          .write.mode("overwrite").parquet(scale_dir))
         del scale_pd
-        # 2 interleaved rounds × 1 trial: a single noisy host window
+        # 3 interleaved rounds × 1 trial: a single noisy host window
         # can halve one size's throughput; min over interleaved rounds
         # is the noise-robust estimator (see BENCH/BASELINE.md; the
         # canonical wide sweep attached below is the primary evidence).
-        scaling = measure([8, 32], scale_dir, trials=1, alternate=2)
+        scaling = measure([2, 8], scale_dir, trials=1, alternate=3)
     except Exception as e:  # never let the scaling probe kill the bench
         scaling = {"error": str(e)[:300]}
     # attach the committed wide-sweep artifact (1..32 cores, Amdahl fit,

@@ -1,0 +1,197 @@
+"""Training-data curation operators: benchmark decontamination,
+deterministic hash splits/sampling, stratified dataset mixing, and
+intra-document repeated-line removal.
+
+These are the corpus-curation steps a large-scale LLM training-data
+pipeline runs AFTER quality filtering (pipeline.decisions) and near-dup
+removal (operators.dedup) — the reference's uniqueness/validity
+dimensions (/root/reference/DataQuality_AI_CaseStudy.md:144-155)
+generalized to the web-corpus setting:
+
+* decontaminate      flag training docs that share word n-grams with an
+                     evaluation/benchmark set (the GPT-3/Llama-style
+                     13-gram overlap rule).
+* split_assign       deterministic, seed-stable train/val/test split by
+                     key hash — no `rand()`, so re-runs and resumed jobs
+                     assign identical splits.
+* stratified_sample  per-stratum deterministic sampling rates (dataset
+                     mixing weights) via a broadcast rates table.
+* dedupe_lines       drop repeated lines within a document, keeping the
+                     first occurrence (Gopher-style repetition removal),
+                     plus duplicate-line statistics.
+
+Scale design (the point at 100 TB):
+
+* decontaminate: the eval set's distinct shingle hashes are tiny
+  (benchmarks are ~10^4-10^6 docs → at most ~10^8 hashes, 8 B each) and
+  are BROADCAST; the training side explodes its shingle hashes map-side,
+  joins against the broadcast set, and only the MATCHED (doc, shingle)
+  rows — a vanishingly small fraction — reach the per-doc count shuffle.
+  Training text never shuffles; the output is a slim per-doc flag table
+  to join back on the id.
+* split_assign / stratified_sample: pure narrow projections —
+  xxhash64(key, salt) % buckets compared to integer thresholds, zero
+  shuffle, whole-stage codegen. Deterministic by construction: the same
+  key always lands in the same split on any cluster size, which is what
+  makes resumable/incremental ingestion possible (rand()-based sampling
+  is not reproducible across retries or task re-executions).
+* dedupe_lines: per-row array ops in codegen; the first-occurrence
+  filter is O(lines²) per document in the worst case, which is bounded
+  by the max-doc-length guard the quality pipeline applies upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_hashes
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+
+def eval_shingles(eval_df: DataFrame, text_col: str, n: int = 13) -> DataFrame:
+    """Distinct xxhash64'd word n-gram shingles of the eval set.
+
+    One column ``eval_shingle: long``. Aggregated to distinct so the
+    broadcast payload is minimal and per-match counts stay exact.
+    """
+    return (eval_df
+            .select(F.explode(shingle_hashes(F.col(text_col), n))
+                    .alias("eval_shingle"))
+            .distinct())
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
+                  id_col: str, n: int = 13,
+                  min_overlap: int = 1) -> DataFrame:
+    """Per training doc: distinct n-gram shingles shared with the eval
+    set and a `contaminated` flag (≥ min_overlap shared shingles).
+
+    Output: (id_col, n_shingles, n_matched, contaminated) — a slim flag
+    table; callers join it back on the id (text never shuffles here).
+
+    The eval shingle set is broadcast: the explode→join runs map-side
+    and only matched rows enter the per-doc aggregation shuffle.
+    """
+    ev = eval_shingles(eval_df, text_col, n)
+    sh = train.select(F.col(id_col),
+                      shingle_hashes(F.col(text_col), n).alias("_sh"))
+    matched = (sh.select(id_col, F.explode("_sh").alias("_s"))
+               .join(F.broadcast(ev), F.col("_s") == F.col("eval_shingle"))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_matched")))
+    return (sh.select(id_col, F.size("_sh").cast("long").alias("n_shingles"))
+            .join(matched, id_col, "left")
+            .withColumn("n_matched",
+                        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long"))
+            .withColumn("contaminated",
+                        F.col("n_matched") >= F.lit(min_overlap)))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash bucketing / splits / stratified sampling
+# ---------------------------------------------------------------------------
+
+# glibc LCG constants: portable int64 arithmetic (no overflow for any
+# non-negative key < 2^31 after the pre-reduction) that DuckDB evaluates
+# bit-identically — the SQL-oracle-checkable twin of the xxhash64 path.
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483648
+
+
+def hash_bucket(key, buckets: int = 1_000_000, salt: int = 0,
+                method: str = "xxhash64"):
+    """Deterministic bucket in [0, buckets) for a key column.
+
+    method='xxhash64' (production): pmod(xxhash64(key, salt), buckets) —
+    full-width avalanche, JVM codegen.
+    method='lcg' (portable): glibc LCG over the key's low 31 bits —
+    bit-identical in ANSI SQL engines, used by the oracle-checked
+    contract queries. Keys must be non-negative integers for this path.
+    """
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(buckets))
+    if method == "lcg":
+        h = ((key % _LCG_M) * _LCG_A + _LCG_C + salt) % _LCG_M
+        return h % F.lit(buckets)
+    raise ValueError(f"unknown hash method: {method}")
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 fracs: dict[str, float] | None = None,
+                 buckets: int = 1_000_000, salt: int = 0,
+                 method: str = "xxhash64") -> DataFrame:
+    """Assign each row a deterministic train/val/test split by key hash.
+
+    fracs: ordered {split_name: fraction}; fractions must sum to ≤ 1.0
+    (any remainder falls into the last split). Adds `bucket` and
+    `split` columns; the assignment is a pure projection (no shuffle)
+    and stable across runs, cluster sizes, and task retries.
+    """
+    fracs = fracs or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = hash_bucket(F.col(key_col), buckets, salt, method)
+    out = df.withColumn("bucket", b)
+    names = list(fracs)
+    cum, expr = 0.0, None
+    for name in names[:-1]:
+        cum += fracs[name]
+        thr = int(round(cum * buckets))
+        cond = F.col("bucket") < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return out.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, stratum_col: str,
+                      rates: dict[str, float], key_col: str,
+                      buckets: int = 1_000_000, salt: int = 0,
+                      default_rate: float = 0.0,
+                      method: str = "xxhash64") -> DataFrame:
+    """Deterministic per-stratum sampling (dataset-mixing weights).
+
+    Keeps a row iff hash_bucket(key) < rate(stratum) × buckets. The
+    rates dict becomes a broadcast-joined table, so 10^4+ strata cost
+    one map-side hash lookup per row — no per-stratum scans, no
+    shuffle, and the kept set is reproducible bit-for-bit.
+    """
+    spark = df.sparkSession
+    rate_rows = [(k, int(round(v * buckets))) for k, v in rates.items()]
+    rates_df = spark.createDataFrame(rate_rows, [stratum_col, "_thr"])
+    default_thr = int(round(default_rate * buckets))
+    b = hash_bucket(F.col(key_col), buckets, salt, method)
+    return (df.join(F.broadcast(rates_df), stratum_col, "left")
+            .withColumn("_thr", F.coalesce("_thr", F.lit(default_thr)))
+            .withColumn("bucket", b)
+            .where(F.col("bucket") < F.col("_thr"))
+            .drop("_thr"))
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repeated-line removal (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def dedupe_lines(df: DataFrame, text_col: str,
+                 out_col: str = "text_dedup") -> DataFrame:
+    """Remove duplicate lines within each document (keep first
+    occurrence, preserve order) and report duplicate-line stats.
+
+    Adds: out_col (deduped text), n_lines, n_unique_lines,
+    dup_line_frac (rounded to 6 dp). First-occurrence order is pinned
+    explicitly via array_position (not array_distinct, whose ordering
+    is an implementation detail), so the SQL oracle can mirror it with
+    list_position — byte-identical output text on both engines.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    n = F.size(lines).cast("long")
+    nu = F.size(kept).cast("long")
+    return (df
+            .withColumn(out_col, F.concat_ws("\n", kept))
+            .withColumn("n_lines", n)
+            .withColumn("n_unique_lines", nu)
+            .withColumn("dup_line_frac",
+                        F.round(F.when(n > 0, (n - nu) / n.cast("double"))
+                                .otherwise(F.lit(0.0)), 6)))

@@ -1,0 +1,130 @@
+"""Curation operators: decontamination, deterministic splits/sampling,
+repeated-line removal (operators/curation.py)."""
+
+from pyspark.sql import functions as F
+
+from dataquality_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota " \
+               "kappa lam mu nu xi omicron pi rho sigma tau"  # 19 words
+        train = _docs(spark, [
+            (1, base),                       # contains the eval 13-gram
+            (2, "totally different words " * 5),
+            (3, None),                       # NULL text → 0 shingles
+            (4, "short doc"),                # < n words → 0 shingles
+        ])
+        # eval doc = words 3..19 of base (17 words → five 13-grams)
+        ev = _docs(spark, [(100, " ".join(base.split()[2:]))])
+        out = curation.decontaminate(train, ev, "text", "doc_id",
+                                     n=13, min_overlap=1)
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert got[1]["contaminated"] and got[1]["n_matched"] == 5
+        assert got[1]["n_shingles"] == 7     # 19 words → 7 13-grams
+        for d in (2, 3, 4):
+            assert not got[d]["contaminated"] and got[d]["n_matched"] == 0
+        assert got[3]["n_shingles"] == 0 and got[4]["n_shingles"] == 0
+
+    def test_min_overlap_threshold(self, spark):
+        words = [f"w{i}" for i in range(20)]
+        train = _docs(spark, [(1, " ".join(words))])
+        ev = _docs(spark, [(9, " ".join(words[:13]))])  # exactly 1 shared
+        strict = curation.decontaminate(train, ev, "text", "doc_id",
+                                        n=13, min_overlap=2)
+        loose = curation.decontaminate(train, ev, "text", "doc_id",
+                                       n=13, min_overlap=1)
+        assert not strict.collect()[0]["contaminated"]
+        assert loose.collect()[0]["contaminated"]
+
+    def test_eval_set_is_broadcast(self, spark):
+        train = _docs(spark, [(i, f"doc number {i} body text") for i in
+                              range(10)])
+        ev = _docs(spark, [(0, "doc number 0 body text")])
+        out = curation.decontaminate(train, ev, "text", "doc_id", n=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestSplits:
+    def test_fractions_and_determinism(self, spark):
+        df = spark.range(20000).withColumnRenamed("id", "k")
+        for method in ("xxhash64", "lcg"):
+            out = curation.split_assign(df, "k",
+                                        {"train": 0.8, "val": 0.1,
+                                         "test": 0.1}, method=method)
+            counts = {r["split"]: r["n"] for r in
+                      out.groupBy("split").agg(F.count("*").alias("n"))
+                      .collect()}
+            assert sum(counts.values()) == 20000
+            assert abs(counts["train"] / 20000 - 0.8) < 0.02
+            assert abs(counts["val"] / 20000 - 0.1) < 0.01
+            # identical assignment on re-run (no rand() anywhere)
+            again = curation.split_assign(df, "k",
+                                          {"train": 0.8, "val": 0.1,
+                                           "test": 0.1}, method=method)
+            assert out.exceptAll(again).count() == 0
+
+    def test_salt_changes_assignment(self, spark):
+        df = spark.range(5000).withColumnRenamed("id", "k")
+        a = curation.split_assign(df, "k", {"a": 0.5, "b": 0.5}, salt=0)
+        b = curation.split_assign(df, "k", {"a": 0.5, "b": 0.5}, salt=1)
+        moved = (a.select("k", "split").join(
+            b.select("k", F.col("split").alias("s2")), "k")
+            .where("split <> s2").count())
+        assert moved > 1000  # ~half the keys re-bucket under a new salt
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.range(100).withColumnRenamed("id", "k")
+        out = curation.split_assign(df, "k")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure narrow projection
+
+
+class TestStratifiedSample:
+    def test_rates_monotone_nested(self, spark):
+        df = (spark.range(10000)
+              .select(F.col("id").alias("k"),
+                      (F.col("id") % 3).cast("string").alias("s")))
+        lo = curation.stratified_sample(df, "s", {"0": 0.2, "1": 0.5,
+                                                  "2": 0.0}, "k")
+        hi = curation.stratified_sample(df, "s", {"0": 0.6, "1": 0.9,
+                                                  "2": 0.0}, "k")
+        assert lo.select("k").exceptAll(hi.select("k")).count() == 0
+        n_lo = lo.groupBy("s").count().collect()
+        got = {r["s"]: r["count"] for r in n_lo}
+        assert abs(got["0"] / (10000 / 3) - 0.2) < 0.05
+        assert abs(got["1"] / (10000 / 3) - 0.5) < 0.05
+        assert "2" not in got
+
+    def test_default_rate_for_unknown_stratum(self, spark):
+        df = (spark.range(1000)
+              .select(F.col("id").alias("k"), F.lit("zzz").alias("s")))
+        none = curation.stratified_sample(df, "s", {"a": 1.0}, "k")
+        all_ = curation.stratified_sample(df, "s", {"a": 0.0}, "k",
+                                          default_rate=1.0)
+        assert none.count() == 0 and all_.count() == 1000
+
+
+class TestDedupeLines:
+    def test_first_occurrence_kept(self, spark):
+        df = _docs(spark, [(1, "a\nb\na\nc\nb\na"),
+                           (2, "x\ny"),
+                           (3, ""),
+                           (4, None)])
+        out = {r["doc_id"]: r for r in
+               curation.dedupe_lines(df, "text").collect()}
+        assert out[1]["text_dedup"] == "a\nb\nc"
+        assert (out[1]["n_lines"], out[1]["n_unique_lines"]) == (6, 3)
+        assert out[1]["dup_line_frac"] == 0.5
+        assert out[2]["text_dedup"] == "x\ny"
+        assert out[2]["dup_line_frac"] == 0.0
+        # empty and NULL text → single empty line, nothing dropped
+        for d in (3, 4):
+            assert out[d]["text_dedup"] == ""
+            assert out[d]["dup_line_frac"] == 0.0
