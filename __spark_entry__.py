@@ -524,6 +524,30 @@ def q_stratified_sample(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _multiline_docs(docs):
+    """Deterministic multi-line restructuring of the documents corpus:
+    ' table ' → newline, plus two planted copies of each doc's first
+    line (within-doc dups); the corpus's planted exact-dup docs supply
+    cross-document dups."""
+    t2 = F.replace(F.coalesce(F.col("text"), F.lit("")),
+                   F.lit(" table "), F.lit("\n"))
+    line1 = F.split(t2, "\n").getItem(0)
+    return docs.withColumn("mtext", F.concat_ws("\n", t2, line1, line1))
+
+
+def q_dedupe_paragraphs(spark, sf_dir):
+    """C4/Dolma-style GLOBAL paragraph dedup: a paragraph repeated
+    anywhere in the corpus survives only at its first (doc_id, pos)
+    occurrence; documents are rebuilt in place from a broadcast
+    drop-list (text never shuffles). Oracle = DuckDB row_number over
+    paragraph occurrences; rebuilt text must be byte-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.dedupe_paragraphs_global(_multiline_docs(docs),
+                                              "mtext", "doc_id")
+            .select("doc_id", "n_paragraphs", "n_kept", "text_kept")
+            .orderBy("doc_id"))
+
+
 def q_dedupe_lines(spark, sf_dir):
     """Gopher-style repeated-line removal: documents get deterministic
     multi-line structure (' table ' → newline) plus two planted copies
@@ -531,11 +555,7 @@ def q_dedupe_lines(spark, sf_dir):
     occurrence and reports duplicate-line stats. Deduped text must be
     byte-identical to the DuckDB list_position oracle."""
     docs = _t(spark, sf_dir, "documents")
-    t2 = F.replace(F.coalesce(F.col("text"), F.lit("")),
-                   F.lit(" table "), F.lit("\n"))
-    line1 = F.split(t2, "\n").getItem(0)
-    docs2 = docs.withColumn("mtext", F.concat_ws("\n", t2, line1, line1))
-    return (curation.dedupe_lines(docs2, "mtext")
+    return (curation.dedupe_lines(_multiline_docs(docs), "mtext")
             .select("doc_id", "text_dedup", "n_lines", "n_unique_lines",
                     "dup_line_frac")
             .orderBy("doc_id"))
@@ -744,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sample": q_split_sample,
         "stratified_sample": q_stratified_sample,
         "dedupe_lines": q_dedupe_lines,
+        "dedupe_paragraphs": q_dedupe_paragraphs,
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -1274,6 +1295,43 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(len(lines) AS DOUBLE)
                               ELSE 0.0 END, 6) AS dup_line_frac
             FROM k ORDER BY doc_id
+        """,
+
+        # Global paragraph dedup ground truth: first (doc_id, pos)
+        # occurrence per paragraph via row_number; parallel unnest
+        # zips the paragraph with its 1-based position.
+        "dedupe_paragraphs": """
+            WITH m AS (
+              SELECT doc_id,
+                     replace(coalesce(text, ''), ' table ', chr(10)) AS t2
+              FROM documents
+            ), m2 AS (
+              SELECT doc_id,
+                     t2 || chr(10) || string_split(t2, chr(10))[1] ||
+                     chr(10) || string_split(t2, chr(10))[1] AS mtext
+              FROM m
+            ), l AS (
+              SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM m2
+            ), e AS (
+              SELECT doc_id, unnest(lines) AS para,
+                     unnest(range(1, len(lines) + 1)) AS pos
+              FROM l
+            ), r AS (
+              SELECT doc_id, para, pos,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) AS rn
+              FROM e
+            ), a AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS text_kept,
+                     COUNT(*) AS n_kept
+              FROM r WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   CAST(len(l.lines) AS BIGINT) AS n_paragraphs,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.text_kept, '') AS text_kept
+            FROM l LEFT JOIN a USING (doc_id) ORDER BY l.doc_id
         """,
 
         # Brute-force near-dup ground truth: shingle inverted index

@@ -173,6 +173,50 @@ def stratified_sample(df: DataFrame, stratum_col: str,
 # ---------------------------------------------------------------------------
 
 
+def dedupe_paragraphs_global(df: DataFrame, text_col: str, id_col: str,
+                             sep: str = "\n",
+                             out_col: str = "text_kept") -> DataFrame:
+    """C4/Dolma-style global paragraph dedup: a paragraph (newline-
+    delimited span) that occurs anywhere else in the corpus is removed
+    from every document EXCEPT its first occurrence — first = smallest
+    (id, position) over the whole corpus, so the result is deterministic
+    on any cluster size.
+
+    Output: (id_col, n_paragraphs, n_kept, out_col) with out_col the
+    document text reassembled from surviving paragraphs in their
+    original order.
+
+    Scale design: document text NEVER shuffles. Paragraphs are
+    posexploded to slim (id, pos, xxhash64(para)) triples (~24 B each)
+    map-side; the winner-per-hash aggregate is restricted to hashes
+    seen more than once (exact_dedup's pattern), so the drop list —
+    (id, [positions to drop]) — is proportional to the DUPLICATED
+    subset only and AQE broadcasts it back onto the original rows,
+    where a position filter rebuilds the text in place.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    ex = df.select(F.col(id_col), F.posexplode(lines)
+                   .alias("_pos", "_para")) \
+           .select(id_col, "_pos", F.xxhash64("_para").alias("_ph"))
+    dup_winners = (ex.groupBy("_ph")
+                   .agg(F.count(F.lit(1)).alias("_n"),
+                        F.min(F.struct(id_col, "_pos")).alias("_win"))
+                   .where(F.col("_n") > 1))
+    drops = (ex.join(dup_winners, "_ph")
+             .where((F.col(f"_win.{id_col}") != F.col(id_col))
+                    | (F.col("_win._pos") != F.col("_pos")))
+             .groupBy(id_col)
+             .agg(F.collect_list("_pos").alias("_drops")))
+    with_drops = df.join(drops, id_col, "left")
+    kept = F.filter(lines, lambda x, i: F.col("_drops").isNull()
+                    | ~F.array_contains("_drops", i))
+    return (with_drops
+            .withColumn("n_paragraphs", F.size(lines).cast("long"))
+            .withColumn("n_kept", F.size(kept).cast("long"))
+            .withColumn(out_col, F.concat_ws(sep, kept))
+            .drop("_drops"))
+
+
 def dedupe_lines(df: DataFrame, text_col: str,
                  out_col: str = "text_dedup") -> DataFrame:
     """Remove duplicate lines within each document (keep first

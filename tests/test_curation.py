@@ -111,6 +111,37 @@ class TestStratifiedSample:
         assert none.count() == 0 and all_.count() == 1000
 
 
+class TestDedupeParagraphsGlobal:
+    def test_global_first_occurrence(self, spark):
+        df = _docs(spark, [
+            (1, "a\nb\nc"),
+            (2, "b\nd\na"),   # b and a already seen in doc 1
+            (3, "a\nb\nc"),   # whole doc duplicated → nothing kept
+            (4, "x\nx\ny"),   # within-doc repeat
+            (5, None),
+        ])
+        out = {r["doc_id"]: r for r in
+               curation.dedupe_paragraphs_global(df, "text", "doc_id")
+               .collect()}
+        assert out[1]["text_kept"] == "a\nb\nc"
+        assert out[2]["text_kept"] == "d" and out[2]["n_kept"] == 1
+        assert out[3]["text_kept"] == "" and out[3]["n_kept"] == 0
+        assert out[4]["text_kept"] == "x\ny"
+        assert all(out[d]["n_paragraphs"] == 3 for d in (1, 2, 3, 4))
+
+    def test_drop_list_broadcasts_at_runtime(self, spark):
+        """The winner aggregate runs on slim (id, pos, hash64) triples
+        and AQE broadcasts the small drop-list back onto the original
+        rows — after execution the adaptive plan must contain a
+        broadcast join, so document text never crosses an exchange."""
+        df = _docs(spark, [(i, f"para {i}\nshared line") for i in
+                           range(200)])
+        out = curation.dedupe_paragraphs_global(df, "text", "doc_id")
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
 class TestDedupeLines:
     def test_first_occurrence_kept(self, spark):
         df = _docs(spark, [(1, "a\nb\na\nc\nb\na"),
