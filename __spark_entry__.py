@@ -383,6 +383,17 @@ def q_fingerprint_roll(spark, sf_dir):
             .select("doc_id", "fingerprint_roll"))
 
 
+def q_fingerprint_roll_md5(spark, sf_dir):
+    """SQL-portable rolling fingerprint: the same order-sensitive
+    chained fold as fingerprint_roll but with md5 links, so DuckDB's
+    list_reduce reproduces the hex chain exactly — the fold arithmetic
+    (ordering, init, empty-doc case) gets a hard oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (text_analysis.fingerprints(docs)
+            .select("doc_id", "fingerprint_roll_md5")
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (documents, with planted duplicates)
 # ---------------------------------------------------------------------------
@@ -755,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_vote": q_langid_vote,
         "fingerprints": q_fingerprints,
         "fingerprint_roll": q_fingerprint_roll,
+        "fingerprint_roll_md5": q_fingerprint_roll_md5,
         "exact_dedup": q_exact_dedup,
         "exact_dedup_pairs": q_exact_dedup_pairs,
         "minhash_neardup": q_minhash_neardup,
@@ -1173,6 +1185,16 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "langid_vote": _langid_vote_sql(),
+
+        # Chained md5 fold: list_reduce with '' prepended reproduces
+        # Spark's aggregate(words, '', (a,w) -> md5(a || w)) exactly.
+        "fingerprint_roll_md5": f"""
+            SELECT doc_id,
+                   list_reduce(list_prepend('', {_sql_words('text')}),
+                               (a, x) -> md5(a || x))
+                     AS fingerprint_roll_md5
+            FROM documents ORDER BY doc_id
+        """,
 
         "fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint_md5,

@@ -115,13 +115,20 @@ def langid_vote(df: DataFrame, text_col: str = "text",
 
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds fingerprint_md5 (hex) and fingerprint_roll (order-sensitive
+    """Adds fingerprint_md5 (hex), fingerprint_roll (order-sensitive
     chained xxhash64 fold over the word array: acc = xxhash64(acc, word)
-    — overflow-free under ANSI mode, pure JVM, word-order dependent)."""
+    — overflow-free under ANSI mode, pure JVM, word-order dependent) and
+    fingerprint_roll_md5 (the SQL-portable twin: acc = md5(acc || word),
+    init '' — DuckDB reproduces it hex-identically via list_reduce, so
+    the chained-fold arithmetic itself is oracle-checkable; the xxhash64
+    variant stays the fast production path)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = _words(F.col(text_col))
     roll = F.aggregate(
         words, F.lit(1469598103934665603).cast("long"),
         lambda acc, w: F.xxhash64(acc, w))
+    roll_md5 = F.aggregate(words, F.lit(""),
+                           lambda acc, w: F.md5(F.concat(acc, w)))
     return (df.withColumn("fingerprint_md5", F.md5(text))
-              .withColumn("fingerprint_roll", roll))
+              .withColumn("fingerprint_roll", roll)
+              .withColumn("fingerprint_roll_md5", roll_md5))

@@ -218,6 +218,18 @@ def test_fingerprint_roll_fold_arithmetic(spark, docs):
     assert out["fingerprint_roll"].nunique() == len(out)
 
 
+def test_fingerprint_roll_md5_matches_hashlib_chain(docs, docs_pd):
+    """The portable md5-chained roll must equal the pure-Python fold
+    acc = md5(acc + word) from acc='' (and '' for empty docs)."""
+    out = (text_analysis.fingerprints(docs).toPandas()
+           .set_index("doc_id"))
+    for _, row in docs_pd.head(20).iterrows():
+        acc = ""
+        for w in (row.text or "").split():
+            acc = hashlib.md5((acc + w).encode("utf-8")).hexdigest()
+        assert out.loc[row.doc_id, "fingerprint_roll_md5"] == acc
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
