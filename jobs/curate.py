@@ -1,0 +1,133 @@
+"""spark-submit entry point: corpus curation AFTER the quality filter.
+
+    spark-submit --py-files dq.zip jobs/curate.py \
+        --input /data/kept_docs.parquet --output /data/curated \
+        [--eval /data/benchmarks.parquet] [--ngram 13] [--min-overlap 1] \
+        [--dedupe-paragraphs] [--split train=0.9,val=0.05,test=0.05] \
+        [--salt 0] [--id-col doc_id] [--text-col text]
+
+Composes the curation operators (operators/curation.py) into the stage a
+training-data pipeline runs between filtering and tokenization:
+
+1. benchmark decontamination (only when --eval is given): 13-gram
+   overlap flags joined back as `contaminated` / `n_matched`;
+2. global paragraph dedup (--dedupe-paragraphs): text rebuilt in place,
+   `n_paragraphs` / `n_kept` recorded;
+3. deterministic split assignment (--split): hash-stable `bucket` and
+   `split` columns — reproducible on any cluster size or retry.
+
+Every step is a DataFrame transform (broadcast joins + narrow
+projections; document text never shuffles — see BENCH/PLANS.md), so the
+whole job remains one Spark plan with a single output write. Emits ONE
+JSON stats line like the other jobs and classifies failures through the
+shared error formatter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dataquality_spark.errors import format_error_response  # noqa: E402
+from dataquality_spark.operators import curation  # noqa: E402
+from dataquality_spark.session import get_spark  # noqa: E402
+
+
+def _parse_split(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, frac = part.split("=")
+        out[name.strip()] = float(frac)
+    if not out or sum(out.values()) > 1.0 + 1e-9:
+        raise ValueError(f"split fractions must sum to <= 1.0: {spec}")
+    return out
+
+
+def run(argv: list[str] | None = None) -> dict:
+    try:
+        return _run(argv)
+    except SystemExit:
+        raise
+    except Exception as e:
+        print(json.dumps(format_error_response(e, job="curate")))
+        raise SystemExit(2)
+
+
+def _run(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--eval", default=None,
+                    help="benchmark/eval parquet with a text column; "
+                         "enables decontamination flags")
+    ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument("--min-overlap", type=int, default=1)
+    ap.add_argument("--drop-contaminated", action="store_true",
+                    help="filter flagged docs instead of only flagging")
+    ap.add_argument("--dedupe-paragraphs", action="store_true")
+    ap.add_argument("--split", default=None,
+                    help="e.g. train=0.9,val=0.05,test=0.05")
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("dq-curate", master=args.master)
+    t0 = time.monotonic()
+
+    df = spark.read.parquet(args.input)
+    id_col, text_col = args.id_col, args.text_col
+    n_in = df.count()
+    steps: list[str] = []
+
+    if args.eval:
+        ev = spark.read.parquet(args.eval)
+        flags = curation.decontaminate(df, ev, text_col, id_col,
+                                       n=args.ngram,
+                                       min_overlap=args.min_overlap)
+        df = df.join(flags.select(id_col, "n_matched", "contaminated"),
+                     id_col, "left")
+        if args.drop_contaminated:
+            df = df.where(~F.col("contaminated"))
+            steps.append("decontaminate:drop")
+        else:
+            steps.append("decontaminate:flag")
+
+    if args.dedupe_paragraphs:
+        df = (curation.dedupe_paragraphs_global(df, text_col, id_col)
+              .withColumn(text_col, F.col("text_kept")).drop("text_kept"))
+        steps.append("dedupe_paragraphs")
+
+    if args.split:
+        df = curation.split_assign(df, id_col, _parse_split(args.split),
+                                   salt=args.salt)
+        steps.append("split")
+
+    df.write.mode("overwrite").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    n_out = out.count()
+    stats = {"n_docs_in": n_in, "n_docs_out": n_out,
+             "steps": steps,
+             "elapsed_sec": round(time.monotonic() - t0, 3)}
+    if args.eval and not args.drop_contaminated:
+        stats["n_contaminated"] = out.where("contaminated").count()
+    if args.split:
+        stats["split_counts"] = {
+            r["split"]: r["n"] for r in
+            out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    print(json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    run()

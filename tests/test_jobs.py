@@ -71,3 +71,82 @@ def test_run_pipeline_error_is_structured(capsys):
     err = json.loads(line)
     assert err["success"] is False and err["category"] == "input_not_found"
     assert err["suggestions"]
+
+
+def test_scaling_merge_results_takes_min_over_trials():
+    """merge_results must recompute min-of-union-of-trials per size and
+    the derived efficiency — the adaptive bench probe depends on it."""
+    from tools.scaling_bench import merge_results
+
+    def mk(sec2, sec8):
+        def ps(c, sec):
+            return {"cores": c, "n_docs": 1000,
+                    "full": {"sec": sec, "trials": [sec],
+                             "docs_per_sec": round(1000 / sec, 1)},
+                    "models": {"sec": sec, "trials": [sec],
+                               "docs_per_sec": round(1000 / sec, 1)}}
+        d = {"sizes": [2, 8], "low": 2, "high": 8, "n_docs": 1000,
+             "per_size": {"2": ps(2, sec2), "8": ps(8, sec8)}}
+        for st in ("full", "models"):
+            sp = (d["per_size"]["8"][st]["docs_per_sec"]
+                  / d["per_size"]["2"][st]["docs_per_sec"])
+            d[st] = {"docs_per_sec_low":
+                     d["per_size"]["2"][st]["docs_per_sec"],
+                     "docs_per_sec_high":
+                     d["per_size"]["8"][st]["docs_per_sec"],
+                     "speedup": round(sp, 3), "ideal_speedup": 4.0,
+                     "scaling_efficiency": round(sp / 4, 3)}
+        return d
+
+    noisy = mk(8.0, 4.0)     # high side hit by steal: efficiency 0.5
+    clean = mk(8.5, 2.4)     # second window: clean high side
+    m = merge_results(noisy, clean)
+    assert m["per_size"]["8"]["full"]["sec"] == 2.4    # min of union
+    assert m["per_size"]["2"]["full"]["sec"] == 8.0
+    assert sorted(m["per_size"]["8"]["full"]["trials"]) == [2.4, 4.0]
+    assert m["full"]["scaling_efficiency"] > 0.8
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    """Decontaminate → paragraph-dedup → split in one job: flags, text
+    rebuild and split columns all land in the output parquet."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"unique words {i} alpha beta\nshared tail line"
+                 for i in range(40)],
+    })
+    # eval set = doc 7's unique first line (the shared tail would flag
+    # every doc) → only doc 7 gets flagged at n=3
+    ev = pd.DataFrame({"text": [docs.text[7].split("\n")[0]]})
+    inp, evp, outp = (str(tmp_path / d) for d in ("in", "ev", "out"))
+    spark.createDataFrame(docs).write.parquet(inp)
+    spark.createDataFrame(ev).write.parquet(evp)
+
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--eval", evp, "--ngram", "3",
+                        "--dedupe-paragraphs",
+                        "--split", "train=0.8,val=0.2"])
+    assert stats["n_docs_in"] == stats["n_docs_out"] == 40
+    assert stats["steps"] == ["decontaminate:flag", "dedupe_paragraphs",
+                              "split"]
+    assert stats["n_contaminated"] == 1
+    assert set(stats["split_counts"]) <= {"train", "val"}
+
+    out = spark.read.parquet(outp).toPandas().set_index("doc_id")
+    assert bool(out.loc[7, "contaminated"])
+    # 'shared tail line' survives only at its first global occurrence
+    assert (out["text"].str.contains("shared tail line")).sum() == 1
+    assert set(out.columns) >= {"text", "contaminated", "n_matched",
+                                "n_paragraphs", "n_kept", "split",
+                                "bucket"}
+
+    # --drop-contaminated removes the flagged doc
+    out2 = str(tmp_path / "out2")
+    stats2 = curate.run(["--input", inp, "--output", out2,
+                         "--eval", evp, "--ngram", "3",
+                         "--drop-contaminated"])
+    assert stats2["n_docs_out"] == 39

@@ -157,6 +157,33 @@ def measure(sizes: list[int], input_dir: str, trials: int = 3,
     return summary
 
 
+def merge_results(a: dict, b: dict) -> dict:
+    """Merge two `measure()` results over the SAME sizes/input: min over
+    the union of every trial, summary recomputed. Lets callers extend a
+    noisy measurement with extra interleaved rounds instead of starting
+    over (min-of-trials is associative)."""
+    assert a["sizes"] == b["sizes"] and a["n_docs"] == b["n_docs"]
+    per_size: dict = {}
+    for c in a["sizes"]:
+        per_size[c] = _merge_min([a["per_size"][str(c)],
+                                  b["per_size"][str(c)]])
+    lo, hi = a["low"], a["high"]
+    ratio = hi / lo
+    out: dict = {"sizes": a["sizes"], "low": lo, "high": hi,
+                 "n_docs": a["n_docs"],
+                 "per_size": {str(c): per_size[c] for c in a["sizes"]}}
+    for stage in ("full", "models"):
+        sp = (per_size[hi][stage]["docs_per_sec"]
+              / per_size[lo][stage]["docs_per_sec"])
+        out[stage] = {
+            "docs_per_sec_low": per_size[lo][stage]["docs_per_sec"],
+            "docs_per_sec_high": per_size[hi][stage]["docs_per_sec"],
+            "speedup": round(sp, 3),
+            "ideal_speedup": ratio,
+            "scaling_efficiency": round(sp / ratio, 3)}
+    return out
+
+
 def amdahl_fit(summary: dict) -> dict:
     """Least-squares fit T(c) = s + p/c per stage over the measured
     sizes; returns serial seconds s, parallel seconds p, serial fraction
