@@ -559,6 +559,19 @@ def q_dedupe_paragraphs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_quality_model(spark, sf_dir):
+    """DCLM-style distilled quality classifier: multi-head logistic
+    model over hashed char-trigrams, calibrated min-over-heads score
+    via one Arrow-batched pandas UDF (rows-only — model weights are not
+    SQL-expressible; determinism, held-out AUC ≥0.93 and UDF≡numpy are
+    pytest-pinned in tests/test_models.py::TestQualityModel)."""
+    from dataquality_spark.functions import quality_model as qm
+    docs = _t(spark, sf_dir, "documents")
+    return (qm.quality_scores(docs, "text")
+            .select("doc_id", "quality_model_score")
+            .orderBy("doc_id"))
+
+
 def q_dedupe_lines(spark, sf_dir):
     """Gopher-style repeated-line removal: documents get deterministic
     multi-line structure (' table ' → newline) plus two planted copies
@@ -777,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedupe_lines": q_dedupe_lines,
         "dedupe_paragraphs": q_dedupe_paragraphs,
+        "quality_model": q_quality_model,
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,

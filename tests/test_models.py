@@ -71,3 +71,57 @@ def test_standalone_udfs_equal_fused(spark, pages_sdf, golden):
     assert (m.text_scrubbed_g == m.text_scrubbed_s).all()
     gated = m.ppl.notna()   # golden's ppl has no name collision → no suffix
     assert (m.loc[gated, "ppl"] == m.loc[gated, "ppl_all"]).all()
+
+
+# ---------------------------------------------------------------------------
+# quality_model (DCLM-style distilled classifier)
+# ---------------------------------------------------------------------------
+
+class TestQualityModel:
+    def test_build_is_deterministic(self):
+        from dataquality_spark.functions import quality_model as qm
+
+        a_w, a_c = qm._build_model()
+        b_w, b_c = qm._build_model()
+        assert np.array_equal(a_w, b_w) and np.array_equal(a_c, b_c)
+
+    def test_heldout_auc_and_edge_scores(self):
+        """Distillation quality on a seed NEVER used in training: the
+        min-over-calibrated-heads score must rank clean docs above
+        text-defect docs (measured 0.96; floor leaves margin), and the
+        gibberish head must be near-perfect."""
+        from dataquality_spark import oracle, synth
+        from dataquality_spark.functions import quality_model as qm
+
+        pages = synth.gen_pages(1500, seed=5)
+        inp = pages[["url", "warc_ts", "html", "text", "lang"]]
+        hits = oracle.run_oracle(inp)["rule_hits"]
+        clean = np.array([len(h) == 0 for h in hits])
+        s = qm.score_texts(inp["text"])
+
+        def auc(scores, y):
+            pos, neg = scores[y], scores[~y]
+            r = np.argsort(np.argsort(np.concatenate([pos, neg])))
+            return ((r[:len(pos)].sum() - len(pos) * (len(pos) - 1) / 2)
+                    / (len(pos) * len(neg)))
+
+        anydef = np.array([bool(set(h) & set(qm.HEADS)) for h in hits])
+        m = clean | anydef
+        assert auc(s[m], clean[m]) >= 0.93
+        ppl = np.array(["high_perplexity" in h for h in hits])
+        mp = clean | ppl
+        assert auc(s[mp], clean[mp]) >= 0.99
+        # empty and None score hard zero
+        assert qm.score_texts(pd.Series(["", None])).tolist() == [0, 0]
+
+    def test_spark_udf_equals_numpy(self, spark):
+        from dataquality_spark import synth
+        from dataquality_spark.functions import quality_model as qm
+
+        pages = synth.gen_pages(300, seed=11)
+        sdf = spark.createDataFrame(pages[["url", "text"]])
+        out = (qm.quality_scores(sdf, "text")
+               .select("text", "quality_model_score").toPandas())
+        exp = qm.score_texts(out["text"])
+        assert (out["quality_model_score"].to_numpy() == exp).all()
+        assert out["quality_model_score"].nunique() > 10
