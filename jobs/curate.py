@@ -3,7 +3,8 @@
     spark-submit --py-files dq.zip jobs/curate.py \
         --input /data/kept_docs.parquet --output /data/curated \
         [--eval /data/benchmarks.parquet] [--ngram 13] [--min-overlap 1] \
-        [--dedupe-paragraphs] [--split train=0.9,val=0.05,test=0.05] \
+        [--dedupe-paragraphs] [--quality-model] \
+        [--split train=0.9,val=0.05,test=0.05] \
         [--salt 0] [--id-col doc_id] [--text-col text]
 
 Composes the curation operators (operators/curation.py) into the stage a
@@ -72,6 +73,9 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--drop-contaminated", action="store_true",
                     help="filter flagged docs instead of only flagging")
     ap.add_argument("--dedupe-paragraphs", action="store_true")
+    ap.add_argument("--quality-model", action="store_true",
+                    help="attach the distilled classifier score column "
+                         "(functions/quality_model.py)")
     ap.add_argument("--split", default=None,
                     help="e.g. train=0.9,val=0.05,test=0.05")
     ap.add_argument("--salt", type=int, default=0)
@@ -105,6 +109,11 @@ def _run(argv: list[str] | None = None) -> dict:
         df = (curation.dedupe_paragraphs_global(df, text_col, id_col)
               .withColumn(text_col, F.col("text_kept")).drop("text_kept"))
         steps.append("dedupe_paragraphs")
+
+    if args.quality_model:
+        from dataquality_spark.functions import quality_model as qm
+        df = qm.quality_scores(df, text_col)
+        steps.append("quality_model")
 
     if args.split:
         df = curation.split_assign(df, id_col, _parse_split(args.split),

@@ -128,11 +128,11 @@ def test_curate_job_end_to_end(spark, tmp_path):
 
     stats = curate.run(["--input", inp, "--output", outp,
                         "--eval", evp, "--ngram", "3",
-                        "--dedupe-paragraphs",
+                        "--dedupe-paragraphs", "--quality-model",
                         "--split", "train=0.8,val=0.2"])
     assert stats["n_docs_in"] == stats["n_docs_out"] == 40
     assert stats["steps"] == ["decontaminate:flag", "dedupe_paragraphs",
-                              "split"]
+                              "quality_model", "split"]
     assert stats["n_contaminated"] == 1
     assert set(stats["split_counts"]) <= {"train", "val"}
 
@@ -142,7 +142,8 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert (out["text"].str.contains("shared tail line")).sum() == 1
     assert set(out.columns) >= {"text", "contaminated", "n_matched",
                                 "n_paragraphs", "n_kept", "split",
-                                "bucket"}
+                                "bucket", "quality_model_score"}
+    assert out["quality_model_score"].between(0, 1).all()
 
     # --drop-contaminated removes the flagged doc
     out2 = str(tmp_path / "out2")
