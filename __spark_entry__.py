@@ -466,6 +466,43 @@ def q_simhash_neardup(spark, sf_dir):
                 .orderBy("id_a", "id_b")
 
 
+def q_simhash_signature(spark, sf_dir):
+    """Signature-level exact oracle for SimHash: the md5-60-bit twin
+    (identical bit-majority semantics to the production xxhash64 bank —
+    votes > 0, ties → 0, empty → 0) recomputed bit-by-bit in DuckDB.
+    Converts the trickiest rows-only family to a hard value check; the
+    production signature itself stays pytest-covered (numpy bit-bank ≡
+    per-bit reference, tests/test_operators.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.simhash_md5(docs, "text", "doc_id", shingle_n=2)
+            .orderBy("doc_id"))
+
+
+def _simhash_md5_sql(bits: int = 60) -> str:
+    gram = ("CASE WHEN i + 1 <= len(words) THEN CAST(concat('0x', "
+            "substr(md5(words[i] || ' ' || words[i+1]), 1, 15)) AS "
+            "BIGINT) END")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(sh, h -> (h >> {b}) "
+        f"& 1)) > len(sh) THEN {1 << b} ELSE 0 END)"
+        for b in range(bits))
+    return f"""
+        WITH w AS (
+          SELECT doc_id, {_sql_words('text')} AS words FROM documents
+        ), s AS (
+          SELECT doc_id, list_distinct(list_filter(
+            list_transform(words, (x, i) -> {gram}),
+            g -> g IS NOT NULL)) AS sh
+          FROM w
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN len(sh) = 0 THEN 0
+                         ELSE {terms} END AS BIGINT) AS simhash_md5,
+               CAST(len(sh) AS BIGINT) AS n_shingles
+        FROM s ORDER BY doc_id
+    """
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard on the planted pair set (oracle: the
     same shingle construction in DuckDB list lambdas; Spark side hashes
@@ -784,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_pairs": q_exact_dedup_pairs,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
         "split_sample": q_split_sample,
@@ -1332,6 +1370,8 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS dup_line_frac
             FROM k ORDER BY doc_id
         """,
+
+        "simhash_signature": _simhash_md5_sql(),
 
         # Global paragraph dedup ground truth: first (doc_id, pos)
         # occurrence per paragraph via row_number; parallel unnest

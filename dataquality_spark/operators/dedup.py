@@ -280,6 +280,58 @@ def simhash64_udf(feature_hashes: pd.Series) -> pd.Series:
     return pd.Series(sigs)
 
 
+def md5_shingle_hashes(text, n: int = 2):
+    """array<long> of distinct 60-bit md5'd word n-gram shingles — the
+    SQL-portable twin of `shingle_hashes` (DuckDB reproduces
+    conv(substr(md5(s),1,15),16,10) bit-identically via a hex cast).
+    15 hex chars = 60 bits keeps the value positive in a signed int64
+    on both engines."""
+    words = F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"),
+                     lambda w: w != "")
+    k = F.size(words) - (n - 1)
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.conv(F.substring(
+            F.md5(F.concat_ws(" ", F.slice(words, i, n))), 1, 15),
+            16, 10).cast("long")
+    )).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(grams)
+
+
+def simhash_md5(df: DataFrame, text_col: str, id_col: str,
+                shingle_n: int = 2, bits: int = 60) -> DataFrame:
+    """(id, simhash_md5, n_shingles) — the exact-oracle-checkable twin
+    of the production SimHash: identical bit-majority semantics
+    (bit b set iff ones·2 > n, i.e. votes > 0, ties → 0; empty shingle
+    set → signature 0) over md5-derived 60-bit shingle hashes, computed
+    entirely in Catalyst (one aggregate per bit over the materialized
+    shingle column — static codegen, no Python). The production path
+    (`simhash`/`simhash_pairs`) keeps the vectorized xxhash64 bit-bank;
+    this twin pins the majority-vote arithmetic against a DuckDB oracle
+    that recomputes the same bits with list lambdas."""
+    sh = df.select(F.col(id_col),
+                   md5_shingle_hashes(F.col(text_col), shingle_n)
+                   .alias("_sh"))
+    n = F.size("_sh")
+
+    def _ones(b: int):
+        # closure keeps the lambda binary — pyspark derives the lambda's
+        # arity from its signature, so a `b=b` default would make it
+        # ternary and receive a spurious Column
+        return F.aggregate(F.col("_sh"), F.lit(0).cast("long"),
+                           lambda acc, h: acc + F.shiftright(h, b)
+                           .bitwiseAND(F.lit(1)))
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(_ones(b) * 2 > n, F.lit(1 << b).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return sh.select(id_col,
+                     F.when(n > 0, sig).otherwise(F.lit(0).cast("long"))
+                     .alias("simhash_md5"),
+                     n.cast("long").alias("n_shingles"))
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             shingle_n: int = 2) -> DataFrame:
     """(id, simhash) — signature over word n-gram features."""

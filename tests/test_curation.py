@@ -159,3 +159,33 @@ class TestDedupeLines:
         for d in (3, 4):
             assert out[d]["text_dedup"] == ""
             assert out[d]["dup_line_frac"] == 0.0
+
+
+class TestSimhashMd5Twin:
+    def test_twin_equals_production_bit_bank(self, spark):
+        """The md5-60-bit twin and the production numpy bit-bank use
+        identical majority semantics (votes > 0, ties → 0), so fed the
+        SAME feature hashes they must produce the SAME signature (md5
+        hashes are < 2^60, so bits 60..63 vote 0 in the 64-bit bank)."""
+        import pandas as pd
+
+        from dataquality_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "one two three four five six seven eight"),
+             (3, "x"),            # < shingle_n words → empty shingles
+             (4, None)],
+            ["doc_id", "text"])
+        twin = {r["doc_id"]: r["simhash_md5"] for r in
+                dedup.simhash_md5(df, "text", "doc_id", shingle_n=2)
+                .collect()}
+        hashes = {r["doc_id"]: r["sh"] for r in
+                  df.select("doc_id",
+                            dedup.md5_shingle_hashes(
+                                df["text"], 2).alias("sh")).collect()}
+        bank = dedup.simhash64_udf.func(
+            pd.Series([hashes[d] for d in sorted(hashes)]))
+        for i, d in enumerate(sorted(hashes)):
+            assert twin[d] == int(bank.iloc[i]), d
+        assert twin[3] == 0 and twin[4] == 0
