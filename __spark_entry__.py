@@ -1356,8 +1356,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM m2
             ), k AS (
               SELECT doc_id, lines,
-                     list_filter(lines, (x, i) ->
-                                 list_position(lines, x) = i) AS kept
+                     list_filter(lines, (x, i) -> trim(x) = ''
+                                 OR list_position(lines, x) = i) AS kept
               FROM l
             )
             SELECT doc_id,
@@ -1401,7 +1401,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      string_agg(para, chr(10) ORDER BY pos) AS text_kept,
                      COUNT(*) AS n_kept
-              FROM r WHERE rn = 1 GROUP BY doc_id
+              FROM r WHERE rn = 1 OR trim(para) = '' GROUP BY doc_id
             )
             SELECT l.doc_id,
                    CAST(len(l.lines) AS BIGINT) AS n_paragraphs,

@@ -142,8 +142,14 @@ def main() -> None:
         for _ in range(2):
             if scaling["full"]["scaling_efficiency"] >= 0.8:
                 break
-            scaling = merge_results(
-                scaling, measure([2, 8], scale_dir, trials=1, alternate=1))
+            try:   # a failed extension round must not discard the
+                   # valid measurement already in hand
+                scaling = merge_results(
+                    scaling,
+                    measure([2, 8], scale_dir, trials=1, alternate=1))
+            except Exception as e:
+                scaling["extension_error"] = str(e)[:300]
+                break
     except Exception as e:  # never let the scaling probe kill the bench
         scaling = {"error": str(e)[:300]}
     # attach the committed wide-sweep artifact (1..32 cores, Amdahl fit,

@@ -147,27 +147,56 @@ def _cache_path() -> str:
 _CACHE = _cache_path()
 
 
+def _try_load():
+    # np.load on a corrupt .npz raises zipfile.BadZipFile (not an
+    # OSError subclass) — it must fall through to a rebuild, never
+    # crash every task until someone deletes the temp file
+    import zipfile
+    try:
+        z = np.load(_CACHE)
+        return (z["w"], z["b"])
+    except (OSError, ValueError, KeyError, EOFError,
+            zipfile.BadZipFile):
+        return None
+
+
 def get_model() -> tuple[np.ndarray, np.ndarray]:
     """Module-cached weights with the shared atomic on-disk cache
-    (same lifecycle and integrity keying as langid.get_model)."""
+    (same lifecycle and integrity keying as langid.get_model).
+
+    Unlike the langid/LM models (sub-second builds), this build costs
+    ~10 s (8k-doc oracle pass + 4 × 200 GD epochs), so a cold cache is
+    guarded by a per-path advisory flock: the first worker on a host
+    builds while the rest block briefly and then load the published
+    file — no thundering herd of N identical trainings."""
     global _MODEL
     if _MODEL is None:
         import os
         import tempfile
-        try:
-            z = np.load(_CACHE)
-            _MODEL = (z["w"], z["b"])
-        except (OSError, ValueError, KeyError):
-            _MODEL = _build_model()
+        _MODEL = _try_load()
+        if _MODEL is None:
+            os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
+            lock_path = _CACHE + ".lock"
+            lf = None
             try:
-                os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
-                fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_CACHE),
-                                           suffix=".npz")
-                with os.fdopen(fd, "wb") as f:
-                    np.savez(f, w=_MODEL[0], b=_MODEL[1])
-                os.replace(tmp, _CACHE)
+                lf = open(lock_path, "w")
+                import fcntl
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                _MODEL = _try_load()    # another holder may have built
             except OSError:
-                pass
+                pass                    # lockless fallback: just build
+            if _MODEL is None:
+                _MODEL = _build_model()
+                try:
+                    fd, tmp = tempfile.mkstemp(
+                        dir=os.path.dirname(_CACHE), suffix=".npz")
+                    with os.fdopen(fd, "wb") as f:
+                        np.savez(f, w=_MODEL[0], b=_MODEL[1])
+                    os.replace(tmp, _CACHE)
+                except OSError:
+                    pass
+            if lf is not None:
+                lf.close()              # releases the flock
     return _MODEL
 
 

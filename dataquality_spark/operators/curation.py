@@ -44,7 +44,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from ..caching import track_persist as _track_persist
 from .dedup import shingle_hashes
 
 # ---------------------------------------------------------------------------
@@ -74,11 +76,18 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
     table; callers join it back on the id (text never shuffles here).
 
     The eval shingle set is broadcast: the explode→join runs map-side
-    and only matched rows enter the per-doc aggregation shuffle.
+    and only matched rows enter the per-doc aggregation shuffle. The
+    slim (id, shingle-hash array) table feeds both the overlap branch
+    and the n_shingles branch, so it goes through the shared tracked
+    persist (one text/shingling pass instead of two; ~8 B per shingle
+    cached, no text) — callers release it with
+    `dataquality_spark.caching.unpersist_all()` like the dedup pair
+    operators.
     """
     ev = eval_shingles(eval_df, text_col, n)
-    sh = train.select(F.col(id_col),
-                      shingle_hashes(F.col(text_col), n).alias("_sh"))
+    sh = _track_persist(
+        train.select(F.col(id_col),
+                     shingle_hashes(F.col(text_col), n).alias("_sh")))
     matched = (sh.select(id_col, F.explode("_sh").alias("_s"))
                .join(F.broadcast(ev), F.col("_s") == F.col("eval_shingle"))
                .groupBy(id_col)
@@ -131,6 +140,10 @@ def split_assign(df: DataFrame, key_col: str,
     and stable across runs, cluster sizes, and task retries.
     """
     fracs = fracs or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if any(not 0.0 <= v <= 1.0 for v in fracs.values()) \
+            or sum(fracs.values()) > 1.0 + 1e-9:
+        raise ValueError(f"split fractions must each be in [0,1] and "
+                         f"sum to <= 1.0: {fracs}")
     b = hash_bucket(F.col(key_col), buckets, salt, method)
     out = df.withColumn("bucket", b)
     names = list(fracs)
@@ -158,7 +171,11 @@ def stratified_sample(df: DataFrame, stratum_col: str,
     """
     spark = df.sparkSession
     rate_rows = [(k, int(round(v * buckets))) for k, v in rates.items()]
-    rates_df = spark.createDataFrame(rate_rows, [stratum_col, "_thr"])
+    schema = T.StructType([T.StructField(stratum_col, T.StringType()),
+                           T.StructField("_thr", T.LongType())])
+    # explicit schema: an empty rates dict must mean "default_rate for
+    # every stratum", not a schema-inference crash
+    rates_df = spark.createDataFrame(rate_rows, schema)
     default_thr = int(round(default_rate * buckets))
     b = hash_bucket(F.col(key_col), buckets, salt, method)
     return (df.join(F.broadcast(rates_df), stratum_col, "left")
@@ -186,6 +203,11 @@ def dedupe_paragraphs_global(df: DataFrame, text_col: str, id_col: str,
     document text reassembled from surviving paragraphs in their
     original order.
 
+    Blank/whitespace-only paragraphs are STRUCTURE, not content — they
+    are never deduplicated (otherwise every blank-line separator in the
+    corpus after the global first would be deleted, collapsing
+    'p1\\n\\np2' into 'p1\\np2' everywhere).
+
     Scale design: document text NEVER shuffles. Paragraphs are
     posexploded to slim (id, pos, xxhash64(para)) triples (~24 B each)
     map-side; the winner-per-hash aggregate is restricted to hashes
@@ -195,9 +217,10 @@ def dedupe_paragraphs_global(df: DataFrame, text_col: str, id_col: str,
     where a position filter rebuilds the text in place.
     """
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
-    ex = df.select(F.col(id_col), F.posexplode(lines)
-                   .alias("_pos", "_para")) \
-           .select(id_col, "_pos", F.xxhash64("_para").alias("_ph"))
+    ex = (df.select(F.col(id_col), F.posexplode(lines)
+                    .alias("_pos", "_para"))
+          .where(F.trim("_para") != "")      # blanks are never dropped
+          .select(id_col, "_pos", F.xxhash64("_para").alias("_ph")))
     dup_winners = (ex.groupBy("_ph")
                    .agg(F.count(F.lit(1)).alias("_n"),
                         F.min(F.struct(id_col, "_pos")).alias("_win"))
@@ -227,9 +250,12 @@ def dedupe_lines(df: DataFrame, text_col: str,
     explicitly via array_position (not array_distinct, whose ordering
     is an implementation detail), so the SQL oracle can mirror it with
     list_position — byte-identical output text on both engines.
+    Blank/whitespace-only lines are paragraph separators, not content:
+    they are always kept (and counted as unique).
     """
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    kept = F.filter(lines, lambda x, i: (F.trim(x) == "")
+                    | (F.array_position(lines, x) == i + 1))
     n = F.size(lines).cast("long")
     nu = F.size(kept).cast("long")
     return (df

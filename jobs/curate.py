@@ -46,8 +46,10 @@ def _parse_split(spec: str) -> dict[str, float]:
     for part in spec.split(","):
         name, frac = part.split("=")
         out[name.strip()] = float(frac)
-    if not out or sum(out.values()) > 1.0 + 1e-9:
-        raise ValueError(f"split fractions must sum to <= 1.0: {spec}")
+    if not out or any(not 0.0 <= v <= 1.0 for v in out.values()) \
+            or sum(out.values()) > 1.0 + 1e-9:
+        raise ValueError(f"split fractions must each be in [0,1] and "
+                         f"sum to <= 1.0: {spec}")
     return out
 
 
@@ -121,6 +123,8 @@ def _run(argv: list[str] | None = None) -> dict:
         steps.append("split")
 
     df.write.mode("overwrite").parquet(args.output)
+    from dataquality_spark.caching import unpersist_all
+    unpersist_all()  # release the decontamination shingle cache
 
     out = spark.read.parquet(args.output)
     n_out = out.count()

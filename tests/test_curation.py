@@ -189,3 +189,51 @@ class TestSimhashMd5Twin:
         for i, d in enumerate(sorted(hashes)):
             assert twin[d] == int(bank.iloc[i]), d
         assert twin[3] == 0 and twin[4] == 0
+
+
+class TestReviewRegressions:
+    def test_blank_lines_survive_global_paragraph_dedup(self, spark):
+        """Blank-line separators are structure, not content: every doc
+        keeps its blank lines even though '' repeats corpus-wide."""
+        df = _docs(spark, [(1, "p1\n\np2"), (2, "p3\n\np4"),
+                           (3, "p1\n\np5")])
+        out = {r["doc_id"]: r for r in
+               curation.dedupe_paragraphs_global(df, "text", "doc_id")
+               .collect()}
+        assert out[1]["text_kept"] == "p1\n\np2"
+        assert out[2]["text_kept"] == "p3\n\np4"
+        assert out[3]["text_kept"] == "\np5"    # only 'p1' deduped
+
+    def test_blank_lines_survive_intra_doc_dedup(self, spark):
+        df = _docs(spark, [(1, "a\n\nb\n\na")])
+        row = curation.dedupe_lines(df, "text").collect()[0]
+        assert row["text_dedup"] == "a\n\nb\n"   # both blanks kept
+
+    def test_split_assign_rejects_bad_fractions(self, spark):
+        import pytest
+        df = spark.range(10).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError):
+            curation.split_assign(df, "k", {"a": 1.2, "b": -0.2})
+        with pytest.raises(ValueError):
+            curation.split_assign(df, "k", {"a": 0.7, "b": 0.7})
+
+    def test_stratified_sample_empty_rates_uses_default(self, spark):
+        df = (spark.range(100)
+              .select(F.col("id").alias("k"), F.lit("s").alias("g")))
+        assert curation.stratified_sample(df, "g", {}, "k").count() == 0
+        assert curation.stratified_sample(
+            df, "g", {}, "k", default_rate=1.0).count() == 100
+
+    def test_decontaminate_single_text_pass(self, spark):
+        """The slim shingle table is persisted so the corpus is
+        shingled once, and the cache registry releases it."""
+        from dataquality_spark import caching
+        caching.unpersist_all()
+        train = _docs(spark, [(i, f"w{i} a b c") for i in range(10)])
+        ev = _docs(spark, [(0, "a b c")])
+        out = curation.decontaminate(train, ev, "text", "doc_id", n=2)
+        out.collect()
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().size() > 0
+        caching.unpersist_all()
+        assert jsc.getPersistentRDDs().size() == 0

@@ -128,6 +128,27 @@ def _merge_min(rounds: list[dict]) -> dict:
     return out
 
 
+def _summarize(per_size: dict[int, dict], sizes: list[int]) -> dict:
+    """Assemble the result summary from merged per-size measurements —
+    the single source of the result shape for both measure() and
+    merge_results()."""
+    lo, hi = min(sizes), max(sizes)
+    ratio = hi / lo
+    out: dict = {"sizes": sorted(sizes), "low": lo, "high": hi,
+                 "n_docs": per_size[lo]["n_docs"],
+                 "per_size": {str(c): per_size[c] for c in sizes}}
+    for stage in ("full", "models"):
+        sp = (per_size[hi][stage]["docs_per_sec"]
+              / per_size[lo][stage]["docs_per_sec"])
+        out[stage] = {
+            "docs_per_sec_low": per_size[lo][stage]["docs_per_sec"],
+            "docs_per_sec_high": per_size[hi][stage]["docs_per_sec"],
+            "speedup": round(sp, 3),
+            "ideal_speedup": ratio,
+            "scaling_efficiency": round(sp / ratio, 3)}
+    return out
+
+
 def measure(sizes: list[int], input_dir: str, trials: int = 3,
             alternate: int = 0) -> dict:
     """Measure every size; with alternate>0, interleave the sizes N times
@@ -139,22 +160,7 @@ def measure(sizes: list[int], input_dir: str, trials: int = 3,
             rounds[c].append(r)
             print(json.dumps({"round": r}), file=sys.stderr)
     per_size = {c: _merge_min(rs) for c, rs in rounds.items()}
-
-    lo, hi = min(sizes), max(sizes)
-    ratio = hi / lo
-    summary: dict = {"sizes": sorted(sizes), "low": lo, "high": hi,
-                     "n_docs": per_size[lo]["n_docs"],
-                     "per_size": {str(c): per_size[c] for c in sizes}}
-    for stage in ("full", "models"):
-        sp = (per_size[hi][stage]["docs_per_sec"]
-              / per_size[lo][stage]["docs_per_sec"])
-        summary[stage] = {
-            "docs_per_sec_low": per_size[lo][stage]["docs_per_sec"],
-            "docs_per_sec_high": per_size[hi][stage]["docs_per_sec"],
-            "speedup": round(sp, 3),
-            "ideal_speedup": ratio,
-            "scaling_efficiency": round(sp / ratio, 3)}
-    return summary
+    return _summarize(per_size, sizes)
 
 
 def merge_results(a: dict, b: dict) -> dict:
@@ -163,25 +169,10 @@ def merge_results(a: dict, b: dict) -> dict:
     noisy measurement with extra interleaved rounds instead of starting
     over (min-of-trials is associative)."""
     assert a["sizes"] == b["sizes"] and a["n_docs"] == b["n_docs"]
-    per_size: dict = {}
-    for c in a["sizes"]:
-        per_size[c] = _merge_min([a["per_size"][str(c)],
-                                  b["per_size"][str(c)]])
-    lo, hi = a["low"], a["high"]
-    ratio = hi / lo
-    out: dict = {"sizes": a["sizes"], "low": lo, "high": hi,
-                 "n_docs": a["n_docs"],
-                 "per_size": {str(c): per_size[c] for c in a["sizes"]}}
-    for stage in ("full", "models"):
-        sp = (per_size[hi][stage]["docs_per_sec"]
-              / per_size[lo][stage]["docs_per_sec"])
-        out[stage] = {
-            "docs_per_sec_low": per_size[lo][stage]["docs_per_sec"],
-            "docs_per_sec_high": per_size[hi][stage]["docs_per_sec"],
-            "speedup": round(sp, 3),
-            "ideal_speedup": ratio,
-            "scaling_efficiency": round(sp / ratio, 3)}
-    return out
+    per_size = {c: _merge_min([a["per_size"][str(c)],
+                               b["per_size"][str(c)]])
+                for c in a["sizes"]}
+    return _summarize(per_size, a["sizes"])
 
 
 def amdahl_fit(summary: dict) -> dict:
