@@ -237,3 +237,48 @@ class TestReviewRegressions:
         assert jsc.getPersistentRDDs().size() > 0
         caching.unpersist_all()
         assert jsc.getPersistentRDDs().size() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based checks (Spark-batched, small example counts)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line = st.text(alphabet="ab x", max_size=6)
+_doc = st.lists(_line, min_size=0, max_size=5).map("\n".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+class TestCurationProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(_corpus)
+    def test_dedupe_lines_idempotent(self, spark, docs):
+        df = _docs(spark, list(enumerate(docs)))
+        once = curation.dedupe_lines(df, "text").select(
+            "doc_id", F.col("text_dedup").alias("text"))
+        twice = curation.dedupe_lines(once, "text")
+        rows = twice.select("text", "text_dedup").collect()
+        assert all(r["text"] == r["text_dedup"] for r in rows)
+
+    @settings(max_examples=8, deadline=None)
+    @given(_corpus)
+    def test_dedupe_paragraphs_global_idempotent(self, spark, docs):
+        df = _docs(spark, list(enumerate(docs)))
+        once = curation.dedupe_paragraphs_global(df, "text", "doc_id") \
+            .select("doc_id", F.col("text_kept").alias("text"))
+        twice = curation.dedupe_paragraphs_global(once, "text", "doc_id")
+        rows = twice.select("text", "text_kept").collect()
+        assert all(r["text"] == r["text_kept"] for r in rows)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**62),
+           st.integers(min_value=1, max_value=10**6))
+    def test_lcg_bucket_range_and_determinism(self, key, buckets):
+        from dataquality_spark.operators.curation import (_LCG_A, _LCG_C,
+                                                          _LCG_M)
+        h = (((key % _LCG_M) * _LCG_A + _LCG_C) % _LCG_M) % buckets
+        assert 0 <= h < buckets
+        # pure int64 arithmetic: no overflow anywhere in the chain
+        assert (key % _LCG_M) * _LCG_A + _LCG_C < 2**63

@@ -4,6 +4,8 @@ profile_table, run_pipeline happy path + resume + structured error."""
 from __future__ import annotations
 
 import json
+
+from pyspark.sql import functions as F
 import os
 
 import pandas as pd
@@ -151,3 +153,30 @@ def test_curate_job_end_to_end(spark, tmp_path):
                          "--eval", evp, "--ngram", "3",
                          "--drop-contaminated"])
     assert stats2["n_docs_out"] == 39
+
+
+def test_pipeline_then_curate_compose(spark, pages_dir, tmp_path):
+    """The two spark-submit stages chain: quality filter writes
+    decisions, curation runs on them keyed by url with the scrubbed
+    text — the full training-data path a user actually runs."""
+    from jobs import curate, run_pipeline
+
+    out1 = str(tmp_path / "filtered")
+    run_pipeline.run(["--input", pages_dir, "--output", out1])
+    out2 = str(tmp_path / "curated")
+    stats = curate.run(["--input", os.path.join(out1, "decisions"),
+                        "--output", out2,
+                        "--id-col", "url", "--text-col", "text_scrubbed",
+                        "--dedupe-paragraphs",
+                        "--split", "train=0.9,val=0.1"])
+    assert stats["n_docs_in"] == 400
+    assert stats["steps"] == ["dedupe_paragraphs", "split"]
+    curated = spark.read.parquet(out2)
+    assert curated.count() == 400
+    cols = set(curated.columns)
+    assert {"url", "keep", "text_scrubbed", "n_paragraphs", "n_kept",
+            "split", "bucket"} <= cols
+    # split by url-hash: disjoint, exhaustive, deterministic
+    n = {r["split"]: r["n"] for r in
+         curated.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(n.values()) == 400 and set(n) <= {"train", "val"}
