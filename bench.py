@@ -121,7 +121,10 @@ def main() -> None:
 
         from tools.scaling_bench import measure
 
-        n_scale = max(n_pages, 120_000)
+        # 80k docs bounds probe wall-time even when the shared VM is
+        # steal-saturated (observed 10x trial inflation); the canonical
+        # precise numbers live in the committed 320k-doc sweep below
+        n_scale = max(n_pages, 80_000)
         scale_pd = synth.gen_pages(n_scale, seed=42)[
             ["url", "warc_ts", "html", "text", "lang"]]
         scale_dir = os.path.join(
