@@ -596,6 +596,36 @@ def q_dedupe_paragraphs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_host_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist filtering: deterministic urls from the
+    documents corpus, blocklist = hosts of every 5th source, broadcast
+    anti-join keeps the rest (map-side; corpus never shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/doc/"),
+                   F.col("doc_id").cast("string"))
+    blocked = (docs.select(F.col("source"))
+               .where(F.substring("source", 4, 10).cast("int") % 5 == 0)
+               .select(F.concat(F.col("source"),
+                                F.lit(".example.org")).alias("host"))
+               .distinct())
+    with_url = docs.withColumn("url", url)
+    return (curation.host_blocklist_filter(with_url, "url", blocked)
+            .select("doc_id", "host")
+            .orderBy("doc_id"))
+
+
+def q_top_ngram(spark, sf_dir):
+    """Gopher top-2-gram repetition fraction: in-array sorted-run fold
+    (zero shuffle) vs the oracle's relational unnest → group-by → max
+    formulation — same numbers from two independent algorithms."""
+    docs = _t(spark, sf_dir, "documents")
+    return (text_analysis.top_ngram_frac(docs, "text", n=2)
+            .select("doc_id", "n_ngrams", "top_ngram_count",
+                    "top_ngram_frac")
+            .orderBy("doc_id"))
+
+
 def q_quality_model(spark, sf_dir):
     """DCLM-style distilled quality classifier: multi-head logistic
     model over hashed char-trigrams, calibrated min-over-heads score
@@ -829,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_lines": q_dedupe_lines,
         "dedupe_paragraphs": q_dedupe_paragraphs,
         "quality_model": q_quality_model,
+        "host_blocklist": q_host_blocklist,
+        "top_ngram": q_top_ngram,
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -1372,6 +1404,44 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "simhash_signature": _simhash_md5_sql(),
+
+        # Blocklist filter: host NOT IN the every-5th-source blocklist.
+        "host_blocklist": """
+            SELECT doc_id, source || '.example.org' AS host
+            FROM documents
+            WHERE CAST(substr(source, 4) AS INT) % 5 <> 0
+            ORDER BY doc_id
+        """,
+
+        # Top-n-gram fraction ground truth: relational unnest →
+        # group-by → max — an independent algorithm from the Spark
+        # side's in-array sorted-run fold.
+        "top_ngram": f"""
+            WITH w AS (
+              SELECT doc_id, {_sql_words('text')} AS words FROM documents
+            ), g AS (
+              SELECT doc_id, list_filter(list_transform(words, (x, i) ->
+                CASE WHEN i + 1 <= len(words)
+                     THEN words[i] || ' ' || words[i+1] END),
+                s -> s IS NOT NULL) AS grams
+              FROM w
+            ), e AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g
+            ), c AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt
+              FROM e GROUP BY doc_id, gram
+            ), m AS (
+              SELECT doc_id, MAX(cnt) AS top FROM c GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   CAST(len(g.grams) AS BIGINT) AS n_ngrams,
+                   CAST(coalesce(m.top, 0) AS BIGINT) AS top_ngram_count,
+                   ROUND(CASE WHEN len(g.grams) > 0
+                              THEN coalesce(m.top, 0)
+                                   / CAST(len(g.grams) AS DOUBLE)
+                              ELSE 0.0 END, 6) AS top_ngram_frac
+            FROM g LEFT JOIN m USING (doc_id) ORDER BY g.doc_id
+        """,
 
         # Global paragraph dedup ground truth: first (doc_id, pos)
         # occurrence per paragraph via row_number; parallel unnest

@@ -186,6 +186,29 @@ def stratified_sample(df: DataFrame, stratum_col: str,
 
 
 # ---------------------------------------------------------------------------
+# URL / domain filtering
+# ---------------------------------------------------------------------------
+
+
+def host_blocklist_filter(df: DataFrame, url_col: str,
+                          blocked_hosts: DataFrame,
+                          host_col: str = "host") -> DataFrame:
+    """Drop documents whose URL host appears in a blocklist (the UT1 /
+    adult-domain filtering stage every Common-Crawl pipeline runs first).
+
+    Adds host_col (parse_url HOST) and anti-joins against the
+    blocklist's first column. Scale design: blocklists are ~10^6 rows —
+    BROADCAST anti-join, so filtering is map-side and the corpus never
+    shuffles; extraction itself is a codegen projection.
+    """
+    bl = blocked_hosts.select(
+        F.col(blocked_hosts.columns[0]).alias(host_col)).distinct()
+    out = df.withColumn(host_col,
+                        F.parse_url(F.col(url_col), F.lit("HOST")))
+    return out.join(F.broadcast(bl), host_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Intra-document repeated-line removal (Gopher-style)
 # ---------------------------------------------------------------------------
 

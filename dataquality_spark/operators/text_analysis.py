@@ -132,3 +132,51 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.withColumn("fingerprint_md5", F.md5(text))
               .withColumn("fingerprint_roll", roll)
               .withColumn("fingerprint_roll_md5", roll_md5))
+
+
+def top_ngram_frac(df: DataFrame, text_col: str = "text",
+                   n: int = 2) -> DataFrame:
+    """Gopher-style repetition statistic: the fraction of word n-gram
+    occurrences taken by the single most frequent n-gram (Rae et al.
+    2021 drop docs whose top 2-gram exceeds ~0.2 of the text).
+
+    Adds: n_ngrams (total, NON-distinct), top_ngram_count,
+    top_ngram_frac (rounded to 6 dp; 0.0 for docs with < n words).
+
+    Scale design: a pure projection — the n-gram multiset is built and
+    md5-hashed per row, sorted in-array, and the longest equal run is
+    found with one aggregate fold (O(L log L) per doc, zero shuffle,
+    whole-stage codegen). The relational formulation (explode →
+    groupBy(doc, gram)) would shuffle every n-gram occurrence in the
+    corpus; the oracle uses it at test scale to cross-check the fold.
+    md5-derived 60-bit gram hashes keep the oracle portable
+    (dedup.md5_shingle_hashes rationale).
+    """
+    words = _words(F.col(text_col))
+    k = F.size(words) - (n - 1)
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.conv(F.substring(
+            F.md5(F.concat_ws(" ", F.slice(words, i, n))), 1, 15),
+            16, 10).cast("long")
+    )).otherwise(F.array().cast("array<long>"))
+    sorted_g = F.sort_array(grams)
+
+    def _merge(acc, x):
+        run = (F.when(acc["prev"].isNull() | (acc["prev"] != x),
+                      F.lit(1).cast("long"))
+               .otherwise(acc["run"] + F.lit(1).cast("long")))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    acc0 = F.struct(F.lit(None).cast("long").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+    best = F.aggregate(sorted_g, acc0, _merge, lambda a: a["best"])
+    total = F.size(sorted_g).cast("long")
+    return (df.withColumn("n_ngrams", total)
+              .withColumn("top_ngram_count", best)
+              .withColumn("top_ngram_frac",
+                          F.round(F.when(total > 0,
+                                         best / total.cast("double"))
+                                  .otherwise(F.lit(0.0)), 6)))

@@ -282,3 +282,43 @@ class TestCurationProperties:
         assert 0 <= h < buckets
         # pure int64 arithmetic: no overflow anywhere in the chain
         assert (key % _LCG_M) * _LCG_A + _LCG_C < 2**63
+
+
+class TestHostBlocklist:
+    def test_filter_and_broadcast_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://bad.example.com/a"),
+             (2, "https://good.example.org/b"),
+             (3, "http://bad.example.com/c?q=1"),
+             (4, "https://also-good.net/")],
+            ["doc_id", "url"])
+        bl = spark.createDataFrame([("bad.example.com",)], ["h"])
+        out = curation.host_blocklist_filter(df, "url", bl)
+        kept = {r["doc_id"]: r["host"] for r in out.collect()}
+        assert set(kept) == {2, 4}
+        assert kept[2] == "good.example.org"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan and "LeftAnti" in plan
+
+
+class TestTopNgramFrac:
+    def test_matches_python_counter(self, spark):
+        """The in-array sorted-run fold must equal a direct Counter over
+        word 2-grams, including repeats, short docs and NULLs."""
+        from collections import Counter
+
+        from dataquality_spark.operators import text_analysis as ta
+
+        docs = [(1, "a b a b a b c"), (2, "x y z"), (3, "w"),
+                (4, None), (5, "q q q q"), (6, "r s r s r s r s")]
+        out = {r["doc_id"]: r for r in
+               ta.top_ngram_frac(spark.createDataFrame(
+                   docs, ["doc_id", "text"])).collect()}
+        for doc_id, text in docs:
+            ws = (text or "").split()
+            grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            top = max(Counter(grams).values()) if grams else 0
+            assert out[doc_id]["n_ngrams"] == len(grams)
+            assert out[doc_id]["top_ngram_count"] == top, doc_id
+            exp = round(top / len(grams), 6) if grams else 0.0
+            assert out[doc_id]["top_ngram_frac"] == exp
