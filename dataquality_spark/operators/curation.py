@@ -54,21 +54,32 @@ from .dedup import shingle_hashes
 # ---------------------------------------------------------------------------
 
 
-def eval_shingles(eval_df: DataFrame, text_col: str, n: int = 13) -> DataFrame:
+def _norm_text(col, normalize: bool):
+    """Decontamination normalization (GPT-3 appendix C style): lowercase
+    and strip punctuation to whitespace, so 'Hello, World' and
+    'hello world' share n-grams. Off by default (exact matching)."""
+    if not normalize:
+        return col
+    return F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))),
+                            r"[^a-z0-9\s]", " ")
+
+
+def eval_shingles(eval_df: DataFrame, text_col: str, n: int = 13,
+                  normalize: bool = False) -> DataFrame:
     """Distinct xxhash64'd word n-gram shingles of the eval set.
 
     One column ``eval_shingle: long``. Aggregated to distinct so the
     broadcast payload is minimal and per-match counts stay exact.
     """
-    return (eval_df
-            .select(F.explode(shingle_hashes(F.col(text_col), n))
-                    .alias("eval_shingle"))
+    sh = shingle_hashes(_norm_text(F.col(text_col), normalize), n)
+    return (eval_df.select(F.explode(sh).alias("eval_shingle"))
             .distinct())
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
                   id_col: str, n: int = 13,
-                  min_overlap: int = 1) -> DataFrame:
+                  min_overlap: int = 1,
+                  normalize: bool = False) -> DataFrame:
     """Per training doc: distinct n-gram shingles shared with the eval
     set and a `contaminated` flag (≥ min_overlap shared shingles).
 
@@ -84,10 +95,12 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, text_col: str,
     `dataquality_spark.caching.unpersist_all()` like the dedup pair
     operators.
     """
-    ev = eval_shingles(eval_df, text_col, n)
+    ev = eval_shingles(eval_df, text_col, n, normalize)
     sh = _track_persist(
         train.select(F.col(id_col),
-                     shingle_hashes(F.col(text_col), n).alias("_sh")))
+                     shingle_hashes(_norm_text(F.col(text_col),
+                                               normalize), n)
+                     .alias("_sh")))
     matched = (sh.select(id_col, F.explode("_sh").alias("_s"))
                .join(F.broadcast(ev), F.col("_s") == F.col("eval_shingle"))
                .groupBy(id_col)

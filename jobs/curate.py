@@ -72,6 +72,9 @@ def _run(argv: list[str] | None = None) -> dict:
                          "enables decontamination flags")
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--min-overlap", type=int, default=1)
+    ap.add_argument("--normalize", action="store_true",
+                    help="lowercase + strip punctuation before "
+                         "n-gram matching (GPT-3-style decontamination)")
     ap.add_argument("--drop-contaminated", action="store_true",
                     help="filter flagged docs instead of only flagging")
     ap.add_argument("--dedupe-paragraphs", action="store_true")
@@ -98,7 +101,8 @@ def _run(argv: list[str] | None = None) -> dict:
         ev = spark.read.parquet(args.eval)
         flags = curation.decontaminate(df, ev, text_col, id_col,
                                        n=args.ngram,
-                                       min_overlap=args.min_overlap)
+                                       min_overlap=args.min_overlap,
+                                       normalize=args.normalize)
         df = df.join(flags.select(id_col, "n_matched", "contaminated"),
                      id_col, "left")
         if args.drop_contaminated:

@@ -33,6 +33,9 @@ def run(argv: list[str] | None = None) -> dict:
                     help="timestamp column for drift/timeliness pillars")
     ap.add_argument("--value-col", default=None,
                     help="numeric column for the drift metric")
+    ap.add_argument("--text-col", default=None,
+                    help="text column for the repetition pillar "
+                         "(default: first string column)")
     ap.add_argument("--approx", action="store_true",
                     help="HLL distinct counts (the 10^12-row setting)")
     ap.add_argument("--output", default=None)
@@ -71,6 +74,29 @@ def run(argv: list[str] | None = None) -> dict:
                     (0.75, f"{c}_p75")] for c in numeric[:8]}
         pct = profile.exact_percentiles(df, spec, approx=args.approx)
         report["percentiles"] = pct.collect()[0].asDict()
+
+    # text-repetition pillar (uniqueness dimension at sub-document
+    # granularity): Gopher top-2-gram fraction + duplicate-line stats
+    # for the first string column — both zero-shuffle projections
+    text_cols = [f.name for f in df.schema.fields
+                 if f.dataType.typeName() == "string" and f.name in cols]
+    if args.text_col or text_cols:
+        tc = args.text_col or text_cols[0]
+        from pyspark.sql import functions as F
+
+        from dataquality_spark.operators import curation, text_analysis
+        rep = (text_analysis.top_ngram_frac(
+                   curation.dedupe_lines(df, tc), tc)
+               .agg(F.round(F.avg("top_ngram_frac"), 6)
+                    .alias("avg_top_2gram_frac"),
+                    F.round(F.max("top_ngram_frac"), 6)
+                    .alias("max_top_2gram_frac"),
+                    F.round(F.avg("dup_line_frac"), 6)
+                    .alias("avg_dup_line_frac"),
+                    F.sum((F.col("dup_line_frac") > 0.3).cast("long"))
+                    .alias("n_docs_dup_lines_gt_30pct")))
+        report["repetition"] = {"column": tc,
+                                **rep.collect()[0].asDict()}
 
     if args.output:
         comp.coalesce(1).write.mode("overwrite").parquet(

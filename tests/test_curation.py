@@ -322,3 +322,17 @@ class TestTopNgramFrac:
             assert out[doc_id]["top_ngram_count"] == top, doc_id
             exp = round(top / len(grams), 6) if grams else 0.0
             assert out[doc_id]["top_ngram_frac"] == exp
+
+
+class TestDecontaminateNormalize:
+    def test_case_and_punct_insensitive_matching(self, spark):
+        words = [f"w{i}" for i in range(15)]
+        clean = " ".join(words)
+        messy = " ".join(w.upper() + "," for w in words)   # 'W0, W1, ...'
+        train = _docs(spark, [(1, messy)])
+        ev = _docs(spark, [(9, clean)])
+        exact = curation.decontaminate(train, ev, "text", "doc_id", n=13)
+        norm = curation.decontaminate(train, ev, "text", "doc_id", n=13,
+                                      normalize=True)
+        assert not exact.collect()[0]["contaminated"]
+        assert norm.collect()[0]["contaminated"]

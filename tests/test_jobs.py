@@ -48,6 +48,19 @@ def test_profile_table_report(spark, capsys):
     assert 0 < report["completeness"]["l_orderkey"] <= 100.0
 
 
+def test_profile_table_repetition_pillar(spark):
+    from jobs import profile_table
+
+    report = profile_table.run(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--text-col", "text"])
+    rep = report["repetition"]
+    assert rep["column"] == "text"
+    assert 0.0 < rep["avg_top_2gram_frac"] <= 1.0
+    assert rep["avg_dup_line_frac"] >= 0.0
+    assert "n_docs_dup_lines_gt_30pct" in rep
+
+
 def test_run_pipeline_and_resume(spark, pages_dir, tmp_path):
     from jobs import run_pipeline
 
