@@ -626,6 +626,21 @@ def q_top_ngram(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (concat-then-chunk): per-shard window
+    cumsum assigns every doc its training-sequence number and offset;
+    shard = LCG bucket so DuckDB replays the identical window."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.pack_sequences(docs.select("doc_id", "n_chars"),
+                                    "n_chars", "doc_id",
+                                    capacity=1000, shards=8,
+                                    method="lcg")
+            .select("doc_id", F.col("shard").cast("long").alias("shard"),
+                    "tok_offset", "seq_no", "seq_offset",
+                    "spans_boundary")
+            .orderBy("doc_id"))
+
+
 def q_quality_model(spark, sf_dir):
     """DCLM-style distilled quality classifier: multi-head logistic
     model over hashed char-trigrams, calibrated min-over-heads score
@@ -861,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model": q_quality_model,
         "host_blocklist": q_host_blocklist,
         "top_ngram": q_top_ngram,
+        "pack_sequences": q_pack_sequences,
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -1404,6 +1420,28 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "simhash_signature": _simhash_md5_sql(),
+
+        # Sequence packing: identical per-shard window cumsum.
+        "pack_sequences": """
+            WITH b AS (
+              SELECT doc_id, n_chars,
+                     (((doc_id % 2147483648) * 1103515245 + 12345)
+                      % 2147483648) % 8 AS shard
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_chars, shard,
+                     CAST(coalesce(SUM(n_chars) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+              FROM b
+            )
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard, tok_offset,
+                   CAST(tok_offset // 1000 AS BIGINT) AS seq_no,
+                   CAST(tok_offset % 1000 AS BIGINT) AS seq_offset,
+                   tok_offset % 1000 + n_chars > 1000 AS spans_boundary
+            FROM c ORDER BY doc_id
+        """,
 
         # Blocklist filter: host NOT IN the every-5th-source blocklist.
         "host_blocklist": """

@@ -301,3 +301,51 @@ def dedupe_lines(df: DataFrame, text_col: str,
             .withColumn("dup_line_frac",
                         F.round(F.when(n > 0, (n - nu) / n.cast("double"))
                                 .otherwise(F.lit(0.0)), 6)))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk assignment for training batches)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(df: DataFrame, token_col: str, id_col: str,
+                   capacity: int, shards: int = 256,
+                   salt: int = 0, method: str = "xxhash64") -> DataFrame:
+    """GPT-style corpus chunking: documents are (conceptually)
+    concatenated in deterministic order and cut into fixed-capacity
+    token sequences; each doc learns WHERE it lands.
+
+    Adds: shard (hash bucket of the id — the parallelism unit),
+    tok_offset (exclusive cumulative tokens within the shard, i.e. the
+    doc's start position in the shard's token stream), seq_no
+    (tok_offset // capacity — which training sequence the doc starts
+    in), seq_offset (tok_offset % capacity) and spans_boundary (doc
+    crosses into the next sequence).
+
+    Scale design: ONE window cumsum per shard — the shard key is a
+    deterministic hash bucket, so the sort+window parallelizes across
+    `shards` independent groups (no global ordering bottleneck), and
+    assignment is reproducible on any cluster size or retry, which is
+    what makes packed-corpus builds resumable. Pure SQL semantics:
+    SUM() OVER (PARTITION BY shard ORDER BY id) — the oracle replays
+    it exactly.
+    """
+    from pyspark.sql import Window
+
+    shard = hash_bucket(F.col(id_col), shards, salt, method)
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (df.withColumn("shard", shard)
+           .withColumn("tok_offset",
+                       F.coalesce(F.sum(token_col).over(w),
+                                  F.lit(0)).cast("long")))
+    return (out
+            .withColumn("seq_no",
+                        (F.col("tok_offset") / capacity)
+                        .cast("long"))
+            .withColumn("seq_offset",
+                        F.pmod(F.col("tok_offset"), F.lit(capacity))
+                        .cast("long"))
+            .withColumn("spans_boundary",
+                        (F.col("seq_offset") + F.col(token_col)
+                         > F.lit(capacity))))

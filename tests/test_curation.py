@@ -336,3 +336,30 @@ class TestDecontaminateNormalize:
                                       normalize=True)
         assert not exact.collect()[0]["contaminated"]
         assert norm.collect()[0]["contaminated"]
+
+
+class TestPackSequences:
+    def test_offsets_contiguous_and_partition_invariant(self, spark):
+        import pandas as pd
+        df = spark.createDataFrame(
+            [(i, 30 + (i * 7) % 50) for i in range(200)],
+            ["doc_id", "n_tok"])
+        out = curation.pack_sequences(df, "n_tok", "doc_id",
+                                      capacity=128, shards=4).toPandas()
+        for _, g in out.groupby("shard"):
+            g = g.sort_values("doc_id")
+            # offset = running sum of previous docs' tokens (contiguous
+            # token stream, no gaps or overlaps)
+            expect = g["n_tok"].cumsum().shift(fill_value=0)
+            assert (g["tok_offset"].to_numpy()
+                    == expect.to_numpy()).all()
+            assert (g["seq_no"] == g["tok_offset"] // 128).all()
+            assert (g["spans_boundary"]
+                    == (g["tok_offset"] % 128 + g["n_tok"] > 128)).all()
+        # identical assignment regardless of input partitioning
+        out2 = curation.pack_sequences(df.repartition(7), "n_tok",
+                                       "doc_id", capacity=128,
+                                       shards=4).toPandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
