@@ -458,6 +458,27 @@ def q_minhash_neardup(spark, sf_dir):
                         .alias("jaccard")).orderBy("id_a", "id_b")
 
 
+def q_minhash_cross(spark, sf_dir):
+    """Cross-corpus near-dup (incremental ingestion): truncated variants
+    as the NEW crawl vs the base documents as the kept REFERENCE corpus;
+    LSH bucket join new×ref, exact-Jaccard verified. Oracle = brute-force
+    shingle inverted index across the two sides (all pairs J ≥ 0.5) —
+    the LSH output must EQUAL it (64×2 bands ⇒ miss < 1e-8 at J=0.5)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    trunc = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(
+            (F.size(words) * 8 / 10).cast("int"), F.lit(1))))
+    new = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      trunc.alias("text"))
+    pairs = dedup.minhash_lsh_pairs_cross(
+        new, docs.select("doc_id", "text"), "text", "doc_id",
+        shingle_n=3, num_perm=128, bands=64, jaccard_threshold=0.5)
+    return (pairs.select("new_id", "ref_id",
+                         F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("new_id", "ref_id"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash Hamming-band near-dup pairs (rows-only)."""
     corpus = _docs_with_near_dups(_t(spark, sf_dir, "documents"))
@@ -865,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "exact_dedup_pairs": q_exact_dedup_pairs,
         "minhash_neardup": q_minhash_neardup,
+        "minhash_cross": q_minhash_cross,
         "simhash_neardup": q_simhash_neardup,
         "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1553,6 +1575,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, ROUND(jacc, 6) AS jaccard FROM j
             WHERE jacc >= 0.5 ORDER BY id_a, id_b
+        """,
+
+        # Cross-corpus near-dup ground truth: brute-force shingle
+        # inverted index across the NEW (truncated variants) and REF
+        # (base documents) sides; LSH output must equal it.
+        "minhash_cross": f"""
+            WITH w AS (
+              SELECT doc_id, {_sql_words('text')} AS words FROM documents
+            ), shr AS (
+              SELECT doc_id,
+                list_distinct(list_filter(list_transform(words, (x, i) ->
+                  CASE WHEN i + 2 <= len(words)
+                       THEN words[i] || ' ' || words[i+1] || ' ' ||
+                            words[i+2] END), s -> s IS NOT NULL)) AS s
+              FROM w
+            ), wn AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     words[1:greatest(CAST(floor(len(words) * 8 / 10)
+                                           AS INT), 1)] AS words
+              FROM w
+            ), shn AS (
+              SELECT doc_id,
+                list_distinct(list_filter(list_transform(words, (x, i) ->
+                  CASE WHEN i + 2 <= len(words)
+                       THEN words[i] || ' ' || words[i+1] || ' ' ||
+                            words[i+2] END), s -> s IS NOT NULL)) AS s
+              FROM wn
+            ), exn AS (
+              SELECT doc_id, unnest(s) AS g FROM shn
+            ), exr AS (
+              SELECT doc_id, unnest(s) AS g FROM shr
+            ), cand AS (
+              SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+              FROM exn n JOIN exr r ON n.g = r.g
+            ), j AS (
+              SELECT new_id, ref_id,
+                     CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+                     (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                       AS jacc
+              FROM cand JOIN shn x ON x.doc_id = new_id
+                        JOIN shr y ON y.doc_id = ref_id
+            )
+            SELECT new_id, ref_id, ROUND(jacc, 6) AS jaccard FROM j
+            WHERE jacc >= 0.5 ORDER BY new_id, ref_id
         """,
 
         "exact_dedup": """

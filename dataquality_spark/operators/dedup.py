@@ -203,6 +203,57 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return verified
 
 
+def minhash_lsh_pairs_cross(new: DataFrame, ref: DataFrame,
+                            text_col: str, id_col: str,
+                            shingle_n: int = 3, num_perm: int = 128,
+                            bands: int = 16,
+                            jaccard_threshold: float = 0.5,
+                            max_bucket: int | None = 10_000) -> DataFrame:
+    """Cross-corpus near-dup pairs (new_id, ref_id, jaccard): every NEW
+    document that near-duplicates anything in an existing REFERENCE
+    corpus — the incremental-ingestion scenario (dedup today's crawl
+    against everything already kept) that makes the resumable pipeline
+    composable across runs.
+
+    Same bucketed machinery as the self-join variant (`minhash_lsh_pairs`:
+    shingle → minhash bands → hot-bucket cap → bucket join → exact
+    verify), but the join is new×ref on the band key instead of a
+    self-join, so candidates are bounded by per-bucket occupancy of the
+    SMALLER side and the reference side's signatures are exactly the
+    materialized signatures table a production deployment would keep
+    between runs. Identical seeds guarantee both corpora hash into the
+    same band space.
+    """
+    band_udf = make_band_udf(num_perm, bands)
+
+    def _sig(df: DataFrame, out_id: str) -> DataFrame:
+        return _track_persist(
+            df.select(F.col(id_col).alias(out_id),
+                      shingle_hashes(F.col(text_col), shingle_n)
+                      .alias("shingles"))
+            .withColumn("band_key", band_udf("shingles")))
+
+    nb, rb = _sig(new, "new_id"), _sig(ref, "ref_id")
+    n_buckets = _drop_hot_buckets(
+        nb.select("new_id", F.explode("band_key").alias("bk")), "bk",
+        max_bucket)
+    r_buckets = _drop_hot_buckets(
+        rb.select("ref_id", F.explode("band_key").alias("bk")), "bk",
+        max_bucket)
+    cand = (n_buckets.join(r_buckets, "bk")
+            .select("new_id", "ref_id").distinct())
+    verified = (cand
+                .join(nb.select("new_id",
+                                F.col("shingles").alias("sh_a")), "new_id")
+                .join(rb.select("ref_id",
+                                F.col("shingles").alias("sh_b")), "ref_id")
+                .withColumn("jaccard", ngram_jaccard(F.col("sh_a"),
+                                                     F.col("sh_b")))
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select("new_id", "ref_id", "jaccard"))
+    return verified
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
                         id_col: str, shingle_n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for an explicit candidate-pair frame

@@ -363,3 +363,25 @@ class TestPackSequences:
         a = out.sort_values("doc_id").reset_index(drop=True)
         b = out2.sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestMinhashCross:
+    def test_new_vs_reference_recall_and_direction(self, spark):
+        """Every truncated new doc must match its reference source (and
+        only sources): the incremental-crawl dedup scenario."""
+        from dataquality_spark.operators import dedup
+
+        base = [(i, " ".join(f"tok{i}_{j}" for j in range(40)))
+                for i in range(30)]
+        ref = spark.createDataFrame(base, ["doc_id", "text"])
+        new = spark.createDataFrame(
+            [(i + 1000, " ".join(t.split()[:32]))      # 80% truncation
+             for i, t in base] +
+            [(9999, "completely unrelated fresh words here")],
+            ["doc_id", "text"])
+        pairs = dedup.minhash_lsh_pairs_cross(
+            new, ref, "text", "doc_id", shingle_n=3,
+            num_perm=128, bands=64, jaccard_threshold=0.5).collect()
+        got = {(r["new_id"], r["ref_id"]) for r in pairs}
+        assert got == {(i + 1000, i) for i in range(30)}
+        assert all(r["jaccard"] >= 0.5 for r in pairs)
