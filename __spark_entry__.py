@@ -458,6 +458,23 @@ def q_minhash_neardup(spark, sf_dir):
                         .alias("jaccard")).orderBy("id_a", "id_b")
 
 
+def q_exact_dedup_cross(spark, sf_dir):
+    """Cross-run exact dedup: the NEW batch = exact copies of every 3rd
+    document plus suffixed (genuinely new) variants of the rest ∪ one
+    NULL-text row; only non-copies survive the anti-join against the
+    reference corpus. Oracle = NOT EXISTS with IS NOT DISTINCT FROM
+    (NULL matches NULL, never '')."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+         .otherwise(F.concat(F.col("text"), F.lit(" fresh"))).alias("text"))
+    new = new.unionByName(new.sparkSession.createDataFrame(
+        [(999999, None)], "doc_id long, text string"))
+    kept = dedup.exact_dedup_cross(new, docs, "text", "doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_minhash_cross(spark, sf_dir):
     """Cross-corpus near-dup (incremental ingestion): truncated variants
     as the NEW crawl vs the base documents as the kept REFERENCE corpus;
@@ -887,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_pairs": q_exact_dedup_pairs,
         "minhash_neardup": q_minhash_neardup,
         "minhash_cross": q_minhash_cross,
+        "exact_dedup_cross": q_exact_dedup_cross,
         "simhash_neardup": q_simhash_neardup,
         "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1575,6 +1593,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, ROUND(jacc, 6) AS jaccard FROM j
             WHERE jacc >= 0.5 ORDER BY id_a, id_b
+        """,
+
+        # Cross-run exact dedup: NOT EXISTS with NULL-safe equality.
+        "exact_dedup_cross": """
+            WITH new AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text
+                          ELSE text || ' fresh' END AS text
+              FROM documents
+              UNION ALL
+              SELECT 999999, NULL
+            )
+            SELECT doc_id FROM new n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents r
+              WHERE r.text IS NOT DISTINCT FROM n.text)
+            ORDER BY doc_id
         """,
 
         # Cross-corpus near-dup ground truth: brute-force shingle

@@ -331,6 +331,27 @@ def simhash64_udf(feature_hashes: pd.Series) -> pd.Series:
     return pd.Series(sigs)
 
 
+def exact_dedup_cross(new: DataFrame, ref: DataFrame, text_col: str,
+                      id_col: str) -> DataFrame:
+    """Cross-run exact dedup: keep only NEW documents whose text does
+    not already exist in the kept REFERENCE corpus (the exact-match
+    complement of `minhash_lsh_pairs_cross` for incremental ingestion).
+
+    Anti-join on the same (text IS NULL, xxhash64(coalesce(text,'')))
+    key as `exact_dedup` — NULL matches NULL, never '' — so only
+    9-byte keys shuffle; at 10^12 docs the reference side is the
+    persisted hash table of everything previously kept, not a rescan.
+    """
+    def _key(df: DataFrame) -> DataFrame:
+        return (df.withColumn("_hn", F.col(text_col).isNull())
+                .withColumn("_h", F.xxhash64(
+                    F.coalesce(F.col(text_col), F.lit("")))))
+
+    ref_keys = _key(ref).select("_hn", "_h").distinct()
+    return (_key(new).join(ref_keys, ["_hn", "_h"], "left_anti")
+            .drop("_hn", "_h"))
+
+
 def md5_shingle_hashes(text, n: int = 2):
     """array<long> of distinct 60-bit md5'd word n-gram shingles — the
     SQL-portable twin of `shingle_hashes` (DuckDB reproduces

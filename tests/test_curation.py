@@ -4,6 +4,7 @@ repeated-line removal (operators/curation.py)."""
 from pyspark.sql import functions as F
 
 from dataquality_spark.operators import curation
+from dataquality_spark.operators import dedup as dedup_mod
 
 
 def _docs(spark, rows):
@@ -385,3 +386,23 @@ class TestMinhashCross:
         got = {(r["new_id"], r["ref_id"]) for r in pairs}
         assert got == {(i + 1000, i) for i in range(30)}
         assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+class TestExactDedupCross:
+    def test_null_and_copy_semantics(self, spark):
+        ref = _docs(spark, [(1, "kept text"), (2, ""), (3, "other")])
+        new = _docs(spark, [(10, "kept text"),    # exact copy → dropped
+                            (11, "brand new"),
+                            (12, None),           # NULL not in ref → kept
+                            (13, "")])            # '' in ref → dropped
+        kept = {r["doc_id"] for r in
+                dedup_mod.exact_dedup_cross(new, ref, "text", "doc_id")
+                .collect()}
+        assert kept == {11, 12}
+        # NULL in ref drops NULL in new (NULL matches NULL, never '')
+        ref2 = spark.createDataFrame([(1, None)],
+                                     "doc_id long, text string")
+        kept2 = {r["doc_id"] for r in
+                 dedup_mod.exact_dedup_cross(new, ref2, "text", "doc_id")
+                 .collect()}
+        assert 12 not in kept2 and 13 in kept2
