@@ -78,6 +78,14 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--drop-contaminated", action="store_true",
                     help="filter flagged docs instead of only flagging")
     ap.add_argument("--dedupe-paragraphs", action="store_true")
+    ap.add_argument("--dedup-ref", default=None,
+                    help="parquet dir of the previously-kept corpus: "
+                         "drop exact text matches (cross-run dedup)")
+    ap.add_argument("--near-dedup-ref", action="store_true",
+                    help="with --dedup-ref: also drop near-duplicates "
+                         "(MinHash+LSH vs the reference, Jaccard ≥ "
+                         "--near-threshold)")
+    ap.add_argument("--near-threshold", type=float, default=0.5)
     ap.add_argument("--quality-model", action="store_true",
                     help="attach the distilled classifier score column "
                          "(functions/quality_model.py)")
@@ -96,6 +104,19 @@ def _run(argv: list[str] | None = None) -> dict:
     id_col, text_col = args.id_col, args.text_col
     n_in = df.count()
     steps: list[str] = []
+
+    if args.dedup_ref:
+        from dataquality_spark.operators import dedup
+        ref = spark.read.parquet(args.dedup_ref)
+        df = dedup.exact_dedup_cross(df, ref, text_col, id_col)
+        steps.append("exact_dedup_ref")
+        if args.near_dedup_ref:
+            hits = (dedup.minhash_lsh_pairs_cross(
+                        df, ref, text_col, id_col,
+                        jaccard_threshold=args.near_threshold)
+                    .select(F.col("new_id").alias(id_col)).distinct())
+            df = df.join(hits, id_col, "left_anti")
+            steps.append("near_dedup_ref")
 
     if args.eval:
         ev = spark.read.parquet(args.eval)

@@ -168,6 +168,42 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert stats2["n_docs_out"] == 39
 
 
+def test_curate_job_cross_run_dedup(spark, tmp_path):
+    """--dedup-ref drops exact copies of the previously-kept corpus;
+    --near-dedup-ref additionally drops MinHash near-dups of it — the
+    incremental-crawl scenario wired end-to-end through the CLI."""
+    import pandas as pd
+
+    from jobs import curate
+
+    base = [" ".join(f"w{i}_{j}" for j in range(40)) for i in range(20)]
+    ref = pd.DataFrame({"doc_id": range(20), "text": base})
+    new = pd.DataFrame({
+        "doc_id": range(100, 100 + 24),
+        "text": (base[:4]                               # 4 exact copies
+                 + [" ".join(t.split()[:32]) for t in base[4:8]]
+                 # 4 near-dups (80% truncation)
+                 + [f"fresh doc {i} " + " ".join(f"n{i}_{j}"
+                    for j in range(30)) for i in range(16)]),
+    })
+    inp, refp, outp, outn = (str(tmp_path / d)
+                             for d in ("new", "ref", "o_exact", "o_near"))
+    spark.createDataFrame(new).write.parquet(inp)
+    spark.createDataFrame(ref).write.parquet(refp)
+
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--dedup-ref", refp])
+    assert stats["steps"] == ["exact_dedup_ref"]
+    assert stats["n_docs_in"] == 24 and stats["n_docs_out"] == 20
+
+    stats2 = curate.run(["--input", inp, "--output", outn,
+                         "--dedup-ref", refp, "--near-dedup-ref"])
+    assert stats2["steps"] == ["exact_dedup_ref", "near_dedup_ref"]
+    assert stats2["n_docs_out"] == 16
+    kept = {r["doc_id"] for r in spark.read.parquet(outn).collect()}
+    assert kept == set(range(108, 124))   # only the fresh docs survive
+
+
 def test_pipeline_then_curate_compose(spark, pages_dir, tmp_path):
     """The two spark-submit stages chain: quality filter writes
     decisions, curation runs on them keyed by url with the scrubbed
