@@ -30,9 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dataquality_spark import config as C  # noqa: E402
 from dataquality_spark import pipeline, synth  # noqa: E402
-from dataquality_spark.operators import (curation, dedup, joins,  # noqa: E402
-                                         multimodal, profile, similarity,
-                                         text_analysis)
+from dataquality_spark.operators import (curation, dedup, graph,  # noqa: E402
+                                         joins, multimodal, profile,
+                                         similarity, text_analysis)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -496,6 +496,57 @@ def q_minhash_cross(spark, sf_dir):
             .orderBy("new_id", "ref_id"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution: exact-Jaccard pair graph →
+    large-star/small-star connected components → (node, component=min
+    reachable id). The corpus plants CHAINS (base → 60% word prefix →
+    60% of that): adjacent Jaccard ≈ 0.6 passes the 0.5 threshold but
+    the chain ends fall below it, so the 3-doc cluster exists only
+    through transitivity — the case pair-level dedup cannot resolve.
+    Pairs come from the deterministic brute-force shingle inverted
+    index (not LSH) so the DuckDB oracle — the same pair set closed
+    with a recursive-CTE transitive closure — is a hard equality on
+    the component assignment itself."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")),
+                             r"\s+"), lambda w: w != "")
+
+    def trunc(ws):
+        return F.slice(ws, 1, F.greatest(
+            (F.size(ws) * 6 / 10).cast("int"), F.lit(1)))
+
+    t1 = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.concat_ws(" ", trunc(words)).alias("text"))
+    t2 = docs.select((F.col("doc_id") + 200000).alias("doc_id"),
+                     F.concat_ws(" ", trunc(trunc(words))).alias("text"))
+    corpus = docs.unionByName(t1).unionByName(t2)
+    sh = corpus.select("doc_id",
+                       dedup.shingle_hashes(F.col("text"), 3).alias("s"))
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    # shared-shingle COUNT per candidate pair (shingle sets are
+    # distinct, so count == |A∩B|); |A|,|B| broadcast from a slim map —
+    # the arrays themselves never cross a join.
+    inter = (ex.alias("a").join(
+                 ex.alias("b"),
+                 (F.col("a.g") == F.col("b.g"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    pairs = (inter
+             .join(F.broadcast(sizes.select(
+                 F.col("doc_id").alias("id_a"),
+                 F.col("n").alias("na"))), "id_a")
+             .join(F.broadcast(sizes.select(
+                 F.col("doc_id").alias("id_b"),
+                 F.col("n").alias("nb"))), "id_b")
+             .where(F.col("c").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("c")) >= 0.5)
+             .select("id_a", "id_b"))
+    return graph.connected_components(pairs).orderBy("node")
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash Hamming-band near-dup pairs (rows-only)."""
     corpus = _docs_with_near_dups(_t(spark, sf_dir, "documents"))
@@ -904,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_pairs": q_exact_dedup_pairs,
         "minhash_neardup": q_minhash_neardup,
         "minhash_cross": q_minhash_cross,
+        "dedup_clusters": q_dedup_clusters,
         "exact_dedup_cross": q_exact_dedup_cross,
         "simhash_neardup": q_simhash_neardup,
         "simhash_signature": q_simhash_signature,
@@ -1654,6 +1706,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT new_id, ref_id, ROUND(jacc, 6) AS jaccard FROM j
             WHERE jacc >= 0.5 ORDER BY new_id, ref_id
+        """,
+
+        # Near-dup cluster resolution: the exact-Jaccard pair graph
+        # (chains: base → 60% prefix → 60% of that) closed with a
+        # recursive-CTE transitive closure; component = min reachable
+        # id — must equal the large-star/small-star output exactly.
+        "dedup_clusters": f"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id, {_sql_words('text')} AS words FROM documents
+            ), w1 AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     words[1:greatest(CAST(floor(len(words) * 6 / 10)
+                                           AS INT), 1)] AS words
+              FROM w
+            ), w2 AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     words[1:greatest(CAST(floor(len(words) * 6 / 10)
+                                           AS INT), 1)] AS words
+              FROM w1
+            ), corpus AS (
+              SELECT doc_id, words FROM w
+              UNION ALL SELECT doc_id, words FROM w1
+              UNION ALL SELECT doc_id, words FROM w2
+            ), sh AS (
+              SELECT doc_id,
+                list_distinct(list_filter(list_transform(words, (x, i) ->
+                  CASE WHEN i + 2 <= len(words)
+                       THEN words[i] || ' ' || words[i+1] || ' ' ||
+                            words[i+2] END), s -> s IS NOT NULL)) AS s
+              FROM corpus
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS c
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN (SELECT doc_id, len(s) AS n FROM sh) x
+                           ON x.doc_id = id_a
+                         JOIN (SELECT doc_id, len(s) AS n FROM sh) y
+                           ON y.doc_id = id_b
+              WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+              WHERE e.v <> r.u
+            ), comp AS (
+              SELECT u AS node, least(MIN(v), u) AS component
+              FROM reach GROUP BY u
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(component AS BIGINT) AS component
+            FROM comp ORDER BY node
         """,
 
         "exact_dedup": """
