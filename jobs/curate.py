@@ -3,18 +3,22 @@
     spark-submit --py-files dq.zip jobs/curate.py \
         --input /data/kept_docs.parquet --output /data/curated \
         [--eval /data/benchmarks.parquet] [--ngram 13] [--min-overlap 1] \
-        [--dedupe-paragraphs] [--quality-model] \
+        [--near-dedup] [--dedupe-paragraphs] [--quality-model] \
         [--split train=0.9,val=0.05,test=0.05] \
         [--salt 0] [--id-col doc_id] [--text-col text]
 
 Composes the curation operators (operators/curation.py) into the stage a
 training-data pipeline runs between filtering and tokenization:
 
-1. benchmark decontamination (only when --eval is given): 13-gram
+1. within-corpus near-dup cluster dedup (--near-dedup): MinHash+LSH
+   pairs → large-star/small-star connected components → keep the
+   minimum-id document per cluster (near-dup similarity is not
+   transitive, so clusters — not pairs — are the drop unit);
+2. benchmark decontamination (only when --eval is given): 13-gram
    overlap flags joined back as `contaminated` / `n_matched`;
-2. global paragraph dedup (--dedupe-paragraphs): text rebuilt in place,
+3. global paragraph dedup (--dedupe-paragraphs): text rebuilt in place,
    `n_paragraphs` / `n_kept` recorded;
-3. deterministic split assignment (--split): hash-stable `bucket` and
+4. deterministic split assignment (--split): hash-stable `bucket` and
    `split` columns — reproducible on any cluster size or retry.
 
 Every step is a DataFrame transform (broadcast joins + narrow
@@ -86,6 +90,11 @@ def _run(argv: list[str] | None = None) -> dict:
                          "(MinHash+LSH vs the reference, Jaccard ≥ "
                          "--near-threshold)")
     ap.add_argument("--near-threshold", type=float, default=0.5)
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="within-corpus near-dup CLUSTER dedup: MinHash"
+                         "+LSH pairs → connected components (large-star/"
+                         "small-star) → keep the minimum-id doc per "
+                         "cluster (operators/graph.py)")
     ap.add_argument("--quality-model", action="store_true",
                     help="attach the distilled classifier score column "
                          "(functions/quality_model.py)")
@@ -117,6 +126,16 @@ def _run(argv: list[str] | None = None) -> dict:
                     .select(F.col("new_id").alias(id_col)).distinct())
             df = df.join(hits, id_col, "left_anti")
             steps.append("near_dedup_ref")
+
+    if args.near_dedup:
+        from dataquality_spark.operators import dedup, graph
+        pairs = dedup.minhash_lsh_pairs(
+            df, text_col, id_col,
+            jaccard_threshold=args.near_threshold)
+        df = (graph.resolve_duplicates(df, pairs, id_col)
+              .where(~F.col("is_dup"))
+              .drop("component", "is_dup", "dup_of"))
+        steps.append("near_dedup_clusters")
 
     if args.eval:
         ev = spark.read.parquet(args.eval)

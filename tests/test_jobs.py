@@ -204,6 +204,32 @@ def test_curate_job_cross_run_dedup(spark, tmp_path):
     assert kept == set(range(108, 124))   # only the fresh docs survive
 
 
+def test_curate_job_near_dedup_clusters(spark, tmp_path):
+    """--near-dedup resolves within-corpus near-dup CLUSTERS: a chain
+    A~B~C whose ends fall below the pair threshold still collapses to
+    one survivor (the minimum id) via connected components, while
+    unrelated docs pass through untouched."""
+    import pandas as pd
+
+    from jobs import curate
+
+    words = [f"w{j}" for j in range(40)]
+    chain = [" ".join(words),          # A: 40 words
+             " ".join(words[:34]),     # B: J(A,B)=32/38≈0.84
+             " ".join(words[:29])]     # C: J(B,C)=27/32≈0.84, J(A,C)≈0.71
+    fresh = [" ".join(f"u{i}_{j}" for j in range(30)) for i in range(10)]
+    docs = pd.DataFrame({"doc_id": range(13), "text": chain + fresh})
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(docs).write.parquet(inp)
+
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--near-dedup", "--near-threshold", "0.75"])
+    assert stats["steps"] == ["near_dedup_clusters"]
+    assert stats["n_docs_in"] == 13 and stats["n_docs_out"] == 11
+    kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert kept == {0} | set(range(3, 13))   # A survives, B and C drop
+
+
 def test_pipeline_then_curate_compose(spark, pages_dir, tmp_path):
     """The two spark-submit stages chain: quality filter writes
     decisions, curation runs on them keyed by url with the scrubbed
