@@ -30,8 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dataquality_spark import config as C  # noqa: E402
 from dataquality_spark import pipeline, synth  # noqa: E402
-from dataquality_spark.operators import (curation, dedup, graph,  # noqa: E402
-                                         joins, multimodal, profile,
+from dataquality_spark.operators import (bloom, curation, dedup,  # noqa: E402
+                                         graph, joins, multimodal, profile,
                                          similarity, text_analysis)
 
 
@@ -473,6 +473,25 @@ def q_exact_dedup_cross(spark, sf_dir):
         [(999999, None)], "doc_id long, text string"))
     kept = dedup.exact_dedup_cross(new, docs, "text", "doc_id")
     return kept.select("doc_id").orderBy("doc_id")
+
+
+def q_bloom_dedup_cross(spark, sf_dir):
+    """Cross-run exact dedup, Bloom-filter form (operators/bloom.py):
+    the SAME new-batch construction and survivor set as
+    exact_dedup_cross, but membership comes from a broadcast bit array
+    built over the reference corpus — map-only probe, no reference
+    shuffle. At m=2^23/k=7 over ~500 docs the false-positive rate is
+    ~1e-20, so the output must EQUAL the NOT-EXISTS oracle exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+         .otherwise(F.concat(F.col("text"), F.lit(" fresh"))).alias("text"))
+    new = new.unionByName(new.sparkSession.createDataFrame(
+        [(999999, None)], "doc_id long, text string"))
+    filt = bloom.build_bloom(docs, num_bits=1 << 23, num_hashes=7)
+    return (bloom.bloom_dedup_cross(new, filt, num_hashes=7)
+            .select("doc_id").orderBy("doc_id"))
 
 
 def q_minhash_cross(spark, sf_dir):
@@ -957,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cross": q_minhash_cross,
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup_cross": q_exact_dedup_cross,
+        "bloom_dedup_cross": q_bloom_dedup_cross,
         "simhash_neardup": q_simhash_neardup,
         "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1649,6 +1669,25 @@ def oracle_sql() -> dict[str, str]:
 
         # Cross-run exact dedup: NOT EXISTS with NULL-safe equality.
         "exact_dedup_cross": """
+            WITH new AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text
+                          ELSE text || ' fresh' END AS text
+              FROM documents
+              UNION ALL
+              SELECT 999999, NULL
+            )
+            SELECT doc_id FROM new n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents r
+              WHERE r.text IS NOT DISTINCT FROM n.text)
+            ORDER BY doc_id
+        """,
+
+        # Bloom-filter cross-run dedup: no false negatives by
+        # construction and fpp ~ 1e-20 at this filter size, so the
+        # survivor set must equal the exact NOT-EXISTS anti-join.
+        "bloom_dedup_cross": """
             WITH new AS (
               SELECT doc_id + 100000 AS doc_id,
                      CASE WHEN doc_id % 3 = 0 THEN text

@@ -85,6 +85,14 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--dedup-ref", default=None,
                     help="parquet dir of the previously-kept corpus: "
                          "drop exact text matches (cross-run dedup)")
+    ap.add_argument("--dedup-ref-mode", choices=["join", "bloom"],
+                    default="join",
+                    help="join: hash anti-join against the reference "
+                         "(exact). bloom: build a Bloom filter over the "
+                         "reference and probe map-only — no reference "
+                         "shuffle on later runs, ~--bloom-fpp of "
+                         "genuinely-new docs lost to false positives")
+    ap.add_argument("--bloom-fpp", type=float, default=1e-4)
     ap.add_argument("--near-dedup-ref", action="store_true",
                     help="with --dedup-ref: also drop near-duplicates "
                          "(MinHash+LSH vs the reference, Jaccard ≥ "
@@ -117,8 +125,18 @@ def _run(argv: list[str] | None = None) -> dict:
     if args.dedup_ref:
         from dataquality_spark.operators import dedup
         ref = spark.read.parquet(args.dedup_ref)
-        df = dedup.exact_dedup_cross(df, ref, text_col, id_col)
-        steps.append("exact_dedup_ref")
+        if args.dedup_ref_mode == "bloom":
+            from dataquality_spark.operators import bloom
+            n_ref = ref.count()
+            bits, k = bloom.optimal_params(max(n_ref, 1), args.bloom_fpp)
+            filt = bloom.build_bloom(ref, text_col,
+                                     num_bits=bits, num_hashes=k)
+            df = bloom.bloom_dedup_cross(df, filt, text_col,
+                                         num_hashes=k)
+            steps.append("bloom_dedup_ref")
+        else:
+            df = dedup.exact_dedup_cross(df, ref, text_col, id_col)
+            steps.append("exact_dedup_ref")
         if args.near_dedup_ref:
             hits = (dedup.minhash_lsh_pairs_cross(
                         df, ref, text_col, id_col,

@@ -204,6 +204,31 @@ def test_curate_job_cross_run_dedup(spark, tmp_path):
     assert kept == set(range(108, 124))   # only the fresh docs survive
 
 
+def test_curate_job_bloom_dedup_ref(spark, tmp_path):
+    """--dedup-ref-mode bloom drops the same exact copies as the
+    anti-join mode (fpp sized to ~0 at this scale) with a map-only
+    probe instead of a reference shuffle."""
+    import pandas as pd
+
+    from jobs import curate
+
+    base = [" ".join(f"w{i}_{j}" for j in range(40)) for i in range(20)]
+    ref = pd.DataFrame({"doc_id": range(20), "text": base})
+    new = pd.DataFrame({"doc_id": range(100, 110),
+                        "text": base[:4] + [f"fresh {i}" for i in range(6)]})
+    inp, refp, outp = (str(tmp_path / d) for d in ("new", "ref", "out"))
+    spark.createDataFrame(new).write.parquet(inp)
+    spark.createDataFrame(ref).write.parquet(refp)
+
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--dedup-ref", refp, "--dedup-ref-mode", "bloom",
+                        "--bloom-fpp", "1e-6"])
+    assert stats["steps"] == ["bloom_dedup_ref"]
+    assert stats["n_docs_out"] == 6
+    kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert kept == set(range(104, 110))
+
+
 def test_curate_job_near_dedup_clusters(spark, tmp_path):
     """--near-dedup resolves within-corpus near-dup CLUSTERS: a chain
     A~B~C whose ends fall below the pair threshold still collapses to
