@@ -93,7 +93,13 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
     prev_fp = None
     for _ in range(max_iter):
-        edges = _canon(_small_star(_large_star(edges)))
+        # Checkpoint BETWEEN the phases too: small-star consumes its
+        # input twice (the edge set and its per-node minima), so an
+        # unmaterialized large-star subtree would be recomputed ~3×
+        # per round (verified via .explain — the large-star join
+        # appeared three times in the round plan).
+        big = _large_star(edges).localCheckpoint(eager=True)
+        edges = _canon(_small_star(big))
         edges = edges.localCheckpoint(eager=True)
         fp = edges.agg(
             F.count(F.lit(1)).alias("n"),
