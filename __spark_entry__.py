@@ -30,9 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dataquality_spark import config as C  # noqa: E402
 from dataquality_spark import pipeline, synth  # noqa: E402
-from dataquality_spark.operators import (bloom, curation, dedup,  # noqa: E402
-                                         graph, joins, multimodal, profile,
-                                         similarity, text_analysis)
+from dataquality_spark.operators import (bloom, clustering,  # noqa: E402
+                                         curation, dedup, graph, joins,
+                                         multimodal, profile, similarity,
+                                         text_analysis)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -795,6 +796,50 @@ def q_embedding_norms(spark, sf_dir):
                       F.round(norm, 6).alias("l2_norm")).orderBy("vec_id")
 
 
+def _fixed_centroids(spark, sf_dir):
+    """Deterministic 4-centroid quantizer: the embeddings of
+    vec_id 0..3 cast to double — identical on both engines."""
+    import numpy as np
+    rows = (_t(spark, sf_dir, "embeddings").where("vec_id < 4")
+            .orderBy("vec_id").select("embedding").collect())
+    return np.array([[float(x) for x in r["embedding"]] for r in rows])
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment (operators/clustering.py) against a
+    FIXED quantizer (embeddings 0..3): the iterative fit is pinned by
+    pytest vs a numpy Lloyd reference; this contract query checks the
+    assignment math itself — argmin of -2x·c + |c|² with ties to the
+    lowest cluster index — exactly against DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("e"))
+    cents = _fixed_centroids(spark, sf_dir)
+    return (clustering.assign_clusters(emb, "e", cents)
+            .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+            .orderBy("vec_id"))
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDedup candidate pairs: corpus ∪ 1.0001-scaled copies, fixed
+    4-cell quantizer, same-cluster pairs with cosine ≥ 0.999. Scaling
+    preserves the argmin cluster and cosine ≈ 1, so every planted pair
+    must appear; oracle = the same relation in SQL (cluster via an
+    argmin window, all same-cluster pairs, exact cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id",
+                      F.expr("transform(embedding, "
+                             "x -> cast(x as double))").alias("e"))
+    jit = base.select((F.col("vec_id") + 100000).alias("vec_id"),
+                      F.transform("e", lambda x: x * 1.0001).alias("e"))
+    corpus = base.unionByName(jit)
+    cents = _fixed_centroids(spark, sf_dir)
+    return (clustering.semdedup_pairs(corpus, "e", "vec_id", cents,
+                                      cosine_threshold=0.999)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -990,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram": q_top_ngram,
         "pack_sequences": q_pack_sequences,
         "embedding_norms": q_embedding_norms,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf": q_embedding_ivf,
@@ -1874,6 +1921,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM j
             WHERE cos >= 0.999 ORDER BY id_a, id_b
+        """,
+
+        # Fixed-quantizer nearest-centroid assignment: argmin of the
+        # -2x·c + |c|² surrogate, ties to the lowest cluster index.
+        "kmeans_assign": """
+            WITH c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id < 4
+            ), d AS (
+              SELECT e.vec_id, c.cid,
+                     -2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           c.ce)
+                     + list_dot_product(c.ce, c.ce) AS s,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                        ORDER BY s, c.cid) AS rn
+              FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, CAST(cid AS INT) AS cluster
+            FROM d WHERE rn = 1 ORDER BY vec_id
+        """,
+
+        # SemDedup relation: same fixed quantizer over corpus ∪ scaled
+        # copies; all same-cluster pairs with cosine >= 0.999.
+        "semdedup": """
+            WITH corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> x * 1.0001)
+              FROM embeddings
+            ), c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id < 4
+            ), d AS (
+              SELECT v.vec_id, v.e, c.cid,
+                     -2 * list_dot_product(v.e, c.ce)
+                     + list_dot_product(c.ce, c.ce) AS s,
+                     ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                        ORDER BY s, c.cid) AS rn
+              FROM corpus v CROSS JOIN c
+            ), lab AS (
+              SELECT vec_id, e, cid FROM d WHERE rn = 1
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.e, b.e) /
+                         (sqrt(list_dot_product(a.e, a.e)) *
+                          sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+            FROM lab a JOIN lab b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) *
+                   sqrt(list_dot_product(b.e, b.e))) >= 0.999
+            ORDER BY id_a, id_b
         """,
 
         "embedding_norms": """
