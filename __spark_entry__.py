@@ -376,6 +376,21 @@ def q_fingerprints(spark, sf_dir):
                     F.length("text").alias("n_chars_calc")))
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03) with the
+    36-bit md5-prefix portable hash: per-doc window minimum (rightmost
+    on ties) over positional 3-gram hashes, window w=4. The DuckDB twin
+    encodes (hash, rightmost-pos) into one integer — min(h*2^24 +
+    (2^24-1-pos)) — so the selection semantics are bit-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    return (text_analysis.winnow_fingerprints(
+                docs, "text", "doc_id", k=3, w=4, portable_hash=True)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("pos").cast("long").alias("pos"),
+                    "fp_hash")
+            .orderBy("doc_id", "pos"))
+
+
 def q_fingerprint_roll(spark, sf_dir):
     """Rolling-hash fingerprint (JVM long-wraparound arithmetic — not
     SQL-portable, rows-only check; exactness covered in pytest)."""
@@ -1013,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "langid_vote": q_langid_vote,
         "fingerprints": q_fingerprints,
+        "winnow": q_winnow,
         "fingerprint_roll": q_fingerprint_roll,
         "fingerprint_roll_md5": q_fingerprint_roll_md5,
         "exact_dedup": q_exact_dedup,
@@ -1447,6 +1463,39 @@ def oracle_sql() -> dict[str, str]:
 
         # Chained md5 fold: list_reduce with '' prepended reproduces
         # Spark's aggregate(words, '', (a,w) -> md5(a || w)) exactly.
+        # Winnowing selection twin: encode (hash, rightmost pos) into
+        # one integer so window-min reproduces min-struct(h, -pos).
+        "winnow": f"""
+            WITH w AS (
+              SELECT doc_id, {_sql_words('text')} AS words FROM documents
+            ), g AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id,
+                  unnest(list_filter(list_transform(words, (x, i) ->
+                    CASE WHEN i + 2 <= len(words) THEN
+                      struct_pack(pos := i - 1,
+                        h := CAST(concat('0x', substr(md5(
+                               x || ' ' || words[i+1] || ' ' ||
+                               words[i+2]), 1, 9)) AS BIGINT))
+                    END), s -> s IS NOT NULL)) AS u
+                FROM w)
+            ), sel AS (
+              SELECT doc_id,
+                min(h * 16777216 + (16777215 - pos)) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc,
+                count(*) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nfull
+              FROM g
+            )
+            SELECT DISTINCT doc_id,
+                   CAST(16777215 - (enc % 16777216) AS BIGINT) AS pos,
+                   CAST(enc // 16777216 AS BIGINT) AS fp_hash
+            FROM sel WHERE nfull = 4
+            ORDER BY doc_id, pos
+        """,
+
         "fingerprint_roll_md5": f"""
             SELECT doc_id,
                    list_reduce(list_prepend('', {_sql_words('text')}),

@@ -33,7 +33,7 @@ HEADLINE = [
     "rollup_status", "percentiles", "asof_purchase", "sessionize",
     "token_counts", "quality_score", "langid_vote", "fingerprints",
     "exact_dedup", "minhash_neardup", "simhash_neardup", "decontaminate",
-    "dedupe_paragraphs",
+    "dedupe_paragraphs", "bloom_dedup_cross", "kmeans_assign", "semdedup",
     "embedding_topk", "embedding_neardup", "multimodal_meta", "scrub_sql",
 ]
 

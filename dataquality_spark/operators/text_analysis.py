@@ -134,6 +134,65 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("fingerprint_roll_md5", roll_md5))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5, w: int = 4,
+                        portable_hash: bool = False) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram
+    positionally, slide a window of w consecutive hashes, select the
+    minimum of each full window (RIGHTMOST position on hash ties, per
+    the paper), and return the distinct selections
+    (id, pos, fp_hash). Guarantee: two documents sharing any run of
+    ≥ w+k-1 words share at least one fingerprint, while only ~2/(w+1)
+    of positions are selected — a position-aware near-dup/overlap
+    index at a fraction of the full shingle set's size.
+
+    Plan shape: posexplode (narrow) → running window per doc (ONE
+    shuffle on id — and none at all when the corpus is already
+    hash-partitioned by id) → distinct on the selected triples. The
+    window state is w rows of (long, long); text never shuffles.
+
+    `portable_hash=True` swaps xxhash64 for the 36-bit md5-prefix twin
+    (conv(substr(md5(gram),1,9),16,10)) that DuckDB reproduces
+    bit-identically — the contract-oracle path, same selection logic.
+    Rightmost-tie selection uses min over struct(hash, -pos): Spark
+    orders structs field-lexicographically, so ties on hash fall to
+    the smallest -pos = the rightmost gram.
+    """
+    from pyspark.sql import Window
+
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    # sequence(0, x) DESCENDS for x<0, so short docs need an explicit
+    # empty-array branch, not a clamped bound
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))) \
+        .otherwise(F.array().cast("array<string>"))
+    g = (df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+         .where(F.size("grams") > 0)
+         .select("id", F.posexplode("grams").alias("pos", "gram")))
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(F.col("gram")), 1, 9), 16, 10) \
+             .cast("long")
+    else:
+        h = F.xxhash64("gram")
+    g = g.select("id", "pos", h.alias("h"))
+
+    win = Window.partitionBy("id").orderBy("pos") \
+                .rowsBetween(Window.currentRow, w - 1)
+    sel = (g.select(
+            "id",
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np")))
+             .over(win).alias("m"),
+            F.count(F.lit(1)).over(win).alias("full"))
+           .where(F.col("full") == w)
+           .select("id", (-F.col("m.np")).alias("pos"),
+                   F.col("m.h").alias("fp_hash"))
+           .distinct())
+    return sel
+
+
 def top_ngram_frac(df: DataFrame, text_col: str = "text",
                    n: int = 2) -> DataFrame:
     """Gopher-style repetition statistic: the fraction of word n-gram
