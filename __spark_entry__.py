@@ -590,6 +590,24 @@ def q_simhash_neardup(spark, sf_dir):
                 .orderBy("id_a", "id_b")
 
 
+def q_simhash_neardup_md5(spark, sf_dir):
+    """Band-join COMPLETENESS as a hard oracle: run the production
+    C(6,3) multi-probe banding + popcount verify over the md5-twin
+    signatures (SQL-reproducible), uncapped; the oracle brute-forces
+    ALL pairs with bit_count(xor) ≤ 3 over the same signatures. The
+    probe-key pigeonhole guarantees banding finds every such pair, so
+    the two sets must be EQUAL — this checks the banding/verify logic
+    itself, complementing simhash_neardup (production xxhash bank,
+    rows-only) and simhash_signature (signature arithmetic)."""
+    corpus = _docs_with_near_dups(_t(spark, sf_dir, "documents"))
+    sigs = (dedup.simhash_md5(corpus, "text", "doc_id", shingle_n=2)
+            .select(F.col("doc_id").alias("id"),
+                    F.col("simhash_md5").alias("simhash")))
+    return (dedup.simhash_pairs_from_sigs(sigs, max_hamming=3,
+                                          max_bucket=None)
+            .orderBy("id_a", "id_b"))
+
+
 def q_simhash_signature(spark, sf_dir):
     """Signature-level exact oracle for SimHash: the md5-60-bit twin
     (identical bit-majority semantics to the production xxhash64 bank —
@@ -602,7 +620,21 @@ def q_simhash_signature(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-def _simhash_md5_sql(bits: int = 60) -> str:
+# SQL twin of _docs_with_near_dups: documents ∪ 80%-word-truncated
+# variants at doc_id+100000 (same int-truncation as the Spark cast).
+_SIMHASH_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, "
+    "array_to_string(w[1:greatest(CAST(floor(len(w) * 8 / 10) AS INT),"
+    " 1)], ' ') AS text "
+    "FROM (SELECT doc_id, list_filter(string_split_regex("
+    "coalesce(text, ''), '\\s+'), x -> x <> '') AS w FROM documents)")
+
+
+def _simhash_md5_sql(bits: int = 60,
+                     corpus_sql: str = "SELECT doc_id, text "
+                                       "FROM documents") -> str:
     gram = ("CASE WHEN i + 1 <= len(words) THEN CAST(concat('0x', "
             "substr(md5(words[i] || ' ' || words[i+1]), 1, 15)) AS "
             "BIGINT) END")
@@ -611,8 +643,9 @@ def _simhash_md5_sql(bits: int = 60) -> str:
         f"& 1)) > len(sh) THEN {1 << b} ELSE 0 END)"
         for b in range(bits))
     return f"""
-        WITH w AS (
-          SELECT doc_id, {_sql_words('text')} AS words FROM documents
+        WITH corpus AS ({corpus_sql}
+        ), w AS (
+          SELECT doc_id, {_sql_words('text')} AS words FROM corpus
         ), s AS (
           SELECT doc_id, list_distinct(list_filter(
             list_transform(words, (x, i) -> {gram}),
@@ -1039,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_cross": q_exact_dedup_cross,
         "bloom_dedup_cross": q_bloom_dedup_cross,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_neardup_md5": q_simhash_neardup_md5,
         "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
@@ -1628,6 +1662,18 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "simhash_signature": _simhash_md5_sql(),
+
+        # Banding completeness: brute-force Hamming ≤ 3 over the same
+        # md5-twin signatures the Spark side bands — sets must be equal.
+        "simhash_neardup_md5": f"""
+            WITH sig AS ({_simhash_md5_sql(corpus_sql=_SIMHASH_CORPUS_SQL)})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash_md5, b.simhash_md5))
+                        AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash_md5, b.simhash_md5)) <= 3
+            ORDER BY id_a, id_b
+        """,
 
         # Sequence packing: identical per-shard window cumsum.
         "pack_sequences": """

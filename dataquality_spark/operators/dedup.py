@@ -463,6 +463,17 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     assert max_hamming <= 3, "6-block probe guarantees Hamming ≤ 3 only"
     sigs = _track_persist(simhash(df, text_col, id_col, shingle_n))
+    return simhash_pairs_from_sigs(sigs, max_hamming, max_bucket)
+
+
+def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3,
+                            max_bucket: int | None = 10_000) -> DataFrame:
+    """`simhash_pairs`' band-join + verify over a PRECOMPUTED
+    (id, simhash) frame — the entry point for signatures persisted as a
+    table across runs, and for the md5-twin signatures whose pair set a
+    SQL oracle can brute-force (any hash family works: the C(6,3)
+    probe-key guarantee depends only on bit positions)."""
+    assert max_hamming <= 3, "6-block probe guarantees Hamming ≤ 3 only"
     banded = sigs.select(
         "id", "simhash",
         F.explode(F.array(*_simhash_probe_keys(F.col("simhash"))))
