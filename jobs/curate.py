@@ -109,6 +109,12 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--split", default=None,
                     help="e.g. train=0.9,val=0.05,test=0.05")
     ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--audit", default=None,
+                    help="directory to APPEND per-partition lineage "
+                         "rows to (partition_id, n_docs, "
+                         "n_distinct_ids, steps, elapsed_sec) — the "
+                         "curate twin of run_pipeline's audit table; "
+                         "append-mode so reruns accumulate history")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--master", default=None)
@@ -200,6 +206,15 @@ def _run(argv: list[str] | None = None) -> dict:
             r["split"]: r["n"] for r in
             out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
             .collect()}
+    if args.audit:
+        aud = (out.groupBy(F.spark_partition_id().alias("partition_id"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.count_distinct(id_col).alias("n_distinct_ids"))
+               .withColumn("steps", F.lit(",".join(steps)))
+               .withColumn("elapsed_sec",
+                           F.lit(stats["elapsed_sec"])))
+        aud.write.mode("append").parquet(args.audit)
+        stats["audit_rows"] = aud.count()
     print(json.dumps(stats))
     return stats
 

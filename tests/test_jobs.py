@@ -160,12 +160,22 @@ def test_curate_job_end_to_end(spark, tmp_path):
                                 "bucket", "quality_model_score"}
     assert out["quality_model_score"].between(0, 1).all()
 
-    # --drop-contaminated removes the flagged doc
-    out2 = str(tmp_path / "out2")
+    # --drop-contaminated removes the flagged doc; --audit appends the
+    # per-partition lineage table (append-mode across reruns)
+    out2, audp = str(tmp_path / "out2"), str(tmp_path / "audit")
     stats2 = curate.run(["--input", inp, "--output", out2,
                          "--eval", evp, "--ngram", "3",
-                         "--drop-contaminated"])
+                         "--drop-contaminated", "--audit", audp])
     assert stats2["n_docs_out"] == 39
+    aud = spark.read.parquet(audp).toPandas()
+    assert aud["n_docs"].sum() == 39
+    assert (aud["steps"] == "decontaminate:drop").all()
+    assert set(aud.columns) >= {"partition_id", "n_docs",
+                                "n_distinct_ids", "steps", "elapsed_sec"}
+    out3 = str(tmp_path / "out3")
+    curate.run(["--input", inp, "--output", out3, "--audit", audp])
+    aud2 = spark.read.parquet(audp).toPandas()
+    assert aud2["n_docs"].sum() == 39 + 40   # appended, not overwritten
 
 
 def test_curate_job_cross_run_dedup(spark, tmp_path):
