@@ -845,17 +845,19 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def _fixed_centroids(spark, sf_dir):
-    """Deterministic 4-centroid quantizer: the embeddings of
-    vec_id 0..3 cast to double — identical on both engines."""
+    """Deterministic 64-centroid quantizer: the embeddings of
+    vec_id 0..63 cast to double — identical on both engines. Cell
+    count must scale with corpus size: in-cluster candidate joins are
+    ~n²/k, and 4 cells measured 10× slower than 64 at sf0.1."""
     import numpy as np
-    rows = (_t(spark, sf_dir, "embeddings").where("vec_id < 4")
+    rows = (_t(spark, sf_dir, "embeddings").where("vec_id < 64")
             .orderBy("vec_id").select("embedding").collect())
     return np.array([[float(x) for x in r["embedding"]] for r in rows])
 
 
 def q_kmeans_assign(spark, sf_dir):
     """Nearest-centroid assignment (operators/clustering.py) against a
-    FIXED quantizer (embeddings 0..3): the iterative fit is pinned by
+    FIXED quantizer (embeddings 0..63): the iterative fit is pinned by
     pytest vs a numpy Lloyd reference; this contract query checks the
     assignment math itself — argmin of -2x·c + |c|² with ties to the
     lowest cluster index — exactly against DuckDB."""
@@ -870,7 +872,7 @@ def q_kmeans_assign(spark, sf_dir):
 
 def q_semdedup(spark, sf_dir):
     """SemDedup candidate pairs: corpus ∪ 1.0001-scaled copies, fixed
-    4-cell quantizer, same-cluster pairs with cosine ≥ 0.999. Scaling
+    64-cell quantizer, same-cluster pairs with cosine ≥ 0.999. Scaling
     preserves the argmin cluster and cosine ≈ 1, so every planted pair
     must appear; oracle = the same relation in SQL (cluster via an
     argmin window, all same-cluster pairs, exact cosine)."""
@@ -897,23 +899,43 @@ def q_embedding_topk(spark, sf_dir):
             .withColumnRenamed("id", "vec_id"))
 
 
+def _fixed_planes(spark, sf_dir, n_tables=4, n_planes=6):
+    """Deterministic LSH hyperplane banks: embeddings 64..87 reshaped to
+    (4 tables × 6 planes × dim) — identical on both engines, so the
+    bucket membership itself is oracle-checkable (unlike seeded RNG)."""
+    import numpy as np
+    hi = 64 + n_tables * n_planes
+    rows = (_t(spark, sf_dir, "embeddings")
+            .where((F.col("vec_id") >= 64) & (F.col("vec_id") < hi))
+            .orderBy("vec_id").select("embedding").collect())
+    arr = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    return arr.reshape(n_tables, n_planes, -1)
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
-    asserted in tests/test_similarity.py)."""
+    """LSH-bucketed approximate top-k with data-derived hyperplane
+    banks (embeddings 64..87): candidate = sign-pattern match with the
+    query on all 6 planes of any of the 4 tables, then exact cosine
+    top-10. The seeded-RNG production path (similarity.lsh_topk) keeps
+    its recall pytest; this fixed-plane variant makes bucket membership
+    AND ranking exactly SQL-expressible."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    return (similarity.lsh_topk(emb, "embedding", "vec_id", 64, q, k=10)
+    planes = _fixed_planes(spark, sf_dir)
+    return (similarity.lsh_topk_fixed_planes(emb, "embedding", "vec_id",
+                                             planes, q, k=10)
             .withColumnRenamed("id", "vec_id"))
 
 
 def q_embedding_ivf(spark, sf_dir):
-    """IVF coarse-quantized ANN (rows-only; deterministic seeded k-means)."""
-    import numpy as np
+    """IVF coarse-quantized ANN against the FIXED 64-cell quantizer
+    (embeddings 0..63): assign every vector to its argmin cell, probe
+    the 3 cells nearest the query, exact cosine top-10 within them.
+    The trained path (similarity.train_centroids) keeps its pytest; the
+    fixed quantizer makes cell assignment, probe choice and ranking all
+    exactly reproducible in SQL."""
     emb = _t(spark, sf_dir, "embeddings")
-    sample = np.array(
-        [r[0] for r in emb.select("embedding").limit(256).collect()],
-        dtype=np.float64)
-    cents = similarity.train_centroids(sample, n_cells=8)
+    cents = _fixed_centroids(spark, sf_dir)
     assigned = similarity.ivf_assign(emb, "embedding", cents)
     q = _query_vec(spark, sf_dir)
     return (similarity.ivf_topk(assigned, "embedding", "vec_id", cents, q,
@@ -2023,7 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": """
             WITH c AS (
               SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-              FROM embeddings WHERE vec_id < 4
+              FROM embeddings WHERE vec_id < 64
             ), d AS (
               SELECT e.vec_id, c.cid,
                      -2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
@@ -2050,7 +2072,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ), c AS (
               SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-              FROM embeddings WHERE vec_id < 4
+              FROM embeddings WHERE vec_id < 64
             ), d AS (
               SELECT v.vec_id, v.e, c.cid,
                      -2 * list_dot_product(v.e, c.ce)
@@ -2094,6 +2116,80 @@ def oracle_sql() -> dict[str, str]:
                       sqrt(list_dot_product(qv, qv))), 6) AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+
+        # Fixed-plane LSH: candidate iff sign pattern equals the query's
+        # on all 6 planes of any of the 4 tables (planes = embeddings
+        # 64..87), then exact cosine top-10 — mirrors
+        # similarity.lsh_topk_fixed_planes exactly.
+        "embedding_ann_lsh": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ), p AS (
+              SELECT (vec_id - 64) // 6 AS tbl, vec_id AS pid,
+                     CAST(embedding AS DOUBLE[]) AS h
+              FROM embeddings WHERE vec_id >= 64 AND vec_id < 88
+            ), m AS (
+              SELECT e.vec_id, p.tbl,
+                     BOOL_AND(
+                       (list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                         p.h) > 0)
+                       = (list_dot_product(q.qv, p.h) > 0)) AS same
+              FROM embeddings e CROSS JOIN p CROSS JOIN q
+              GROUP BY e.vec_id, p.tbl
+            ), cand AS (
+              SELECT DISTINCT vec_id FROM m WHERE same
+            )
+            SELECT e.vec_id,
+                   ROUND(
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                     (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+            FROM embeddings e
+            JOIN cand USING (vec_id) CROSS JOIN q
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+
+        # Fixed-quantizer IVF: argmin cell over centroids 0..63 (ties →
+        # lowest cid, same as the pandas-UDF argmin), probe the 3 cells
+        # nearest the query, exact cosine top-10 within them — mirrors
+        # similarity.ivf_assign + ivf_topk with _fixed_centroids.
+        "embedding_ivf": """
+            WITH c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id < 64
+            ), q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ), probe AS (
+              SELECT cid FROM c CROSS JOIN q
+              ORDER BY -2 * list_dot_product(q.qv, c.ce)
+                       + list_dot_product(c.ce, c.ce), cid
+              LIMIT 3
+            ), d AS (
+              SELECT e.vec_id, c.cid,
+                     -2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           c.ce)
+                     + list_dot_product(c.ce, c.ce) AS s,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                        ORDER BY s, c.cid) AS rn
+              FROM embeddings e CROSS JOIN c
+            ), assign AS (
+              SELECT vec_id, cid FROM d WHERE rn = 1
+            )
+            SELECT e.vec_id,
+                   ROUND(
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                     (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+            FROM embeddings e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probe pr ON pr.cid = a.cid
+            CROSS JOIN q
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
         """,
 
         "multimodal_meta": """
