@@ -103,6 +103,44 @@ def ivf_topk(assigned: DataFrame, emb_col: str, id_col: str,
     return brute_force_topk(cand, emb_col, id_col, query_vec, k)
 
 
+def dot_lit(emb_col, vec):
+    """Dot product of an array column with a literal vector — the same
+    sequential zip_with/aggregate fold as cosine_cols (JVM codegen)."""
+    v = F.array(*[F.lit(float(x)) for x in vec])
+    ed = F.transform(emb_col, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(ed, v, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_topk_fixed_planes(df: DataFrame, emb_col: str, id_col: str,
+                          planes: np.ndarray, query_vec,
+                          k: int = 10) -> DataFrame:
+    """Hyperplane-LSH top-k with DATA-DERIVED planes.
+
+    `planes` is (n_tables, n_planes, dim): each table is a bank of
+    hyperplanes taken from the corpus itself (e.g. a fixed slice of
+    embeddings), not a seeded RNG — so the whole relation (sign
+    pattern match → candidate set → exact cosine top-k) is pure
+    arithmetic on the input table and therefore SQL-expressible and
+    oracle-checkable. A row is a candidate when its projection signs
+    equal the query's on ALL planes of ANY table. Sign tests are JVM
+    folds; at corpus scale the packed bucket key would be precomputed
+    at write time and this filter becomes a bucket lookup."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    table_conds = []
+    for tbl in planes:
+        cond = None
+        for h in tbl:
+            qsign = bool(float(q @ np.asarray(h, dtype=np.float64)) > 0.0)
+            pc = (dot_lit(F.col(emb_col), h) > 0) == F.lit(qsign)
+            cond = pc if cond is None else (cond & pc)
+        table_conds.append(cond)
+    mask = table_conds[0]
+    for c in table_conds[1:]:
+        mask = mask | c
+    return brute_force_topk(df.filter(mask), emb_col, id_col, query_vec, k)
+
+
 def lsh_topk(df: DataFrame, emb_col: str, id_col: str, dim: int,
              query_vec, k: int = 10, n_planes: int = 8,
              n_tables: int = 4) -> DataFrame:
