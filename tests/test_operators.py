@@ -151,6 +151,23 @@ def test_lsh_topk_recall(spark, emb, emb_np):
     assert got["cosine"].is_monotonic_decreasing
 
 
+def test_lsh_topk_fixed_planes_matches_numpy(spark, emb, emb_np):
+    """The fixed-plane contract path ≡ a full numpy re-derivation:
+    candidate = sign-pattern match with the query on every plane of any
+    table, then exact cosine top-k with (rounded cosine, id) ordering."""
+    ids, mat = emb_np
+    q = mat[0]
+    planes = mat[10:34].reshape(4, 6, -1)   # data-derived banks
+    got = similarity.lsh_topk_fixed_planes(
+        emb, "embedding", "vec_id", planes, q.tolist(), k=10).toPandas()
+    qsigns = np.stack([(tbl @ q) > 0 for tbl in planes])      # (4, 6)
+    vsigns = np.stack([(mat @ tbl.T) > 0 for tbl in planes])  # (4, n, 6)
+    cand = (vsigns == qsigns[:, None, :]).all(axis=2).any(axis=0)
+    assert cand.sum() >= 1                  # query matches its own bucket
+    expect = _brute_topk(ids[cand], mat[cand], q, 10)
+    assert got["id"].tolist() == expect
+
+
 def test_ivf_topk_probes_contain_query_cell(spark, emb, emb_np):
     ids, mat = emb_np
     cents = similarity.train_centroids(mat[:256], n_cells=8)
