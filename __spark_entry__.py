@@ -332,6 +332,40 @@ def q_host_extract(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (curation.canonicalize_url) over
+    deterministically messy synthesized urls exercising every rule:
+    mixed-case scheme/host, WWW. prefix, default vs real ports,
+    trailing path slash, unsorted + tracking query params, fragment.
+    Oracle replays both the mess and the canonicalization in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.upper("source"), F.lit(".Example.org"),
+        F.when(d % 4 == 0, F.lit(":443"))
+         .when(d % 4 == 1, F.lit(":80"))
+         .when(d % 4 == 2, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/Doc/"), d.cast("string"),
+        F.when(d % 3 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?utm_source=rss&b=2&a=1"))
+         .otherwise(F.lit("?z=9&utm_campaign=x&gclid=abc")),
+        F.when(d % 5 == 0, F.lit("#Section-2")).otherwise(F.lit("")))
+    return (docs.select("doc_id", url.alias("url_raw"),
+                        curation.canonicalize_url(url).alias("url_canon"))
+            .orderBy("doc_id"))
+
+
+def q_corpus_top_ngrams(spark, sf_dir):
+    """Corpus-level bigram heavy hitters: exact global top-20 by total
+    occurrences (count desc, gram asc) — partial hash agg then
+    TakeOrderedAndProject (text_analysis.corpus_top_ngrams)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.corpus_top_ngrams(docs, "text", n=2, k=20)
+
+
 def q_approx_distinct(spark, sf_dir):
     """HLL approximate distinct vs exact (the 10^12-row path for B4/B10;
     rows-only — sketch values differ across engines, tolerance asserted
@@ -1078,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase": q_asof_purchase,
         "sessionize": q_sessionize,
         "host_extract": q_host_extract,
+        "url_canonicalize": q_url_canonicalize,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
         "approx_distinct": q_approx_distinct,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -1468,6 +1504,85 @@ def oracle_sql() -> dict[str, str]:
                                   'https?://([^/]+)/', 1) AS host,
                    count(*) AS n
             FROM documents GROUP BY 1 ORDER BY host
+        """,
+
+        # Replays the deterministic messy-url synthesis, then every
+        # canonicalization rule of curation.canonicalize_url in SQL.
+        "url_canonicalize": """
+            WITH raw AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS'
+                           ELSE 'http' END)
+                     || '://'
+                     || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                              ELSE '' END)
+                     || upper(source) || '.Example.org'
+                     || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                              WHEN doc_id % 4 = 1 THEN ':80'
+                              WHEN doc_id % 4 = 2 THEN ':8080'
+                              ELSE '' END)
+                     || '/Doc/' || CAST(doc_id AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 2 = 0
+                              THEN '?utm_source=rss&b=2&a=1'
+                              ELSE '?z=9&utm_campaign=x&gclid=abc' END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN '#Section-2'
+                              ELSE '' END) AS url_raw
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, url_raw,
+                     split_part(url_raw, '#', 1) AS u0
+              FROM raw
+            ), split AS (
+              SELECT doc_id, url_raw,
+                     split_part(u0, '?', 1) AS base,
+                     CASE WHEN instr(u0, '?') > 0
+                          THEN substring(u0, instr(u0, '?') + 1)
+                          ELSE '' END AS qs
+              FROM parts
+            ), pieces AS (
+              SELECT doc_id, url_raw, qs,
+                     lower(split_part(base, '://', 1)) AS scheme,
+                     split_part(substring(base, instr(base, '://') + 3),
+                                '/', 1) AS host_port,
+                     substring(substring(base, instr(base, '://') + 3),
+                               length(split_part(
+                                 substring(base, instr(base, '://') + 3),
+                                 '/', 1)) + 1) AS path0
+              FROM split
+            ), canon AS (
+              SELECT doc_id, url_raw, scheme,
+                     regexp_replace(
+                       regexp_replace(lower(host_port), ':(80|443)$', ''),
+                       '^www\\.', '') AS host,
+                     regexp_replace(path0, '/$', '') AS path,
+                     array_to_string(list_sort(list_filter(
+                       string_split(qs, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                         '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)(=|$)')
+                     )), '&') AS qc
+              FROM pieces
+            )
+            SELECT doc_id, url_raw,
+                   scheme || '://' || host || path ||
+                   (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END)
+                   AS url_canon
+            FROM canon ORDER BY doc_id
+        """,
+
+        "corpus_top_ngrams": f"""
+            WITH w AS (
+              SELECT {_sql_words('text')} AS words FROM documents
+            ), g AS (
+              SELECT unnest(list_filter(list_transform(words, (x, i) ->
+                       CASE WHEN i + 1 <= len(words)
+                            THEN words[i] || ' ' || words[i+1] END),
+                     s -> s IS NOT NULL)) AS ngram
+              FROM w
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
         """,
 
         "token_counts": f"""

@@ -221,6 +221,47 @@ def host_blocklist_filter(df: DataFrame, url_col: str,
     return out.join(F.broadcast(bl), host_col, "left_anti")
 
 
+TRACKING_PARAM_REGEX = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)(=|$)")
+
+
+def canonicalize_url(url, strip_www: bool = True,
+                     tracking_regex: str = TRACKING_PARAM_REGEX):
+    """Crawl-grade URL canonicalization as one pure-Catalyst string
+    expression — the normalization every URL-level dedup runs before
+    content dedup so `http://WWW.Site.com:80/a/?utm_source=x&b=2&a=1`
+    and `https://site.com/a?a=1&b=2` collapse when they should.
+
+    Rules (each a deliberate, SQL-mirrorable step): drop the fragment;
+    lowercase scheme and host (NEVER the path — paths are
+    case-sensitive); strip default ports :80/:443; optionally strip a
+    leading `www.`; strip one trailing path slash; drop tracking query
+    params (utm_*, gclid, fbclid, ...); sort surviving params
+    byte-lexicographically. Scale: a codegen projection — zero shuffle,
+    zero Python; canonical-URL dedup then rides the existing exact /
+    bloom dedup paths on a 16-byte hash of the output."""
+    u0 = F.split_part(url, F.lit("#"), F.lit(1))
+    base = F.split_part(u0, F.lit("?"), F.lit(1))
+    qpos = F.instr(u0, "?")
+    qs = F.when(qpos > 0,
+                F.substring(u0, qpos + 1, F.length(u0))).otherwise(F.lit(""))
+    scheme = F.lower(F.split_part(base, F.lit("://"), F.lit(1)))
+    rest = F.substring(base, F.instr(base, "://") + 3, F.length(base))
+    host_port = F.split_part(rest, F.lit("/"), F.lit(1))
+    path = F.substring(rest, F.length(host_port) + 1, F.length(rest))
+    host = F.regexp_replace(F.lower(host_port), ":(80|443)$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(path, "/$", "")
+    params = F.filter(F.split(qs, "&"),
+                      lambda x: (x != "") & ~x.rlike(tracking_regex))
+    q_canon = F.concat_ws("&", F.array_sort(params))
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q_canon != "", F.concat(F.lit("?"), q_canon))
+        .otherwise(F.lit("")))
+
+
 # ---------------------------------------------------------------------------
 # Intra-document repeated-line removal (Gopher-style)
 # ---------------------------------------------------------------------------

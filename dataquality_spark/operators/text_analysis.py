@@ -239,3 +239,31 @@ def top_ngram_frac(df: DataFrame, text_col: str = "text",
                           F.round(F.when(total > 0,
                                          best / total.cast("double"))
                                   .otherwise(F.lit(0.0)), 6)))
+
+
+def corpus_top_ngrams(df: DataFrame, text_col: str = "text",
+                      n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level n-gram heavy hitters: exact top-k word n-grams by
+    total (non-distinct) occurrence count, ties broken gram-ascending —
+    the vocabulary/boilerplate-phrase discovery pass (find the nav-bar
+    and cookie-banner phrases worth filtering corpus-wide).
+
+    Output: (ngram, n_occurrences) — k rows.
+
+    Scale design: explode feeds a hash aggregate whose PARTIAL (map
+    side) combine collapses each partition to one row per distinct gram
+    before the exchange, and the final ordering is
+    TakeOrderedAndProject (k rows per partition reach the driver-side
+    merge — never a global sort). At 10^12 docs the gram key space
+    itself is the cost: bound it first (count-min prefilter or
+    stop-gram cap) — the exact semantics here stay the ground truth."""
+    words = _words(F.col(text_col))
+    m = F.size(words) - (n - 1)
+    grams = F.when(m > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n))
+    )).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k))

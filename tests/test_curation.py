@@ -409,3 +409,40 @@ class TestExactDedupCross:
                  dedup_mod.exact_dedup_cross(new, ref2, "text", "doc_id")
                  .collect()}
         assert 12 not in kept2 and 13 in kept2
+
+
+class TestCanonicalizeUrl:
+    CASES = [
+        # fragment dropped, scheme+host lowered, :443 stripped, www
+        # stripped, trailing slash stripped, params sorted, utm_* gone
+        ("HTTPS://WWW.Site.COM:443/A/Path/?utm_source=x&b=2&a=1#frag",
+         "https://site.com/A/Path?a=1&b=2"),
+        (":80 stripped, no query, path case preserved",
+         None),
+        ("http://site.com:80/Doc", "http://site.com/Doc"),
+        # non-default port kept; tracking-only query → no '?'
+        ("http://site.com:8080/x?gclid=1&utm_campaign=y",
+         "http://site.com:8080/x"),
+        # bare host, no path, no query
+        ("HTTP://Example.Org", "http://example.org"),
+        # fragment only
+        ("http://a.com/p#Sec", "http://a.com/p"),
+    ]
+
+    def test_handcrafted(self, spark):
+        cases = [(i, raw) for i, (raw, want) in enumerate(self.CASES)
+                 if want is not None]
+        want = {i: w for i, (raw, w) in enumerate(self.CASES)
+                if w is not None}
+        df = spark.createDataFrame(cases, "i long, url string")
+        got = {r["i"]: r["c"] for r in
+               df.select("i", curation.canonicalize_url(F.col("url"))
+                         .alias("c")).collect()}
+        assert got == want
+
+    def test_strip_www_flag(self, spark):
+        df = spark.createDataFrame([(1, "http://www.a.com/x")],
+                                   "i long, url string")
+        keep = df.select(curation.canonicalize_url(
+            F.col("url"), strip_www=False).alias("c")).head()["c"]
+        assert keep == "http://www.a.com/x"

@@ -182,6 +182,23 @@ def test_ivf_topk_probes_contain_query_cell(spark, emb, emb_np):
 # text analysis
 # ---------------------------------------------------------------------------
 
+def test_corpus_top_ngrams_vs_counter(docs, docs_pd):
+    """Exact global bigram top-k ≡ a Python Counter re-derivation,
+    including the (count desc, gram asc) tie-break at the k boundary."""
+    import re
+    from collections import Counter
+
+    cnt = Counter()
+    for t in docs_pd["text"].fillna(""):
+        ws = [w for w in re.split(r"\s+", t) if w]
+        cnt.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["ngram"], r["n_occurrences"]) for r in
+           text_analysis.corpus_top_ngrams(docs, "text", n=2, k=20)
+           .collect()]
+    assert got == expect
+
+
 def test_token_counts_vs_python(docs, docs_pd):
     out = text_analysis.token_counts(docs).toPandas().set_index("doc_id")
     for _, row in docs_pd.head(50).iterrows():
