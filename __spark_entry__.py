@@ -358,6 +358,19 @@ def q_url_canonicalize(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_repeat_upsample(spark, sf_dir):
+    """Deterministic mixture upsampling (curation.repeat_upsample, LCG
+    twin): weight 0.5 + (doc_id % 40)/16 → floor(w) copies plus a
+    hash-gated extra; oracle replays weights, LCG gate and the
+    generate_series explode exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    wt = (F.lit(0.5) + (F.col("doc_id") % 40) / F.lit(16.0)).alias("wt")
+    return (curation.repeat_upsample(docs.select("doc_id", wt),
+                                     "doc_id", "wt", salt=3, method="lcg")
+            .select("doc_id", "n_copies", "copy_idx")
+            .orderBy("doc_id", "copy_idx"))
+
+
 def q_corpus_top_ngrams(spark, sf_dir):
     """Corpus-level bigram heavy hitters: exact global top-20 by total
     occurrences (count desc, gram asc) — partial hash agg then
@@ -1114,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_extract": q_host_extract,
         "url_canonicalize": q_url_canonicalize,
         "corpus_top_ngrams": q_corpus_top_ngrams,
+        "repeat_upsample": q_repeat_upsample,
         "approx_distinct": q_approx_distinct,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -1568,6 +1582,30 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END)
                    AS url_canon
             FROM canon ORDER BY doc_id
+        """,
+
+        # LCG-twin mirror of curation.repeat_upsample: floor(w) copies
+        # + one extra iff lcg_bucket < floor(frac(w)*1e6), salt=3.
+        "repeat_upsample": """
+            WITH w AS (
+              SELECT doc_id,
+                     0.5 + (doc_id % 40) / 16.0 AS wt,
+                     ((doc_id % 2147483648) * 1103515245 + 12345 + 3)
+                       % 2147483648 % 1000000 AS b
+              FROM documents
+            ), n AS (
+              SELECT doc_id,
+                     CAST(floor(wt) AS BIGINT)
+                     + (CASE WHEN b < CAST(floor((wt - floor(wt)) * 1000000)
+                                           AS BIGINT)
+                             THEN 1 ELSE 0 END) AS n_copies
+              FROM w
+            )
+            SELECT doc_id, n_copies,
+                   CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+                     AS copy_idx
+            FROM n WHERE n_copies > 0
+            ORDER BY doc_id, copy_idx
         """,
 
         "corpus_top_ngrams": f"""

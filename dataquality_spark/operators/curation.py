@@ -203,6 +203,35 @@ def stratified_sample(df: DataFrame, stratum_col: str,
 # ---------------------------------------------------------------------------
 
 
+def repeat_upsample(df: DataFrame, id_col: str, weight_col: str,
+                    buckets: int = 1_000_000, salt: int = 0,
+                    method: str = "xxhash64",
+                    copy_col: str = "copy_idx") -> DataFrame:
+    """Deterministic fractional upsampling for dataset-mixture building
+    (Pile/Dolma-style per-source epoch weights): a row with weight w is
+    emitted floor(w) times, plus one more iff its hash bucket falls
+    below floor(frac(w)·buckets) — so a source weighted 2.3 contributes
+    exactly ~2.3× rows, and the SAME rows receive the extra copy on
+    every run, cluster size, or task retry (reproducible mixtures, the
+    property rand()-based upsampling lacks).
+
+    Adds n_copies and copy_col (1..n_copies). Scale: a pure projection
+    + explode — zero shuffle, output inherits input partitioning; the
+    hash is the same bucketing primitive as split_assign, so mixture
+    and split decisions stay independent via distinct salts.
+    """
+    w = F.col(weight_col).cast("double")
+    base = F.floor(w).cast("long")
+    thr = F.floor((w - F.floor(w)) * buckets).cast("long")
+    b = hash_bucket(F.col(id_col), buckets, salt, method)
+    n = (base + F.when(b < thr, F.lit(1)).otherwise(F.lit(0))).cast("long")
+    return (df.withColumn("n_copies", n)
+            .where(F.col("n_copies") > 0)   # guard: sequence(1,0) descends
+            .withColumn(copy_col,
+                        F.explode(F.sequence(F.lit(1).cast("long"),
+                                             F.col("n_copies")))))
+
+
 def host_blocklist_filter(df: DataFrame, url_col: str,
                           blocked_hosts: DataFrame,
                           host_col: str = "host") -> DataFrame:

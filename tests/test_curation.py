@@ -446,3 +446,39 @@ class TestCanonicalizeUrl:
         keep = df.select(curation.canonicalize_url(
             F.col("url"), strip_www=False).alias("c")).head()["c"]
         assert keep == "http://www.a.com/x"
+
+
+class TestRepeatUpsample:
+    def test_lcg_exact_vs_python(self, spark):
+        rows = [(i, 0.5 + (i % 40) / 16.0) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, wt double")
+        got = (curation.repeat_upsample(df, "doc_id", "wt",
+                                        salt=3, method="lcg")
+               .select("doc_id", "n_copies", "copy_idx")
+               .orderBy("doc_id", "copy_idx").collect())
+        import math
+        expect = []
+        for i, w in rows:
+            b = ((i % 2147483648) * 1103515245 + 12345 + 3) \
+                % 2147483648 % 1_000_000
+            n = math.floor(w) + (1 if b < math.floor((w - math.floor(w))
+                                                     * 1_000_000) else 0)
+            expect += [(i, n, c) for c in range(1, n + 1)]
+        assert [(r.doc_id, r.n_copies, r.copy_idx) for r in got] == expect
+
+    def test_xxhash_deterministic_and_unbiased(self, spark):
+        rows = [(i, 1.25) for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, wt double")
+        out = curation.repeat_upsample(df, "doc_id", "wt")
+        n1 = out.count()
+        n2 = curation.repeat_upsample(df.repartition(7), "doc_id",
+                                      "wt").count()
+        assert n1 == n2                       # retry/partitioning stable
+        # E[count] = 2000*1.25 = 2500; binomial sd ≈ 19 → ±5 sd window
+        assert 2400 <= n1 <= 2600
+        # weight < 1 rows can drop entirely; copy_idx always contiguous
+        low = curation.repeat_upsample(
+            spark.createDataFrame([(1, 0.0), (2, 0.999)],
+                                  "doc_id long, wt double"),
+            "doc_id", "wt").collect()
+        assert all(r.copy_idx == 1 for r in low)
