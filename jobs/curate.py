@@ -19,7 +19,13 @@ training-data pipeline runs between filtering and tokenization:
 3. global paragraph dedup (--dedupe-paragraphs): text rebuilt in place,
    `n_paragraphs` / `n_kept` recorded;
 4. deterministic split assignment (--split): hash-stable `bucket` and
-   `split` columns — reproducible on any cluster size or retry.
+   `split` columns — reproducible on any cluster size or retry;
+5. URL canonicalization + url-level dedup (--url-canon COL
+   [--url-dedup]): tracking-param/port/case/www variants collapse to
+   one canonical url, keeping the min-id doc;
+6. mixture upsampling (--upsample-weight COL): floor(w) copies plus a
+   hash-gated extra (curation.repeat_upsample), salted independently
+   of --split.
 
 Every step is a DataFrame transform (broadcast joins + narrow
 projections; document text never shuffles — see BENCH/PLANS.md), so the
@@ -115,6 +121,16 @@ def _run(argv: list[str] | None = None) -> dict:
                          "n_distinct_ids, steps, elapsed_sec) — the "
                          "curate twin of run_pipeline's audit table; "
                          "append-mode so reruns accumulate history")
+    ap.add_argument("--url-canon", default=None, metavar="URL_COL",
+                    help="add url_canon (curation.canonicalize_url) "
+                         "from this url column")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="with --url-canon: keep only the min-id doc "
+                         "per canonical url")
+    ap.add_argument("--upsample-weight", default=None, metavar="W_COL",
+                    help="deterministic fractional upsampling by this "
+                         "weight column (curation.repeat_upsample; "
+                         "salted independently of --split)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--master", default=None)
@@ -127,6 +143,19 @@ def _run(argv: list[str] | None = None) -> dict:
     id_col, text_col = args.id_col, args.text_col
     n_in = df.count()
     steps: list[str] = []
+
+    if args.url_canon:
+        df = df.withColumn(
+            "url_canon", curation.canonicalize_url(F.col(args.url_canon)))
+        steps.append("url_canon")
+        if args.url_dedup:
+            # first (= min-id) doc per canonical url; the shuffle key is
+            # the canonical string — at corpus scale, its xxhash64
+            from pyspark.sql import Window
+            w = Window.partitionBy("url_canon").orderBy(id_col)
+            df = (df.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+            steps.append("url_dedup")
 
     if args.dedup_ref:
         from dataquality_spark.operators import dedup
@@ -189,6 +218,11 @@ def _run(argv: list[str] | None = None) -> dict:
         df = curation.split_assign(df, id_col, _parse_split(args.split),
                                    salt=args.salt)
         steps.append("split")
+
+    if args.upsample_weight:
+        df = curation.repeat_upsample(df, id_col, args.upsample_weight,
+                                      salt=args.salt + 1)
+        steps.append("upsample")
 
     df.write.mode("overwrite").parquet(args.output)
     from dataquality_spark.caching import unpersist_all

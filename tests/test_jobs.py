@@ -290,3 +290,39 @@ def test_pipeline_then_curate_compose(spark, pages_dir, tmp_path):
     n = {r["split"]: r["n"] for r in
          curated.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert sum(n.values()) == 400 and set(n) <= {"train", "val"}
+
+
+def test_curate_job_url_canon_and_upsample(spark, tmp_path):
+    """--url-canon/--url-dedup collapse tracking-param variants of the
+    same page to one doc; --upsample-weight repeats rows
+    deterministically."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [f"body {i}" for i in range(6)],
+        "url": [
+            "http://A.com/x?utm_source=a",     # 0 ┐ same canonical
+            "HTTP://a.com:80/x",               # 1 ┘ → keep doc 0
+            "http://WWW.b.com/y/",             # 2 ┐ same canonical
+            "http://b.com/y?fbclid=z",         # 3 ┘ → keep doc 2
+            "http://c.com/z?a=1",              # 4 distinct
+            "http://c.com/z?a=2",              # 5 distinct
+        ],
+        "wt": [2.0, 2.0, 1.0, 1.0, 1.0, 1.0],
+    })
+    inp, outp = str(tmp_path / "uin"), str(tmp_path / "uout")
+    spark.createDataFrame(docs).write.parquet(inp)
+
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--url-canon", "url", "--url-dedup",
+                        "--upsample-weight", "wt"])
+    assert stats["steps"] == ["url_canon", "url_dedup", "upsample"]
+    out = spark.read.parquet(outp).toPandas()
+    # 6 docs → 4 canonical urls; doc 0 (wt=2) emitted twice → 5 rows
+    assert sorted(out["doc_id"].unique()) == [0, 2, 4, 5]
+    assert len(out[out.doc_id == 0]) == 2
+    assert stats["n_docs_out"] == 5
+    assert (out[out.doc_id == 0]["url_canon"] == "http://a.com/x").all()
