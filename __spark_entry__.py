@@ -721,6 +721,19 @@ def q_ngram_jaccard(spark, sf_dir):
             .orderBy("id_a"))
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Exact-substring duplication stats (dedup.dup_span_stats, k=5)
+    over documents ∪ truncated 80% copies: the shared prefix makes
+    every original's leading spans corpus-duplicated; oracle replays
+    span hashing (md5-60bit), the global ≥2 count and the lag-window
+    interval union in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _docs_with_near_dups(docs)
+    return (dedup.dup_span_stats(corpus, "text", "doc_id", k=5)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation (decontamination / splits / mixing / line dedup)
 # ---------------------------------------------------------------------------
@@ -1147,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_md5": q_simhash_neardup_md5,
         "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
         "split_sample": q_split_sample,
         "stratified_sample": q_stratified_sample,
@@ -1582,6 +1596,58 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END)
                    AS url_canon
             FROM canon ORDER BY doc_id
+        """,
+
+        # Replays dedup.dup_span_stats at k=5 over documents ∪ 80%
+        # truncations: md5-60bit span hashes with positions, global
+        # count ≥ 2, lag-window interval union for token coverage.
+        "dup_span_stats": f"""
+            WITH w0 AS (
+              SELECT doc_id, {_sql_words('text')} AS words FROM documents
+            ), corpus AS (
+              SELECT doc_id, words FROM w0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     words[1:greatest(CAST(floor(len(words) * 8 / 10)
+                                           AS INT), 1)] AS words
+              FROM w0
+            ), g AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id,
+                  unnest(list_filter(list_transform(words, (x, i) ->
+                    CASE WHEN i + 4 <= len(words) THEN
+                      struct_pack(pos := i,
+                        h := CAST(concat('0x', substr(md5(
+                               x || ' ' || words[i+1] || ' ' ||
+                               words[i+2] || ' ' || words[i+3] || ' ' ||
+                               words[i+4]), 1, 15)) AS BIGINT))
+                    END), s -> s IS NOT NULL)) AS u
+                FROM corpus)
+            ), dh AS (
+              SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+            ), d AS (
+              SELECT g.doc_id, g.pos,
+                     lag(g.pos) OVER (PARTITION BY g.doc_id
+                                      ORDER BY g.pos) AS prev
+              FROM g JOIN dh USING (h)
+            ), c AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_dup_spans,
+                     CAST(SUM(CASE WHEN prev IS NULL THEN 5
+                                   ELSE least(5, pos - prev) END)
+                          AS BIGINT) AS covered
+              FROM d GROUP BY doc_id
+            )
+            SELECT corpus.doc_id,
+                   CAST(len(words) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(c.n_dup_spans, 0) AS BIGINT)
+                     AS n_dup_spans,
+                   ROUND(CASE WHEN len(words) > 0
+                              THEN CAST(coalesce(c.covered, 0) AS DOUBLE)
+                                   / len(words)
+                              ELSE 0.0 END, 6) AS dup_token_frac
+            FROM corpus LEFT JOIN c USING (doc_id)
+            ORDER BY corpus.doc_id
         """,
 
         # LCG-twin mirror of curation.repeat_upsample: floor(w) copies

@@ -370,6 +370,77 @@ def md5_shingle_hashes(text, n: int = 2):
     return F.array_distinct(grams)
 
 
+def dup_span_stats(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 10) -> DataFrame:
+    """Lee-et-al-style exact-substring duplication statistics at fixed
+    span length `k` tokens ("Deduplicating Training Data Makes Language
+    Models Better", 2022): for each doc, how many of its k-token spans
+    occur a second time ANYWHERE in the corpus (other docs or the same
+    doc), and the fraction of its tokens covered by the union of those
+    spans — the decision input for substring-level dedup (cut or drop
+    the duplicated region).
+
+    Returns (id, n_tokens, n_dup_spans, dup_token_frac).
+
+    Scale design: the only exchange carries slim (hash, id, pos) rows
+    (~24 B per span — 60-bit md5 hashes, text never shuffles); the
+    global span count is a partial-agg groupBy on the hash; the
+    interval-union coverage is one sorted-positions fold per doc
+    (codegen, O(spans) after an in-array sort). A full any-k
+    suffix-array pass is deliberately out of scope — the paper's
+    production Common-Crawl dedup also operated at a fixed span length.
+    """
+    words = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             r"\s+"), lambda w: w != "")
+    base = df.select(F.col(id_col).alias("id"), words.alias("_w"))
+    m = F.size("_w") - (k - 1)
+    spans = base.select(
+        "id", F.size("_w").cast("long").alias("n_tokens"),
+        F.when(m > 0, F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.conv(F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, k))),
+                    1, 15), 16, 10).cast("long").alias("h"))))
+        .otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+        .alias("_g"))
+    ex = (spans.select("id", F.explode("_g").alias("g"))
+          .select("id", F.col("g.pos").alias("pos"),
+                  F.col("g.h").alias("h")))
+    dup_h = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+             .where(F.col("c") >= 2).select("h"))
+    dup = (ex.join(dup_h, "h")
+           .groupBy("id")
+           .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+    # |union of [p, p+k)| over sorted starts: first span adds k, each
+    # next adds min(k, gap to its predecessor)
+    acc0 = F.struct(F.lit(None).cast("int").alias("prev"),
+                    F.lit(0).cast("long").alias("cov"))
+    cov = F.aggregate(
+        F.col("ps"), acc0,
+        lambda a, p: F.struct(
+            p.alias("prev"),
+            (a["cov"] + F.when(a["prev"].isNull(), F.lit(k))
+             .otherwise(F.least(F.lit(k), p - a["prev"]))
+             .cast("long")).alias("cov")),
+        lambda a: a["cov"])
+    return (spans.select("id", "n_tokens")
+            .join(dup, "id", "left")
+            .withColumn("n_dup_spans",
+                        F.when(F.col("ps").isNull(), F.lit(0))
+                        .otherwise(F.size("ps")).cast("long"))
+            .withColumn("_covered",
+                        F.when(F.col("ps").isNull(),
+                               F.lit(0).cast("long")).otherwise(cov))
+            .withColumn("dup_token_frac",
+                        F.round(F.when(F.col("n_tokens") > 0,
+                                       F.col("_covered").cast("double")
+                                       / F.col("n_tokens").cast("double"))
+                                .otherwise(F.lit(0.0)), 6))
+            .select("id", "n_tokens", "n_dup_spans", "dup_token_frac"))
+
+
 def simhash_md5(df: DataFrame, text_col: str, id_col: str,
                 shingle_n: int = 2, bits: int = 60) -> DataFrame:
     """(id, simhash_md5, n_shingles) — the exact-oracle-checkable twin

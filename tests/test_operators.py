@@ -100,6 +100,35 @@ def test_simhash_identical_and_neardup(spark, docs):
     assert (planted.hamming == 0).all()
 
 
+def test_dup_span_stats_handcrafted(spark):
+    """Interval-union coverage and global span counting on a corpus
+    with a cross-doc repeat, an intra-doc repeat, a clean doc and a
+    doc shorter than k."""
+    rows = [
+        (1, "a b c d e f g h"),      # spans abc..fgh; 'a b c' shared w/ 2
+        (2, "a b c x y z"),          # 'a b c' duplicated cross-doc
+        (3, "p q r p q r p q"),      # intra-doc: 'p q r p q' vs 'r p q...'?
+        (4, "one two"),              # shorter than k=3 → no spans
+        (5, "u v w x1 y1 z1"),       # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           dedup.dup_span_stats(df, "text", "doc_id", k=3).collect()}
+    # doc1: only span 'a b c' (pos 1) dup → covered 3 of 8 tokens
+    assert out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_token_frac"] == round(3 / 8, 6)
+    assert out[2]["n_dup_spans"] == 1
+    assert out[2]["dup_token_frac"] == 0.5            # 3 of 6
+    # doc3 'p q r p q r p q': 3-gram starts 1..6 → pqr rpq qrp pqr rpq qrp
+    # — every span occurs twice WITHIN the doc → 6 dup spans, coverage
+    # union [1,8] = 8 of 8 tokens
+    assert out[3]["n_dup_spans"] == 6
+    assert out[3]["dup_token_frac"] == 1.0
+    assert out[4]["n_dup_spans"] == 0 and out[4]["dup_token_frac"] == 0.0
+    assert out[4]["n_tokens"] == 2
+    assert out[5]["n_dup_spans"] == 0 and out[5]["dup_token_frac"] == 0.0
+
+
 def test_embedding_neardup_planted(spark, emb):
     base = emb.select("vec_id", F.transform(
         "embedding", lambda x: x.cast("double")).alias("embedding"))
