@@ -320,6 +320,17 @@ def q_sessionize(spark, sf_dir):
             .orderBy("user_id", "session_idx"))
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population-stability-index drift of o_totalprice between the
+    pre/post-1998 periods (profile.psi_drift): fixed equal-width bins
+    [0, 500k)/10, per-bin (n_ref, n_cur, p_ref, p_cur, psi_contrib).
+    The reference's feature-stability pillar (CaseStudy.md:154-161) as
+    shape drift — drift_monthly covers volume/mean drift."""
+    orders = _t(spark, sf_dir, "orders")
+    return profile.psi_drift(orders, "o_totalprice", "o_orderdate",
+                             "1998-01-01", lo=0.0, hi=500000.0, bins=10)
+
+
 def q_host_extract(spark, sf_dir):
     """Host extraction via parse_url (north_star: host keys for salting)
     over deterministic synthesized urls, rolled up per host."""
@@ -1125,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistency_full_outer": q_consistency_full_outer,
         "timeliness_buckets": q_timeliness_buckets,
         "drift_monthly": q_drift_monthly,
+        "psi_drift": q_psi_drift,
         "segment_agg": q_segment_agg,
         "revenue_by_segment": q_revenue_by_segment,
         "topk_customers": q_topk_customers,
@@ -1352,6 +1364,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fresh' END AS recency_bucket,
                    count(*) AS n
             FROM orders GROUP BY 1
+        """,
+
+        # Mirrors profile.psi_drift: equal-width clamped bins, per-bin
+        # PSI contribution with 1e-6 smoothing, empty bins kept.
+        "psi_drift": """
+            WITH b AS (
+              SELECT least(9, greatest(0,
+                       CAST(floor(o_totalprice / 50000.0) AS INT)))
+                       AS bin,
+                     CASE WHEN o_orderdate >= '1998-01-01'
+                          THEN 1 ELSE 0 END AS cur
+              FROM orders
+            ), c AS (
+              SELECT bin,
+                     CAST(SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_ref,
+                     CAST(SUM(cur) AS BIGINT) AS n_cur
+              FROM b GROUP BY bin
+            ), f AS (
+              SELECT CAST(gs.bin AS INT) AS bin,
+                     CAST(coalesce(c.n_ref, 0) AS BIGINT) AS n_ref,
+                     CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur
+              FROM (SELECT unnest(generate_series(0, 9)) AS bin) gs
+              LEFT JOIN c ON c.bin = gs.bin
+            ), t AS (
+              SELECT greatest(SUM(n_ref), 1) AS tr,
+                     greatest(SUM(n_cur), 1) AS tc
+              FROM f
+            )
+            SELECT f.bin, f.n_ref, f.n_cur,
+                   ROUND(f.n_ref / CAST(t.tr AS DOUBLE), 6) AS p_ref,
+                   ROUND(f.n_cur / CAST(t.tc AS DOUBLE), 6) AS p_cur,
+                   ROUND((f.n_cur / CAST(t.tc AS DOUBLE)
+                          - f.n_ref / CAST(t.tr AS DOUBLE))
+                         * ln((f.n_cur / CAST(t.tc AS DOUBLE) + 1e-6)
+                              / (f.n_ref / CAST(t.tr AS DOUBLE) + 1e-6)),
+                         6) AS psi_contrib
+            FROM f, t ORDER BY f.bin
         """,
 
         "drift_monthly": """

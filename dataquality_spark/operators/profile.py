@@ -458,6 +458,58 @@ def timeliness_buckets(df: DataFrame, ts_col: str, cutoffs: list[str],
               .agg(F.count(F.lit(1)).alias("n")))
 
 
+def psi_drift(df: DataFrame, value_col: str, ts_col: str, cutoff: str,
+              lo: float, hi: float, bins: int = 10,
+              eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between the reference period
+    (ts < cutoff) and the current period (ts >= cutoff) — the standard
+    feature-distribution drift metric behind the reference's AI
+    feature-stability pillar (CaseStudy.md:154-161; drift_monthly
+    covers volume/mean drift, this covers SHAPE drift).
+
+    Fixed explicit bin edges (lo, hi, bins equal-width buckets, values
+    clamped into [0, bins-1]) — deterministic on any engine and any
+    cluster size, unlike quantile-derived edges. Per bin:
+    psi_contrib = (p_cur - p_ref) * ln((p_cur+eps)/(p_ref+eps)); the
+    total PSI is their sum (>0.2 = major shift by the usual rule).
+
+    Output: (bin, n_ref, n_cur, p_ref, p_cur, psi_contrib) for every
+    bin 0..bins-1 (empty bins included), rounded to 6 dp.
+
+    Scale: one partial+final HashAggregate keyed on (bin, period) —
+    2·bins rows reach the final stage; the scan is a single pass.
+    """
+    width = (hi - lo) / bins
+    bucket = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo)))
+        / F.lit(float(width))).cast("int"))).cast("int")
+    counted = (df.withColumn("_bin", bucket)
+               .withColumn("_cur",
+                           (F.col(ts_col) >= F.lit(cutoff)).cast("int"))
+               .groupBy("_bin")
+               .agg(F.sum(F.when(F.col("_cur") == 0, 1).otherwise(0))
+                    .cast("long").alias("n_ref"),
+                    F.sum(F.col("_cur")).cast("long").alias("n_cur")))
+    all_bins = df.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin"))
+    filled = (all_bins.join(counted.withColumnRenamed("_bin", "bin"),
+                            "bin", "left")
+              .fillna(0, ["n_ref", "n_cur"]))
+    totals = filled.agg(
+        F.greatest(F.sum("n_ref"), F.lit(1)).alias("_tr"),
+        F.greatest(F.sum("n_cur"), F.lit(1)).alias("_tc"))
+    p_ref = F.col("n_ref").cast("double") / F.col("_tr").cast("double")
+    p_cur = F.col("n_cur").cast("double") / F.col("_tc").cast("double")
+    contrib = (p_cur - p_ref) * F.log((p_cur + F.lit(eps))
+                                      / (p_ref + F.lit(eps)))
+    return (filled.crossJoin(F.broadcast(totals))
+            .withColumn("p_ref", F.round(p_ref, 6))
+            .withColumn("p_cur", F.round(p_cur, 6))
+            .withColumn("psi_contrib", F.round(contrib, 6))
+            .drop("_tr", "_tc")
+            .orderBy("bin"))
+
+
 def drift_monthly(df: DataFrame, ts_col: str, value_col: str,
                   high_pct: float = 50.0, medium_pct: float = 25.0
                   ) -> DataFrame:

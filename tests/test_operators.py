@@ -359,6 +359,34 @@ def test_drift_monthly_labels(spark):
         "Baseline", "High Drift Alert", "Stable"]
 
 
+def test_psi_drift_vs_numpy(spark):
+    """PSI bins, clamping, empty-bin fill and contribution math ≡ a
+    numpy re-derivation on a planted distribution shift (ref uniform
+    low bins, cur concentrated high + out-of-range values clamped)."""
+    rng = np.random.default_rng(11)
+    ref_v = rng.uniform(0, 50, 400)            # bins 0..4
+    cur_v = np.concatenate([rng.uniform(60, 100, 300),   # bins 6..9
+                            [-5.0, 250.0]])    # clamp to bin 0 / bin 9
+    pdf = pd.DataFrame({
+        "v": np.concatenate([ref_v, cur_v]),
+        "ts": pd.to_datetime(["2024-01-01"] * len(ref_v)
+                             + ["2024-06-01"] * len(cur_v))})
+    out = profile.psi_drift(spark.createDataFrame(pdf), "v", "ts",
+                            "2024-03-01", lo=0.0, hi=100.0,
+                            bins=10).toPandas()
+    assert out.bin.tolist() == list(range(10))
+    bins_ref = np.clip(np.floor(ref_v / 10.0).astype(int), 0, 9)
+    bins_cur = np.clip(np.floor(cur_v / 10.0).astype(int), 0, 9)
+    n_ref = np.bincount(bins_ref, minlength=10)
+    n_cur = np.bincount(bins_cur, minlength=10)
+    p_ref, p_cur = n_ref / n_ref.sum(), n_cur / n_cur.sum()
+    contrib = (p_cur - p_ref) * np.log((p_cur + 1e-6) / (p_ref + 1e-6))
+    assert out.n_ref.tolist() == n_ref.tolist()
+    assert out.n_cur.tolist() == n_cur.tolist()
+    assert np.allclose(out.psi_contrib, np.round(contrib, 6), atol=1e-6)
+    assert contrib.sum() > 0.2                 # planted shift is "major"
+
+
 def test_exact_percentiles_matches_numpy(spark):
     """Exact distributed percentiles == numpy linear interpolation (the
     quantile_cont definition), including duplicate values, a
