@@ -732,6 +732,18 @@ def q_ngram_jaccard(spark, sf_dir):
             .orderBy("id_a"))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Shannon character entropy per doc (text_analysis.char_entropy):
+    run-length fold over sorted codepoints, Σc·ln c replayed by the
+    oracle in identical left-fold order (list_reduce over ORDER BY
+    char) — bit-equal before ROUND."""
+    docs = _t(spark, sf_dir, "documents")
+    return (text_analysis.char_entropy(docs, "text")
+            .select("doc_id", "n_chars_ent", "n_distinct_chars",
+                    "char_entropy")
+            .orderBy("doc_id"))
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Exact-substring duplication stats (dedup.dup_span_stats, k=5)
     over documents ∪ truncated 80% copies: the shared prefix makes
@@ -1172,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_md5": q_simhash_neardup_md5,
         "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
+        "char_entropy": q_char_entropy,
         "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
         "split_sample": q_split_sample,
@@ -1646,6 +1659,41 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END)
                    AS url_canon
             FROM canon ORDER BY doc_id
+        """,
+
+        # Σ c·ln c in the SAME left-fold order as the Spark run-length
+        # fold (0.0-seeded, sorted-char order) → bit-equal pre-ROUND.
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(coalesce(text, ''), ''),
+                       c -> c <> '')) AS c
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+              FROM ch GROUP BY doc_id, c
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(SUM(k) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS d,
+                     list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                         list(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))
+                              ORDER BY c)),
+                       (a, b) -> a + b) AS s
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT d2.doc_id,
+                   CAST(coalesce(agg.n, 0) AS BIGINT) AS n_chars_ent,
+                   CAST(coalesce(agg.d, 0) AS BIGINT)
+                     AS n_distinct_chars,
+                   ROUND(CASE WHEN coalesce(agg.n, 0) > 0
+                              THEN ln(CAST(agg.n AS DOUBLE))
+                                   - agg.s / CAST(agg.n AS DOUBLE)
+                              ELSE 0.0 END, 6) AS char_entropy
+            FROM documents d2 LEFT JOIN agg USING (doc_id)
+            ORDER BY d2.doc_id
         """,
 
         # Replays dedup.dup_span_stats at k=5 over documents ∪ 80%

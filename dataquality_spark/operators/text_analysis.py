@@ -241,6 +241,58 @@ def top_ngram_frac(df: DataFrame, text_col: str = "text",
                                   .otherwise(F.lit(0.0)), 6)))
 
 
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon character entropy (nats) per document — the gibberish /
+    compressibility quality signal (low entropy = repeated filler,
+    ASCII art, pad tokens; high ≈ 4.2+ on random base64-ish noise;
+    clean English prose sits ~2.9-3.3).
+
+    Adds: n_chars_ent (codepoints), n_distinct_chars, char_entropy
+    (rounded to 6 dp; 0.0 for empty text).
+
+    H = ln(n) − (Σ c·ln c)/n over per-character counts c. Scale: a pure
+    projection — per-doc in-array sort + one run-length fold (codegen,
+    O(L log L), no shuffle). Deterministic float math: the Σ c·ln c
+    fold runs left-to-right in sorted-character order from 0.0 on both
+    engines (the DuckDB oracle replays it with ORDER BY char +
+    list_reduce), so values agree bit-for-bit before the ROUND.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    chars = F.sort_array(F.filter(F.split(text, ""),
+                                  lambda c: c != ""))
+    n = F.size(chars).cast("long")
+
+    def _merge(acc, x):
+        boundary = acc["prev"].isNull() | (acc["prev"] != x)
+        flushed = (acc["acc"]
+                   + F.when(boundary & (acc["run"] > 0),
+                            acc["run"].cast("double")
+                            * F.log(acc["run"].cast("double")))
+                   .otherwise(F.lit(0.0)))
+        run = F.when(boundary, F.lit(1).cast("long")) \
+               .otherwise(acc["run"] + 1)
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        flushed.alias("acc"))
+
+    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0.0).alias("acc"))
+    sum_clnc = F.aggregate(
+        chars, acc0, _merge,
+        lambda a: a["acc"] + F.when(
+            a["run"] > 0,
+            a["run"].cast("double") * F.log(a["run"].cast("double")))
+        .otherwise(F.lit(0.0)))
+    # distinct count via the same runs: boundaries in the sorted array
+    distinct = F.size(F.array_distinct(chars)).cast("long")
+    h = F.when(n > 0,
+               F.log(n.cast("double")) - sum_clnc / n.cast("double")) \
+         .otherwise(F.lit(0.0))
+    return (df.withColumn("n_chars_ent", n)
+              .withColumn("n_distinct_chars", distinct)
+              .withColumn("char_entropy", F.round(h, 6)))
+
+
 def corpus_top_ngrams(df: DataFrame, text_col: str = "text",
                       n: int = 2, k: int = 20) -> DataFrame:
     """Corpus-level n-gram heavy hitters: exact top-k word n-grams by

@@ -359,6 +359,31 @@ def test_drift_monthly_labels(spark):
         "Baseline", "High Drift Alert", "Stable"]
 
 
+def test_char_entropy_vs_python(spark):
+    """H = ln n − Σc·ln c / n ≡ a Counter re-derivation, including
+    unicode text, repeated filler, single-char and empty docs."""
+    import math
+    from collections import Counter
+
+    rows = [(1, "hello world"), (2, "aaaaaaa"), (3, ""),
+            (4, None), (5, "héllo wörld ünïcode"), (6, "ab" * 500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text_analysis.char_entropy(df, "text").collect()}
+    for i, t in rows:
+        t = t or ""
+        cnt = Counter(t)
+        n = len(t)
+        h = (math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+             if n else 0.0)
+        assert out[i]["n_chars_ent"] == n
+        assert out[i]["n_distinct_chars"] == len(cnt)
+        assert out[i]["char_entropy"] == pytest.approx(round(h, 6),
+                                                       abs=1e-6)
+    assert out[2]["char_entropy"] == 0.0          # pure filler
+    assert out[6]["char_entropy"] == pytest.approx(math.log(2), abs=1e-6)
+
+
 def test_psi_drift_vs_numpy(spark):
     """PSI bins, clamping, empty-bin fill and contribution math ≡ a
     numpy re-derivation on a planted distribution shift (ref uniform
