@@ -274,8 +274,14 @@ def canonicalize_url(url, strip_www: bool = True,
     qpos = F.instr(u0, "?")
     qs = F.when(qpos > 0,
                 F.substring(u0, qpos + 1, F.length(u0))).otherwise(F.lit(""))
-    scheme = F.lower(F.split_part(base, F.lit("://"), F.lit(1)))
-    rest = F.substring(base, F.instr(base, "://") + 3, F.length(base))
+    has_scheme = F.instr(base, "://") > 0
+    # schemeless crawl urls ("example.com/x") normalize to http://
+    scheme = F.when(has_scheme,
+                    F.lower(F.split_part(base, F.lit("://"), F.lit(1)))) \
+              .otherwise(F.lit("http"))
+    rest = F.when(has_scheme,
+                  F.substring(base, F.instr(base, "://") + 3,
+                              F.length(base))).otherwise(base)
     host_port = F.split_part(rest, F.lit("/"), F.lit(1))
     path = F.substring(rest, F.length(host_port) + 1, F.length(rest))
     host = F.regexp_replace(F.lower(host_port), ":(80|443)$", "")

@@ -427,6 +427,8 @@ class TestCanonicalizeUrl:
         ("HTTP://Example.Org", "http://example.org"),
         # fragment only
         ("http://a.com/p#Sec", "http://a.com/p"),
+        # schemeless crawl url → normalized to http://
+        ("WWW.Site.com/Path?b=2&a=1", "http://site.com/Path?a=1&b=2"),
     ]
 
     def test_handcrafted(self, spark):
