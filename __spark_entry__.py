@@ -732,6 +732,17 @@ def q_ngram_jaccard(spark, sf_dir):
             .orderBy("id_a"))
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """OOV rate per doc vs the corpus's own top-256 unigrams
+    (text_analysis.vocab_coverage ∘ corpus_top_ngrams(n=1)): broadcast
+    membership join on exploded words, occurrence-level counts."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (text_analysis.corpus_top_ngrams(docs, "text", n=1, k=256)
+             .withColumnRenamed("ngram", "word"))
+    return (text_analysis.vocab_coverage(docs, vocab, "text", "doc_id")
+            .orderBy("doc_id"))
+
+
 def q_char_entropy(spark, sf_dir):
     """Shannon character entropy per doc (text_analysis.char_entropy):
     run-length fold over sorted codepoints, Σc·ln c replayed by the
@@ -1185,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
         "char_entropy": q_char_entropy,
+        "vocab_coverage": q_vocab_coverage,
         "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
         "split_sample": q_split_sample,
@@ -1659,6 +1671,37 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END)
                    AS url_canon
             FROM canon ORDER BY doc_id
+        """,
+
+        # Vocab = corpus top-256 unigrams (count desc, word asc —
+        # deterministic k-boundary), coverage counted per occurrence.
+        "vocab_coverage": f"""
+            WITH w AS (
+              SELECT doc_id, {_sql_words('text')} AS words FROM documents
+            ), occ AS (
+              SELECT doc_id, unnest(words) AS word FROM w
+            ), vocab AS (
+              SELECT word FROM (
+                SELECT word, count(*) AS c FROM occ GROUP BY word
+                ORDER BY c DESC, word ASC LIMIT 256)
+            ), cnt AS (
+              SELECT o.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens_v,
+                     CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov
+              FROM occ o LEFT JOIN vocab v ON o.word = v.word
+              GROUP BY o.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(cnt.n_tokens_v, 0) AS BIGINT)
+                     AS n_tokens_v,
+                   CAST(coalesce(cnt.n_oov, 0) AS BIGINT) AS n_oov,
+                   ROUND(CASE WHEN coalesce(cnt.n_tokens_v, 0) > 0
+                              THEN CAST(cnt.n_oov AS DOUBLE)
+                                   / cnt.n_tokens_v
+                              ELSE 0.0 END, 6) AS oov_frac
+            FROM documents d LEFT JOIN cnt USING (doc_id)
+            ORDER BY d.doc_id
         """,
 
         # Σ c·ln c in the SAME left-fold order as the Spark run-length

@@ -241,6 +241,43 @@ def top_ngram_frac(df: DataFrame, text_col: str = "text",
                                   .otherwise(F.lit(0.0)), 6)))
 
 
+def vocab_coverage(df: DataFrame, vocab: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   word_col: str = "word") -> DataFrame:
+    """Out-of-vocabulary rate per document against a reference
+    vocabulary relation — the CCNet-style coverage signal (docs whose
+    token occurrences mostly fall outside the corpus/base-LM vocab are
+    boilerplate, code, or the wrong register). Composes with
+    corpus_top_ngrams(n=1): vocab = the corpus's own top-k unigrams.
+
+    Returns (id_col, n_tokens_v, n_oov, oov_frac) — occurrence-level
+    (a repeated OOV word counts every time), empty docs → 0/0/0.0.
+
+    Scale design: vocab is bounded (top-k) → BROADCAST hash join on the
+    exploded words, so membership is map-side; the per-doc re-agg
+    shuffles one (id, partial counts) row per doc per partition. Text
+    itself never shuffles; the explode is slim (id, word)."""
+    w = df.select(F.col(id_col), F.explode_outer(_words(F.col(text_col)))
+                  .alias("_w"))
+    v = vocab.select(F.col(word_col).alias("_w")).distinct() \
+             .withColumn("_in", F.lit(1))
+    counted = (w.join(F.broadcast(v), "_w", "left")
+               .groupBy(id_col)
+               .agg(F.count("_w").alias("n_tokens_v"),
+                    F.sum(F.when(F.col("_w").isNotNull()
+                                 & F.col("_in").isNull(), 1)
+                          .otherwise(0)).alias("n_oov")))
+    return (counted
+            .withColumn("n_tokens_v", F.col("n_tokens_v").cast("long"))
+            .withColumn("n_oov", F.col("n_oov").cast("long"))
+            .withColumn("oov_frac",
+                        F.round(F.when(F.col("n_tokens_v") > 0,
+                                       F.col("n_oov").cast("double")
+                                       / F.col("n_tokens_v")
+                                       .cast("double"))
+                                .otherwise(F.lit(0.0)), 6)))
+
+
 def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Shannon character entropy (nats) per document — the gibberish /
     compressibility quality signal (low entropy = repeated filler,

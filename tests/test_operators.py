@@ -359,6 +359,27 @@ def test_drift_monthly_labels(spark):
         "Baseline", "High Drift Alert", "Stable"]
 
 
+def test_vocab_coverage_vs_python(spark):
+    """Occurrence-level OOV counting vs a Python re-derivation against
+    an explicit vocab, including repeated OOV words and empty docs."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "zyx zyx qqq the"),          # 3 OOV occurrences
+         (3, ""), (4, None)],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("on",), ("mat",)], "word string")
+    out = {r["doc_id"]: r for r in
+           text_analysis.vocab_coverage(docs, vocab).collect()}
+    assert (out[1]["n_tokens_v"], out[1]["n_oov"]) == (6, 0)
+    assert out[1]["oov_frac"] == 0.0
+    assert (out[2]["n_tokens_v"], out[2]["n_oov"]) == (4, 3)
+    assert out[2]["oov_frac"] == 0.75
+    for i in (3, 4):
+        assert (out[i]["n_tokens_v"], out[i]["n_oov"],
+                out[i]["oov_frac"]) == (0, 0, 0.0)
+
+
 def test_char_entropy_vs_python(spark):
     """H = ln n − Σc·ln c / n ≡ a Counter re-derivation, including
     unicode text, repeated filler, single-char and empty docs."""
