@@ -1395,11 +1395,14 @@ def oracle_sql() -> dict[str, str]:
         # PSI contribution with 1e-6 smoothing, empty bins kept.
         "psi_drift": """
             WITH b AS (
-              SELECT least(9, greatest(0,
-                       CAST(floor(o_totalprice / 50000.0) AS INT)))
-                       AS bin,
-                     CASE WHEN o_orderdate >= '1998-01-01'
-                          THEN 1 ELSE 0 END AS cur
+              SELECT CASE WHEN o_totalprice IS NULL
+                               OR isnan(o_totalprice) THEN NULL
+                          ELSE CAST(least(9, greatest(0,
+                                 CAST(floor(o_totalprice / 50000.0)
+                                      AS BIGINT))) AS INT) END AS bin,
+                     CASE WHEN o_orderdate >= '1998-01-01' THEN 1
+                          WHEN o_orderdate IS NULL THEN NULL
+                          ELSE 0 END AS cur
               FROM orders
             ), c AS (
               SELECT bin,
@@ -1656,7 +1659,13 @@ def oracle_sql() -> dict[str, str]:
             ), canon AS (
               SELECT doc_id, url_raw, scheme,
                      regexp_replace(
-                       regexp_replace(lower(host_port), ':(80|443)$', ''),
+                       CASE WHEN scheme = 'http'
+                            THEN regexp_replace(lower(host_port),
+                                                ':80$', '')
+                            WHEN scheme = 'https'
+                            THEN regexp_replace(lower(host_port),
+                                                ':443$', '')
+                            ELSE lower(host_port) END,
                        '^www\\.', '') AS host,
                      regexp_replace(path0, '/$', '') AS path,
                      array_to_string(list_sort(list_filter(

@@ -215,10 +215,13 @@ def repeat_upsample(df: DataFrame, id_col: str, weight_col: str,
     every run, cluster size, or task retry (reproducible mixtures, the
     property rand()-based upsampling lacks).
 
-    Adds n_copies and copy_col (1..n_copies). Scale: a pure projection
-    + explode — zero shuffle, output inherits input partitioning; the
-    hash is the same bucketing primitive as split_assign, so mixture
-    and split decisions stay independent via distinct salts.
+    Adds n_copies and copy_col (1..n_copies). NULL or non-positive
+    weights yield zero copies — the row is dropped, like weight 0;
+    coalesce the weight column upstream if a default is wanted. Scale:
+    a pure projection + explode — zero shuffle, output inherits input
+    partitioning; the hash is the same bucketing primitive as
+    split_assign, so mixture and split decisions stay independent via
+    distinct salts.
     """
     w = F.col(weight_col).cast("double")
     base = F.floor(w).cast("long")
@@ -275,16 +278,24 @@ def canonicalize_url(url, strip_www: bool = True,
     qs = F.when(qpos > 0,
                 F.substring(u0, qpos + 1, F.length(u0))).otherwise(F.lit(""))
     has_scheme = F.instr(base, "://") > 0
-    # schemeless crawl urls ("example.com/x") normalize to http://
+    # schemeless ("example.com/x") and protocol-relative ("//cdn.x/y")
+    # crawl urls both normalize to http://
     scheme = F.when(has_scheme,
                     F.lower(F.split_part(base, F.lit("://"), F.lit(1)))) \
               .otherwise(F.lit("http"))
     rest = F.when(has_scheme,
                   F.substring(base, F.instr(base, "://") + 3,
-                              F.length(base))).otherwise(base)
+                              F.length(base))) \
+            .otherwise(F.regexp_replace(base, "^//", ""))
     host_port = F.split_part(rest, F.lit("/"), F.lit(1))
     path = F.substring(rest, F.length(host_port) + 1, F.length(rest))
-    host = F.regexp_replace(F.lower(host_port), ":(80|443)$", "")
+    host = F.lower(host_port)
+    # default ports are scheme-specific: :443 on http (or :80 on https)
+    # is a REAL distinct origin and must survive
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(host, ":443$", "")) \
+            .otherwise(host)
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_replace(path, "/$", "")

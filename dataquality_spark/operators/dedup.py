@@ -405,9 +405,14 @@ def dup_span_stats(df: DataFrame, text_col: str, id_col: str,
                     1, 15), 16, 10).cast("long").alias("h"))))
         .otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
         .alias("_g"))
-    ex = (spans.select("id", F.explode("_g").alias("g"))
-          .select("id", F.col("g.pos").alias("pos"),
-                  F.col("g.h").alias("h")))
+    # persist: the exploded (id, pos, h) frame feeds the global count
+    # AND the dup join — without it the shingle+md5 projection runs
+    # twice more (same rationale as the minhash signature persist at
+    # minhash_lsh_pairs; callers release via unpersist_all())
+    ex = _track_persist(
+        spans.select("id", F.explode("_g").alias("g"))
+        .select("id", F.col("g.pos").alias("pos"),
+                F.col("g.h").alias("h")))
     dup_h = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
              .where(F.col("c") >= 2).select("h"))
     dup = (ex.join(dup_h, "h")

@@ -474,15 +474,24 @@ def psi_drift(df: DataFrame, value_col: str, ts_col: str, cutoff: str,
     total PSI is their sum (>0.2 = major shift by the usual rule).
 
     Output: (bin, n_ref, n_cur, p_ref, p_cur, psi_contrib) for every
-    bin 0..bins-1 (empty bins included), rounded to 6 dp.
+    bin 0..bins-1 (empty bins included), rounded to 6 dp. Rows with a
+    NULL/NaN value or NULL timestamp are excluded from both periods.
 
     Scale: one partial+final HashAggregate keyed on (bin, period) —
     2·bins rows reach the final stage; the scan is a single pass.
     """
     width = (hi - lo) / bins
-    bucket = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(
-        (F.col(value_col).cast("double") - F.lit(float(lo)))
-        / F.lit(float(width))).cast("int"))).cast("int")
+    # clamp the LONG floor result before narrowing to int — an extreme
+    # outlier (sentinel 9.9e15) must land in the edge bin, not
+    # integer-wrap into an arbitrary one; NaN (≠ NULL) is excluded
+    # explicitly, otherwise its long-cast would silently land in bin 0
+    vd = F.col(value_col).cast("double")
+    bucket = F.when(
+        vd.isNotNull() & ~F.isnan(vd),
+        F.least(F.lit(bins - 1).cast("long"),
+                F.greatest(F.lit(0).cast("long"),
+                           F.floor((vd - F.lit(float(lo)))
+                                   / F.lit(float(width))))).cast("int"))
     counted = (df.withColumn("_bin", bucket)
                .withColumn("_cur",
                            (F.col(ts_col) >= F.lit(cutoff)).cast("int"))

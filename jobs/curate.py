@@ -149,12 +149,20 @@ def _run(argv: list[str] | None = None) -> dict:
             "url_canon", curation.canonicalize_url(F.col(args.url_canon)))
         steps.append("url_canon")
         if args.url_dedup:
-            # first (= min-id) doc per canonical url; the shuffle key is
-            # the canonical string — at corpus scale, its xxhash64
-            from pyspark.sql import Window
-            w = Window.partitionBy("url_canon").orderBy(id_col)
-            df = (df.withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") == 1).drop("_rn"))
+            # keep the min-id doc per canonical url with the
+            # dedupe_paragraphs_global drop-list shape: only slim
+            # (hash, id) rows shuffle, losers broadcast back as an
+            # anti-join — document text never crosses an exchange
+            # (drop-list size = number of url duplicates; for a corpus
+            # where most urls are unique it broadcasts comfortably)
+            keyed = df.select(F.xxhash64("url_canon").alias("_h"),
+                              F.col(id_col))
+            winners = keyed.groupBy("_h").agg(
+                F.min(id_col).alias("_win"))
+            losers = (keyed.join(winners, "_h")
+                      .where(F.col(id_col) != F.col("_win"))
+                      .select(id_col))
+            df = df.join(F.broadcast(losers), id_col, "left_anti")
             steps.append("url_dedup")
 
     if args.dedup_ref:

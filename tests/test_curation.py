@@ -429,6 +429,11 @@ class TestCanonicalizeUrl:
         ("http://a.com/p#Sec", "http://a.com/p"),
         # schemeless crawl url → normalized to http://
         ("WWW.Site.com/Path?b=2&a=1", "http://site.com/Path?a=1&b=2"),
+        # protocol-relative → http://, host survives
+        ("//cdn.example.com/lib.js", "http://cdn.example.com/lib.js"),
+        # NON-default ports are distinct origins and must survive
+        ("http://site.com:443/a", "http://site.com:443/a"),
+        ("https://site.com:80/a", "https://site.com:80/a"),
     ]
 
     def test_handcrafted(self, spark):

@@ -433,6 +433,21 @@ def test_psi_drift_vs_numpy(spark):
     assert contrib.sum() > 0.2                 # planted shift is "major"
 
 
+def test_psi_drift_extreme_outlier_clamps_to_edge_bin(spark):
+    """A sentinel value whose bin index overflows int32 must clamp to
+    the top bin, not integer-wrap; NULL value/ts rows are excluded."""
+    pdf = pd.DataFrame({
+        "v": [5.0, 9.9e15, -8.8e15, np.nan, 50.0],
+        "ts": pd.to_datetime(["2024-01-01", "2024-06-01", "2024-06-01",
+                              "2024-06-01", pd.NaT])})
+    out = profile.psi_drift(spark.createDataFrame(pdf), "v", "ts",
+                            "2024-03-01", lo=0.0, hi=100.0,
+                            bins=10).toPandas().set_index("bin")
+    assert out.loc[9, "n_cur"] == 1            # 9.9e15 → top bin
+    assert out.loc[0, "n_cur"] == 1            # -8.8e15 → bottom bin
+    assert out.n_ref.sum() == 1 and out.n_cur.sum() == 2  # NaN/NaT out
+
+
 def test_exact_percentiles_matches_numpy(spark):
     """Exact distributed percentiles == numpy linear interpolation (the
     quantile_cont definition), including duplicate values, a
