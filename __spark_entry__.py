@@ -1149,7 +1149,37 @@ def q_webtext_audit(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING MATTERS: the driver's correctness harness samples the FIRST
+    # 50 dict entries only. Round 2's natural ordering left positions 50-69
+    # (the embedding/ANN family, kmeans, semdedup, multimodal, quality
+    # model, paragraph/line dedup, webtext decisions/audit, scrub) without
+    # a driver row even though all have local oracles. So: queries that
+    # have never had a driver correctness row come FIRST, followed by
+    # round-3 additions, then the 50 entries already driver-green in
+    # CORRECTNESS_r01/r02 (those keep their proof from prior rounds).
     return {
+        # --- never driver-checked before round 3 (r02 positions 50-69) ---
+        "stratified_sample": q_stratified_sample,
+        "dedupe_lines": q_dedupe_lines,
+        "dedupe_paragraphs": q_dedupe_paragraphs,
+        "quality_model": q_quality_model,
+        "host_blocklist": q_host_blocklist,
+        "top_ngram": q_top_ngram,
+        "pack_sequences": q_pack_sequences,
+        "embedding_norms": q_embedding_norms,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ivf": q_embedding_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_features": q_multimodal_features,
+        "scrub_sql": q_scrub_sql,
+        "webtext_decisions": q_webtext_decisions,
+        "webtext_audit": q_webtext_audit,
+        # --- driver-green in r01/r02 (proof already on record) ---
         "scalar_probe": q_scalar_probe,
         "row_counts": q_row_counts,
         "completeness_profile": q_completeness_profile,
@@ -1200,26 +1230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
         "split_sample": q_split_sample,
-        "stratified_sample": q_stratified_sample,
-        "dedupe_lines": q_dedupe_lines,
-        "dedupe_paragraphs": q_dedupe_paragraphs,
-        "quality_model": q_quality_model,
-        "host_blocklist": q_host_blocklist,
-        "top_ngram": q_top_ngram,
-        "pack_sequences": q_pack_sequences,
-        "embedding_norms": q_embedding_norms,
-        "kmeans_assign": q_kmeans_assign,
-        "semdedup": q_semdedup,
-        "embedding_topk": q_embedding_topk,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ivf": q_embedding_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_features": q_multimodal_features,
-        "scrub_sql": q_scrub_sql,
-        "webtext_decisions": q_webtext_decisions,
-        "webtext_audit": q_webtext_audit,
     }
 
 
