@@ -183,8 +183,9 @@ def get_model() -> tuple[np.ndarray, np.ndarray]:
                 import fcntl
                 fcntl.flock(lf, fcntl.LOCK_EX)
                 _MODEL = _try_load()    # another holder may have built
-            except OSError:
-                pass                    # lockless fallback: just build
+            except (OSError, ImportError):
+                pass    # lockless fallback (no flock / no fcntl module,
+                        # e.g. Windows workers): just build
             if _MODEL is None:
                 _MODEL = _build_model()
                 try:

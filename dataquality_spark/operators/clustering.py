@@ -108,6 +108,10 @@ def kmeans_fit(df: DataFrame, emb_col: str, k: int,
 
         parts = sorted(slim.mapInPandas(partial, schema=schema).collect(),
                        key=lambda r: r["task"])
+        # release this iteration's k×d broadcast blocks before the next
+        # one is created — max_iter stale broadcasts otherwise pile up
+        # on executors/driver for large k×d
+        bc.unpersist(blocking=False)
         sums = np.zeros((k, d), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
         for r in parts:

@@ -338,6 +338,11 @@ def dedupe_paragraphs_global(df: DataFrame, text_col: str, id_col: str,
     (id, [positions to drop]) — is proportional to the DUPLICATED
     subset only and AQE broadcasts it back onto the original rows,
     where a position filter rebuilds the text in place.
+
+    Paragraph identity is 64-bit xxhash64: two distinct paragraphs
+    collide (one wrongly deleted) with p ≈ n_paras² / 2^65 — the same
+    documented budget as exact_dedup_cross; switch the hash to
+    md5-derived 128 bits if that loss rate is unacceptable.
     """
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
     ex = (df.select(F.col(id_col), F.posexplode(lines)

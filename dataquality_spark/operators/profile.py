@@ -480,6 +480,12 @@ def psi_drift(df: DataFrame, value_col: str, ts_col: str, cutoff: str,
     Scale: one partial+final HashAggregate keyed on (bin, period) —
     2·bins rows reach the final stage; the scan is a single pass.
     """
+    if bins < 1:
+        raise ValueError(f"psi_drift: bins must be >= 1, got {bins}")
+    if not hi > lo:
+        # width 0 would make floor(x/0) NULL and silently exclude every
+        # row (empty histogram, PSI 0) instead of surfacing the misuse
+        raise ValueError(f"psi_drift: hi ({hi}) must be > lo ({lo})")
     width = (hi - lo) / bins
     # clamp the LONG floor result before narrowing to int — an extreme
     # outlier (sentinel 9.9e15) must land in the edge bin, not

@@ -99,6 +99,14 @@ def _run(argv: list[str] | None = None) -> dict:
                          "shuffle on later runs, ~--bloom-fpp of "
                          "genuinely-new docs lost to false positives")
     ap.add_argument("--bloom-fpp", type=float, default=1e-4)
+    ap.add_argument("--bloom-max-bits", type=int, default=1 << 33,
+                    help="refuse to build a Bloom filter wider than this "
+                         "(default 2^33 bits = 1 GiB): every map task "
+                         "allocates a num_bits/8-byte partial and the "
+                         "driver ORs up to 64 of them, so an unbounded "
+                         "optimal_params result (huge reference at tiny "
+                         "fpp) would OOM. Past the cap, raise --bloom-fpp "
+                         "or shard the reference into multiple filters")
     ap.add_argument("--near-dedup-ref", action="store_true",
                     help="with --dedup-ref: also drop near-duplicates "
                          "(MinHash+LSH vs the reference, Jaccard ≥ "
@@ -154,7 +162,10 @@ def _run(argv: list[str] | None = None) -> dict:
             # (hash, id) rows shuffle, losers broadcast back as an
             # anti-join — document text never crosses an exchange
             # (drop-list size = number of url duplicates; for a corpus
-            # where most urls are unique it broadcasts comfortably)
+            # where most urls are unique it broadcasts comfortably).
+            # Identity is 64-bit xxhash64 of the canonical url: a pair
+            # of distinct urls merges with p ≈ n²/2^65 (birthday bound;
+            # same documented budget as exact_dedup_cross).
             keyed = df.select(F.xxhash64("url_canon").alias("_h"),
                               F.col(id_col))
             winners = keyed.groupBy("_h").agg(
@@ -172,6 +183,14 @@ def _run(argv: list[str] | None = None) -> dict:
             from dataquality_spark.operators import bloom
             n_ref = ref.count()
             bits, k = bloom.optimal_params(max(n_ref, 1), args.bloom_fpp)
+            if bits > args.bloom_max_bits:
+                raise SystemExit(
+                    f"--dedup-ref-mode=bloom: optimal filter needs "
+                    f"{bits} bits ({bits >> 33} GiB) for n_ref={n_ref} "
+                    f"at fpp={args.bloom_fpp}, above --bloom-max-bits="
+                    f"{args.bloom_max_bits}. Raise --bloom-fpp, raise "
+                    f"--bloom-max-bits if the executors have headroom, "
+                    f"or shard the reference into multiple filters.")
             filt = bloom.build_bloom(ref, text_col,
                                      num_bits=bits, num_hashes=k)
             df = bloom.bloom_dedup_cross(df, filt, text_col,

@@ -410,6 +410,17 @@ class TestExactDedupCross:
                  .collect()}
         assert 12 not in kept2 and 13 in kept2
 
+    def test_verify_mode_same_result_and_columns(self, spark):
+        """verify=True (128-bit md5 appended to the join key) keeps the
+        same decisions on collision-free data and leaks no key cols."""
+        ref = _docs(spark, [(1, "kept text"), (2, "")])
+        new = _docs(spark, [(10, "kept text"), (11, "brand new"),
+                            (12, None), (13, "")])
+        out = dedup_mod.exact_dedup_cross(new, ref, "text", "doc_id",
+                                          verify=True)
+        assert {r["doc_id"] for r in out.collect()} == {11, 12}
+        assert set(out.columns) == set(new.columns)
+
 
 class TestCanonicalizeUrl:
     CASES = [

@@ -448,6 +448,19 @@ def test_psi_drift_extreme_outlier_clamps_to_edge_bin(spark):
     assert out.n_ref.sum() == 1 and out.n_cur.sum() == 2  # NaN/NaT out
 
 
+def test_psi_drift_rejects_degenerate_bins(spark):
+    """hi <= lo (width 0 → NULL buckets → silently empty histogram)
+    and bins < 1 must raise, not return PSI 0."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [1.0], "ts": pd.to_datetime(["2024-01-01"])}))
+    with pytest.raises(ValueError, match="hi"):
+        profile.psi_drift(df, "v", "ts", "2024-03-01",
+                          lo=5.0, hi=5.0, bins=10)
+    with pytest.raises(ValueError, match="bins"):
+        profile.psi_drift(df, "v", "ts", "2024-03-01",
+                          lo=0.0, hi=1.0, bins=0)
+
+
 def test_exact_percentiles_matches_numpy(spark):
     """Exact distributed percentiles == numpy linear interpolation (the
     quantile_cont definition), including duplicate values, a
