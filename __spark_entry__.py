@@ -1148,6 +1148,96 @@ def q_webtext_audit(spark, sf_dir):
             .orderBy(C.PARTITION_COL))
 
 
+# ---------------------------------------------------------------------------
+# Round-3 exact-oracle twins (VERDICT r02 items 3-5): fixed-weight /
+# fixed-projection variants that convert three rows-only checks into
+# hard DuckDB value oracles, leaving the trained/random production
+# paths (and their pytest coverage) untouched.
+# ---------------------------------------------------------------------------
+
+def q_quality_model_fixed(spark, sf_dir):
+    """Exact twin of q_quality_model: the identical scoring path
+    (char-trigram hash → bucket-major gather → doc-aligned reduceat
+    mean → per-head calibration → sigmoid → min-over-heads → round 6)
+    with quality_model.fixed_model()'s integer-lattice weights, which
+    DuckDB re-derives per bucket id — so the classifier ARITHMETIC has
+    a hard value oracle while the trained weights stay the production
+    path. Planted NULL / empty / whitespace-only docs pin the
+    zero-feature branch (score 0.0)."""
+    from dataquality_spark.functions import quality_model as qm
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(1000001, None), (1000002, ""), (1000003, "   ")],
+        "doc_id long, text string")
+    return (qm.quality_scores(docs.unionByName(edge), "text",
+                              out_col="score_fixed", use_fixed_model=True)
+            .select("doc_id", "score_fixed")
+            .orderBy("doc_id"))
+
+
+def q_multimodal_features_fixed(spark, sf_dir):
+    """Exact twin of q_multimodal_features: identical mapInPandas
+    plumbing (byte histogram × projection → unit norm) with the fixed
+    integer projection P[b,j] = ((b(2j+3)+j²) mod 7) − 3 the oracle
+    re-derives from the byte value (documents are ASCII, so byte ==
+    codepoint). A planted empty payload pins the zero-norm branch."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame([(1000001, "")],
+                                 "doc_id long, text string")
+    media = multimodal.synthesize_media_from_text(
+        docs.unionByName(edge), "doc_id", "text")
+    return (multimodal.extract_features_fixed(media, dim=16)
+            .orderBy("media_id", "dim_j"))
+
+
+def _rules_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic pages frame for the rules contract: documents →
+    pages with PLANTED stale rows (doc_id % 50 == 0 gets a pre-cutoff
+    warc_ts) and PLANTED duplicate urls (doc_id % 10 == 0 re-appears at
+    doc_id + 1000000 with a strictly later warc_ts, so the min-pair
+    dedup marks exactly the copy). All SQL-reproducible constants."""
+    base = docs.select(
+        F.concat(F.lit("https://docs.example.org/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.when(F.col("doc_id") % 50 == 0,
+                F.lit("2024-06-15 00:00:00").cast("timestamp_ntz"))
+         .otherwise(F.lit("2024-08-01 00:00:00").cast("timestamp_ntz"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+        .alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+    dup = (base.where(F.col("doc_id") % 10 == 0)
+           .select("url",
+                   (F.col("warc_ts")
+                    + F.make_interval(secs=F.lit(100000.0))).alias("warc_ts"),
+                   "html", "text", "lang",
+                   (F.col("doc_id") + 1000000).alias("doc_id")))
+    return base.unionByName(dup)
+
+
+def q_webtext_rules(spark, sf_dir):
+    """Driver-visible oracle for the decision pipeline's NON-model
+    rules: run the REAL pipeline (fused UDF stats → JVM rule assembly,
+    pipeline.py S1-S7) over a documents-derived pages frame and expose
+    keep/rule-hits with the two model rules (lang_mismatch,
+    high_perplexity) filtered out — everything left (empty/short/long/
+    mean-word-len/symbol/stopword/repeated-lines/duplicate-url/stale)
+    is pure SQL. A high_perplexity hit implies every cheaper rule
+    passed, so filtering it leaves the empty array the oracle computes.
+    Full keep/rule_hits/scrub identity incl. the model rules remains
+    the pytest F1 gate (q_webtext_decisions)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.with_decisions(_rules_pages(docs))
+    model_rules = [C.R_LANG_MISMATCH, C.R_PPL]
+    heur = F.filter("rule_hits", lambda r: ~r.isin(model_rules))
+    return (out.select(
+        "doc_id",
+        (F.size(heur) == 0).alias("keep_heur"),
+        F.concat_ws(",", heur).alias("rules_heur"))
+        .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness harness samples the FIRST
     # 50 dict entries only. Round 2's natural ordering left positions 50-69
@@ -1179,6 +1269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_sql": q_scrub_sql,
         "webtext_decisions": q_webtext_decisions,
         "webtext_audit": q_webtext_audit,
+        # --- new in round 3 (exact-oracle twins, never driver-checked) ---
+        "quality_model_fixed": q_quality_model_fixed,
+        "multimodal_features_fixed": q_multimodal_features_fixed,
+        "webtext_rules": q_webtext_rules,
         # --- driver-green in r01/r02 (proof already on record) ---
         "scalar_probe": q_scalar_probe,
         "row_counts": q_row_counts,
@@ -1283,6 +1377,175 @@ def _scrub_sql_oracle() -> str:
         expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
     return (f"SELECT doc_id, {expr} AS text_scrubbed FROM documents "
             "ORDER BY doc_id")
+
+
+def _quality_model_fixed_sql() -> str:
+    """DuckDB re-derivation of the fixed-weight classifier: trigram
+    bucket ids via codepoint arithmetic (the xxhash-free (a·c0+b·c1+
+    97·c2) mod 4096 — mod-2^64 wraparound drops out because 4096
+    divides 2^64), integer-lattice weights from the bucket id, then
+    the exact calibrated-sigmoid-min pipeline. The /256.0/len mean is
+    one division chain of identical float64 operands on both engines
+    (reduceat sums are exact on the 1/256 lattice)."""
+    from dataquality_spark.functions import quality_model as qm
+    heads = []
+    for m, bias in qm.FIXED_HEAD_PARAMS:
+        heads.append(
+            f"1.0/(1.0 + exp(-(((list_sum(list_transform(bk, "
+            f"x -> (x * {m}) % 4096 - 2048)) / 256.0 / len(bk) "
+            f"+ ({bias})) - {qm.FIXED_MU}) / {qm.FIXED_SD})))")
+    return f"""
+        WITH docs_e AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT 1000001, NULL
+          UNION ALL SELECT 1000002, ''
+          UNION ALL SELECT 1000003, '   '
+        ), padded AS (
+          SELECT doc_id,
+                 ' ' || substr(coalesce(text, ''), 1, 512) || ' ' AS p,
+                 (text IS NULL OR
+                  regexp_matches(text, '^[ \t\n\r\x0b\x0c]*$')) AS empty
+          FROM docs_e
+        ), b AS (
+          SELECT doc_id, empty,
+                 CASE WHEN empty THEN CAST([] AS BIGINT[])
+                 ELSE list_transform(range(1, length(p) - 1), i ->
+                   (CAST(unicode(substr(p, CAST(i AS INTEGER), 1)) AS BIGINT)
+                      * 1315423911
+                    + CAST(unicode(substr(p, CAST(i + 1 AS INTEGER), 1))
+                      AS BIGINT) * 2654435761
+                    + CAST(unicode(substr(p, CAST(i + 2 AS INTEGER), 1))
+                      AS BIGINT) * 97)
+                   % 4096)
+                 END AS bk
+          FROM padded
+        )
+        SELECT doc_id,
+               CASE WHEN len(bk) = 0 THEN 0.0
+                    ELSE round(least({', '.join(heads)}), 6)
+               END AS score_fixed
+        FROM b ORDER BY doc_id
+    """
+
+
+def _multimodal_features_fixed_sql(dim: int = 16) -> str:
+    """DuckDB twin of extract_features_fixed: payload bytes ==
+    codepoints on the ASCII corpus, S_j folds the integer projection
+    over positions (== histogram · P), and feat_j = S_j / sqrt(ΣS²)
+    with both sums integer-exact in float64."""
+    return f"""
+        WITH docs_e AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT 1000001, ''
+        ), chars AS (
+          SELECT doc_id AS media_id,
+                 list_transform(range(1, length(coalesce(text, '')) + 1),
+                   i -> unicode(substr(coalesce(text, ''),
+                                       CAST(i AS INTEGER), 1))) AS cs
+          FROM docs_e
+        ), s AS (
+          SELECT media_id,
+                 list_transform(range(0, {dim}), j ->
+                   CAST(coalesce(list_sum(list_transform(cs,
+                     c -> (c * (2*j + 3) + j*j) % 7 - 3)), 0) AS DOUBLE))
+                 AS sv
+          FROM chars
+        ), q AS (
+          SELECT media_id, sv,
+                 list_sum(list_transform(sv, x -> x * x)) AS q2
+          FROM s
+        )
+        SELECT media_id, CAST(j AS INTEGER) AS dim_j,
+               CASE WHEN q2 > 0
+                    THEN round(sv[CAST(j + 1 AS INTEGER)] / sqrt(q2), 6)
+                    ELSE 0.0 END AS feat
+        FROM q CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) u
+        ORDER BY media_id, dim_j
+    """
+
+
+def _webtext_rules_sql() -> str:
+    """DuckDB re-derivation of the pipeline's non-model rule assembly
+    over the planted-dup/planted-stale pages frame (_rules_pages):
+    url dedup = warc_ts strictly above the per-url minimum (the
+    (warc_ts, crc32) pair tie-break never fires because planted copies
+    have strictly later timestamps), stats = the same tokenizer/
+    translate formulations proven by quality_score/token_counts, rule
+    order = config.ALL_RULES minus the model rules."""
+    words = _sql_words("t")
+    stoplist = _sql_stop_in(sorted(set(C.ALL_STOPWORDS)))
+    sym = C.SYMBOL_CHARS.replace("'", "''")
+    return f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'https://docs.example.org/d/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+                 (CASE WHEN doc_id % 50 = 0
+                       THEN TIMESTAMP '2024-06-15 00:00:00'
+                       ELSE TIMESTAMP '2024-08-01 00:00:00' END
+                  + to_seconds(doc_id)) AS warc_ts,
+                 coalesce(text, '') AS t
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 'https://docs.example.org/d/' || CAST(doc_id AS VARCHAR),
+                 (CASE WHEN doc_id % 50 = 0
+                       THEN TIMESTAMP '2024-06-15 00:00:00'
+                       ELSE TIMESTAMP '2024-08-01 00:00:00' END
+                  + to_seconds(doc_id) + to_seconds(100000)),
+                 coalesce(text, '')
+          FROM documents WHERE doc_id % 10 = 0
+        ), mins AS (
+          SELECT url, min(warc_ts) AS min_ts FROM pages GROUP BY url
+        ), s AS (
+          SELECT p.doc_id, p.t,
+                 (p.warc_ts > m.min_ts) AS is_dup,
+                 (p.warc_ts < TIMESTAMP '2024-07-01 00:00:00') AS stale,
+                 {words} AS words,
+                 list_filter(str_split(p.t, chr(10)), x -> x <> '')
+                   AS lines
+          FROM pages p JOIN mins m USING (url)
+        ), st AS (
+          SELECT doc_id, is_dup, stale,
+                 CAST(len(words) AS BIGINT) AS n,
+                 CAST(length(translate(t, ' ' || chr(10) || chr(9)
+                                          || chr(13), '')) AS DOUBLE)
+                   AS word_chars,
+                 CAST(length(t) - length(translate(t, '{sym}', ''))
+                   AS DOUBLE) AS n_sym,
+                 CAST(len(list_filter(words,
+                   w -> lower(w) IN ({stoplist}))) AS BIGINT) AS n_stop,
+                 CAST(len(lines) AS BIGINT) AS nl,
+                 CAST(len(list_distinct(lines)) AS BIGINT) AS nl_d
+          FROM s
+        ), r AS (
+          SELECT doc_id,
+            coalesce(array_to_string(list_filter([
+              CASE WHEN n = 0 THEN '{C.R_EMPTY}' ELSE '' END,
+              CASE WHEN n > 0 AND n < {C.MIN_WORDS}
+                   THEN '{C.R_SHORT}' ELSE '' END,
+              CASE WHEN n > 0 AND n > {C.MAX_WORDS}
+                   THEN '{C.R_LONG}' ELSE '' END,
+              CASE WHEN n > 0 AND NOT (word_chars / n
+                     BETWEEN {C.MIN_MEAN_WORD_LEN} AND {C.MAX_MEAN_WORD_LEN})
+                   THEN '{C.R_MEAN_WORD_LEN}' ELSE '' END,
+              CASE WHEN n > 0 AND n_sym / n > {C.MAX_SYMBOL_WORD_RATIO}
+                   THEN '{C.R_SYMBOL_RATIO}' ELSE '' END,
+              CASE WHEN n > 0 AND (n_stop < {C.MIN_STOPWORD_COUNT}
+                     OR CAST(n_stop AS DOUBLE) / n < {C.MIN_STOPWORD_FRACTION})
+                   THEN '{C.R_STOPWORD}' ELSE '' END,
+              CASE WHEN n > 0 AND nl > 0
+                     AND CAST(nl - nl_d AS DOUBLE) / nl
+                         > {C.MAX_REPEATED_LINE_FRACTION}
+                   THEN '{C.R_REPEATED_LINES}' ELSE '' END,
+              CASE WHEN is_dup THEN '{C.R_DUP_URL}' ELSE '' END,
+              CASE WHEN stale THEN '{C.R_STALE}' ELSE '' END
+            ], x -> x <> ''), ','), '') AS rules_heur
+          FROM st
+        )
+        SELECT doc_id, (rules_heur = '') AS keep_heur, rules_heur
+        FROM r ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2620,5 +2883,9 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "scrub_sql": _scrub_sql_oracle(),
+
+        "quality_model_fixed": _quality_model_fixed_sql(),
+        "multimodal_features_fixed": _multimodal_features_fixed_sql(),
+        "webtext_rules": _webtext_rules_sql(),
     }
     return sqls

@@ -201,7 +201,36 @@ def get_model() -> tuple[np.ndarray, np.ndarray]:
     return _MODEL
 
 
-def score_texts(texts: pd.Series) -> np.ndarray:
+# SQL-checkable twin weights: (multiplier, bias) per head. The trained
+# model's scoring path (trigram hashing → bucket-major gather →
+# doc-aligned reduceat mean → per-head calibration → sigmoid → min →
+# round) is not SQL-expressible because the WEIGHTS come from training;
+# the twin swaps ONLY the weights for a fixed integer lattice
+# W[b,k] = ((b·m_k) mod 4096 − 2048) / 256 that DuckDB re-derives from
+# the bucket id, so every arithmetic step gets a hard value oracle
+# (same pattern as simhash_neardup_md5 / fingerprint_roll_md5).
+# /256 keeps reduceat sums on an exact float64 lattice (≤20 bits), so
+# the mean is ONE division of identical operands on both engines.
+FIXED_HEAD_PARAMS = ((389, -0.5), (2311, -0.25), (1657, 0.0),
+                     (3529, 0.25))
+FIXED_MU = 0.1
+FIXED_SD = 0.8
+
+
+def fixed_model() -> tuple[np.ndarray, np.ndarray]:
+    """The deterministic SQL-derivable model for the contract twin."""
+    b = np.arange(N_BUCKETS, dtype=np.int64)
+    W = np.stack([((b * m) % N_BUCKETS - N_BUCKETS // 2) / 256.0
+                  for m, _ in FIXED_HEAD_PARAMS], axis=1)
+    bs = np.array([bias for _, bias in FIXED_HEAD_PARAMS])
+    k = len(FIXED_HEAD_PARAMS)
+    return (np.ascontiguousarray(W),
+            np.stack([bs, np.full(k, FIXED_MU), np.full(k, FIXED_SD)]))
+
+
+def score_texts(texts: pd.Series,
+                model: tuple[np.ndarray, np.ndarray] | None = None
+                ) -> np.ndarray:
     """Quality score per document in [0,1]: min over heads of
     sigmoid of the CALIBRATED logit (standardized by the head's
     clean-doc training distribution), rounded to SCORE_DECIMALS. A
@@ -209,8 +238,11 @@ def score_texts(texts: pd.Series) -> np.ndarray:
     labeled sample. Empty/None text scores 0.0.
 
     Vectorized across the Arrow batch: one (len, n_heads) gather from
-    the bucket-major 128 KB matrix + doc-aligned reduceat."""
-    W, cal = get_model()                     # (N_BUCKETS, K), (3, K)
+    the bucket-major 128 KB matrix + doc-aligned reduceat.
+
+    `model` overrides the trained weights (the contract twin passes
+    `fixed_model()`); default is the trained/cached model."""
+    W, cal = model if model is not None else get_model()
     bs, mu, sd = cal
     out = np.zeros(len(texts), dtype=np.float64)
     flat, starts, lens, nz = _featurize(texts.to_numpy(dtype=object))
@@ -224,15 +256,19 @@ def score_texts(texts: pd.Series) -> np.ndarray:
 
 
 def quality_scores(df, text_col: str = "text",
-                   out_col: str = "quality_model_score"):
+                   out_col: str = "quality_model_score",
+                   use_fixed_model: bool = False):
     """DataFrame transform: adds the classifier probability as one
-    Arrow-batched pandas UDF column (the thin Spark shim)."""
+    Arrow-batched pandas UDF column (the thin Spark shim).
+    `use_fixed_model=True` scores with the SQL-derivable twin weights
+    (contract query); production uses the trained model."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
     @pandas_udf(DoubleType())
     def _udf(texts: pd.Series) -> pd.Series:
-        return pd.Series(score_texts(texts))
+        m = fixed_model() if use_fixed_model else None
+        return pd.Series(score_texts(texts, model=m))
 
     return df.withColumn(out_col, _udf(F.col(text_col)))

@@ -22,9 +22,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, FloatType,
-                               IntegerType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DoubleType,
+                               FloatType, IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -168,6 +168,58 @@ def extract_features(df: DataFrame, dim: int = 64, seed: int = 29
                                 "features": out})
 
     return df.mapInPandas(_feat, FEATURES_SCHEMA)
+
+
+FEATURES_FIXED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("dim_j", IntegerType()),
+    StructField("feat", DoubleType()),
+])
+
+
+def extract_features_fixed(df: DataFrame, dim: int = 16) -> DataFrame:
+    """SQL-checkable twin of `extract_features`: same mapInPandas
+    plumbing (byte histogram × projection → unit-normalized features)
+    but with a FIXED integer projection P[b,j] = ((b·(2j+3) + j²) mod 7)
+    − 3 that an oracle re-derives from the byte value, so the
+    histogram/projection/normalization arithmetic gets a hard value
+    check (the production extractor keeps its seeded random matrix and
+    its pytest numpy re-derivation).
+
+    Exactness design: S_j = hist·P_j and q² = Σ S_j² are integer-exact
+    in float64 (counts × |P| ≤ 3, far below 2⁵³), and the L2
+    normalization by the RAW histogram norm cancels in the unit-norm
+    output — feat_j = S_j / sqrt(q²) is one correctly-rounded IEEE
+    sqrt + one division of identical operands on any engine. Output is
+    EXPLODED to (media_id, dim_j, feat) rows, rounded to 6 dp;
+    all-zero payloads yield feat = 0.0.
+    """
+    import numpy as np
+
+    j = np.arange(dim, dtype=np.int64)
+    b = np.arange(256, dtype=np.int64)
+    proj = ((b[:, None] * (2 * j + 3)[None, :] + (j * j)[None, :]) % 7
+            - 3).astype(np.float64)                       # (256, dim)
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, js, feats = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr, minlength=256).astype(np.float64)
+                s = hist @ proj                           # integer-exact
+                q2 = float((s * s).sum())                 # integer-exact
+                vec = (np.round(s / np.sqrt(q2), 6) if q2 > 0
+                       else np.zeros(dim))
+                ids.extend([media_id] * dim)
+                js.extend(range(dim))
+                feats.extend(vec.tolist())
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "dim_j": pd.array(js, dtype="int32"),
+                "feat": pd.array(feats, dtype="float64")})
+
+    return df.mapInPandas(_feat, FEATURES_FIXED_SCHEMA)
 
 
 def resize_images(df: DataFrame, max_dim: int = 256) -> DataFrame:

@@ -22,7 +22,11 @@ FAST_ORACLED = ["row_counts", "completeness_profile", "segment_agg",
                 # the round-1 driver-hash failures (HUGEINT/rounding) —
                 # kept here so the type-strict compare guards them
                 "validity_range", "events_json", "sessionize",
-                "exact_dedup", "percentiles"]
+                "exact_dedup", "percentiles",
+                # round-3 exact twins (fixed-weight classifier, fixed
+                # projection, non-model rule assembly)
+                "quality_model_fixed", "multimodal_features_fixed",
+                "webtext_rules"]
 
 
 @pytest.fixture(scope="module")

@@ -125,3 +125,31 @@ class TestQualityModel:
         exp = qm.score_texts(out["text"])
         assert (out["quality_model_score"].to_numpy() == exp).all()
         assert out["quality_model_score"].nunique() > 10
+
+    def test_fixed_model_matches_pure_python(self):
+        """The SQL-checkable twin weights through the REAL scoring path
+        (score_texts) must equal an independent pure-Python rebuild —
+        per-char hash loop, explicit per-head mean/calibrate/sigmoid —
+        i.e. the reduceat/gather vectorization is semantics-free."""
+        import math
+
+        from dataquality_spark.functions import quality_model as qm
+
+        texts = ["key agg row scan", "a", "", None, "   ",
+                 "x" * 600 + " tail beyond the truncation window"]
+        got = qm.score_texts(pd.Series(texts), model=qm.fixed_model())
+        for t, g in zip(texts, got):
+            if t is None or not str(t).strip():
+                assert g == 0.0
+                continue
+            p = " " + t[:512] + " "
+            cps = [ord(c) for c in p]
+            bk = [(cps[i] * 1315423911 + cps[i + 1] * 2654435761
+                   + cps[i + 2] * 97) % 4096
+                  for i in range(len(cps) - 2)]
+            probs = []
+            for m, bias in qm.FIXED_HEAD_PARAMS:
+                s = sum((b * m) % 4096 - 2048 for b in bk)
+                z = ((s / 256.0 / len(bk) + bias) - qm.FIXED_MU) / qm.FIXED_SD
+                probs.append(1.0 / (1.0 + math.exp(-z)))
+            assert g == np.round(min(probs), 6)

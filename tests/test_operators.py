@@ -550,6 +550,29 @@ def test_multimodal_features_match_numpy(spark, docs, docs_pd):
     assert ((norms - 1.0).abs() < 1e-4).all()
 
 
+def test_multimodal_features_fixed_match_numpy(spark, docs, docs_pd):
+    """The exact-twin extractor (fixed integer projection, exploded
+    output) must match a direct numpy re-derivation, and the
+    per-media feature vector must be unit-norm."""
+    media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
+    out = multimodal.extract_features_fixed(media, dim=16).toPandas()
+    j = np.arange(16)
+    b = np.arange(256)
+    proj = ((b[:, None] * (2 * j + 3)[None, :] + (j * j)[None, :]) % 7
+            - 3).astype(np.float64)
+    for _, row in docs_pd.head(10).iterrows():
+        arr = np.frombuffer(row.text.encode("utf-8"), dtype=np.uint8)
+        hist = np.bincount(arr, minlength=256).astype(np.float64)
+        s = hist @ proj
+        exp = np.round(s / np.sqrt((s * s).sum()), 6)
+        got = (out[out.media_id == row.doc_id]
+               .sort_values("dim_j").feat.to_numpy())
+        assert np.array_equal(got, exp)
+    norms = out.groupby("media_id").feat.apply(
+        lambda v: float(np.sqrt((v.to_numpy() ** 2).sum())))
+    assert ((norms - 1.0).abs() < 1e-4).all()
+
+
 def test_multimodal_resize_targets(spark, docs):
     """Aspect-preserving clamp of the longest side; non-images pass
     through; payload untouched while the decode stays stubbed."""
