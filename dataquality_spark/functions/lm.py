@@ -155,12 +155,9 @@ def perplexity_from_ids(ids_list: list[list[int]]) -> np.ndarray:
     log_oov = math.log(_ADD_K / denom)
     log_backoff = math.log(_BACKOFF)
 
-    n = len(ids_list)
-    out = np.full(n, np.nan, dtype=np.float64)
     lens = np.array([len(d) for d in ids_list], dtype=np.int64)
-    nz = lens > 0
-    if not nz.any():
-        return out
+    if not (lens > 0).any():
+        return np.full(len(ids_list), np.nan, dtype=np.float64)
     total_tok = int(lens.sum())
     ids = np.empty(total_tok, dtype=np.int64)
     off = 0
@@ -169,6 +166,30 @@ def perplexity_from_ids(ids_list: list[list[int]]) -> np.ndarray:
         if ln:
             ids[off:off + ln] = d
             off += ln
+    return perplexity_from_flat(ids, lens)
+
+
+def perplexity_from_flat(ids: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Same scorer over the PRE-FLATTENED token stream: `ids` is the
+    concatenation of every document's vocab ids in order (zero-length
+    documents contribute nothing and score NaN), `lens` the per-doc
+    token counts. The fused pipeline UDF produces this layout directly
+    from its Arrow word split, skipping the 10⁷-element list→int64
+    per-document flatten that dominated `perplexity_from_ids`."""
+    vocab, uni, bkeys, bcounts, total = get_model()
+    v = len(vocab)
+    denom = total + _ADD_K * (v + 1)
+    log_uni = np.log((uni + _ADD_K) / denom)
+    log_oov = math.log(_ADD_K / denom)
+    log_backoff = math.log(_BACKOFF)
+
+    n = len(lens)
+    out = np.full(n, np.nan, dtype=np.float64)
+    lens = np.asarray(lens, dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    ids = np.asarray(ids, dtype=np.int64)
 
     prev = np.empty_like(ids)
     prev[0] = -2
@@ -177,20 +198,23 @@ def perplexity_from_ids(ids_list: list[list[int]]) -> np.ndarray:
     np.cumsum(lens[nz][:-1], out=starts[1:])
     prev[starts] = -2  # document boundaries carry no context
 
+    # Base = unigram score for every token (one gather), then PATCH the
+    # exceptions on their index subsets — same formulas and float values
+    # as the old 3-level np.where chain (IEEE adds commute exactly), but
+    # ~4 passes over the token stream instead of ~10: on the shared-DRAM
+    # host the where-chain was allocation/bandwidth bound, not compute.
     known = ids >= 0
     has_ctx = known & (prev >= 0)
-    key = np.where(has_ctx, prev * v + ids, 0)
-    pos = np.searchsorted(bkeys, key)
-    pos_c = np.minimum(pos, len(bkeys) - 1)
-    hit = has_ctx & (bkeys[pos_c] == key)
+    idx_ctx = np.flatnonzero(has_ctx)
+    key = prev[idx_ctx] * v + ids[idx_ctx]    # ctx-token keys only
+    pos_c = np.minimum(np.searchsorted(bkeys, key), len(bkeys) - 1)
+    hit = bkeys[pos_c] == key
 
-    lp = np.where(
-        ~known, log_backoff + log_oov,
-        np.where(hit,
-                 np.log(bcounts[pos_c]
-                        / uni[np.maximum(prev, 0)]),
-                 np.where(has_ctx, log_backoff + log_uni[np.maximum(ids, 0)],
-                          log_uni[np.maximum(ids, 0)])))
+    lp = log_uni[np.maximum(ids, 0)]
+    lp[~known] = log_backoff + log_oov
+    lp[idx_ctx[~hit]] += log_backoff          # seen ctx, unseen bigram
+    hit_idx = idx_ctx[hit]
+    lp[hit_idx] = np.log(bcounts[pos_c[hit]] / uni[prev[hit_idx]])
     doc_lp = np.add.reduceat(lp, starts)
     ppl = np.exp(-doc_lp / lens[nz])
     out[nz] = np.round(ppl, C.SCORE_DECIMALS)

@@ -53,6 +53,36 @@ def scrub_one(text: str | None) -> tuple[str | None, dict[str, int]]:
     return text, hits
 
 
+# Batch-level prescreen: ONE Arrow C++ scan per screen over the whole
+# batch instead of 2-4 Python screen calls per document. A document not
+# matched by any screen cannot be changed by any pattern (the same
+# conservative implications _SCREENS encodes), so skipping it outright
+# is byte-identical. Falls back to the per-doc path if SCRUB_PATTERNS
+# ever gains a rule without a screen.
+_ALL_SCREENED = all(rule_id in _SCREENS for rule_id, _, _ in COMPILED)
+
+
+def _candidates(vals: np.ndarray):
+    """Bool mask of docs that SOME pattern could touch, or None when the
+    vectorized prescreen doesn't apply (unscreened rule / non-string)."""
+    if not _ALL_SCREENED or len(vals) == 0:
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(pa.array(vals, type=pa.string(),
+                                    from_pandas=True), "")
+    except Exception:       # exotic objects in the batch: per-doc path
+        return None
+    mask = pc.match_substring(arr, "@").to_numpy(zero_copy_only=False)
+    mask |= pc.match_substring_regex(arr, "[0-9]").to_numpy(
+        zero_copy_only=False)
+    mask |= pc.match_substring(arr, "badword").to_numpy(
+        zero_copy_only=False)
+    return mask
+
+
 def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
     """Vectorized scrub over an Arrow batch.
 
@@ -61,8 +91,15 @@ def scrub_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
     vals = texts.to_numpy(dtype=object)
     out = np.empty(len(vals), dtype=object)
     out_hits = np.empty(len(vals), dtype=object)
-    for i, t in enumerate(vals):
-        s, h = scrub_one(t)
+    cand = _candidates(vals)
+    if cand is None:
+        idx = range(len(vals))
+    else:
+        out[:] = vals                     # untouchable docs pass through
+        out_hits[:] = [{} for _ in range(len(vals))]
+        idx = np.flatnonzero(cand)
+    for i in idx:
+        s, h = scrub_one(vals[i])
         out[i] = s
         out_hits[i] = h
     return pd.Series(out, index=texts.index), pd.Series(out_hits,
@@ -79,8 +116,15 @@ def scrub_series_sparse(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
     vals = texts.to_numpy(dtype=object)
     out = np.empty(len(vals), dtype=object)
     out_hits = np.empty(len(vals), dtype=object)
-    for i, t in enumerate(vals):
-        s, h = scrub_one(t)
+    cand = _candidates(vals)
+    if cand is None:
+        idx = range(len(vals))
+    else:
+        out[:] = None                     # untouchable docs: unchanged
+        out_hits[:] = [{} for _ in range(len(vals))]
+        idx = np.flatnonzero(cand)
+    for i in idx:
+        s, h = scrub_one(vals[i])
         out[i] = s if h else None
         out_hits[i] = h
     return pd.Series(out, index=texts.index), pd.Series(out_hits,
