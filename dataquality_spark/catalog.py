@@ -75,3 +75,41 @@ def build_context(spark: SparkSession, query: str, cap: int = 3) -> str:
             parts.append(f"Table: {rec['table']} (schema omitted — over "
                          "context cap)")
     return "\n\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Column-type classification (reference A6)
+# ---------------------------------------------------------------------------
+
+NUMERIC_TYPE_TOKENS = ("int", "bigint", "float", "double", "decimal")
+TEMPORAL_TYPE_TOKENS = ("date", "timestamp")
+
+
+def classify_columns(columns: list[tuple[str, str]]) -> dict[str, list[str]]:
+    """Classify (name, ddl_type) pairs into the reference's buckets.
+
+    Exact semantics of /root/reference/main.py:464-479 (also
+    :518-535's live variant): substring match on the lowercased DDL
+    type string, numeric checked first (so 'bigint'/'smallint' land
+    numeric via the 'int' token and 'decimal(10,2)' via 'decimal'),
+    then temporal, then text for 'string'; anything else is left
+    unclassified and the 'categorical' bucket stays empty, as the
+    reference emits. Spark callers should pass
+    ``field.dataType.simpleString()`` — Spark's simpleString vocabulary
+    ('bigint', 'int', 'double', 'decimal(p,s)', 'string', 'date',
+    'timestamp') is the reference's DDL vocabulary.
+
+    The 12-column demo golden (main.py:449-462 → counts at :498-503)
+    is pinned in tests/test_catalog.py::test_classify_demo_golden.
+    """
+    out: dict[str, list[str]] = {"numeric": [], "temporal": [],
+                                 "text": [], "categorical": []}
+    for name, ddl_type in columns:
+        t = (ddl_type or "").lower()
+        if any(tok in t for tok in NUMERIC_TYPE_TOKENS):
+            out["numeric"].append(name)
+        elif any(tok in t for tok in TEMPORAL_TYPE_TOKENS):
+            out["temporal"].append(name)
+        elif "string" in t:
+            out["text"].append(name)
+    return out

@@ -64,11 +64,16 @@ def run(argv: list[str] | None = None) -> dict:
 
     # numeric distribution pillar: quartiles per numeric column —
     # exact via the distributed-histogram operator, or the
-    # approx_percentile sketch under --approx (the 10^12-row setting)
-    numeric = [f.name for f in df.schema.fields
-               if f.dataType.typeName() in
-               ("double", "float", "integer", "long", "decimal")
-               and f.name in cols]
+    # approx_percentile sketch under --approx (the 10^12-row setting).
+    # Column buckets come from the reference-semantics A6 classifier
+    # (catalog.classify_columns, golden-pinned in test_catalog).
+    from dataquality_spark import catalog
+
+    classified = catalog.classify_columns(
+        [(f.name, f.dataType.simpleString()) for f in df.schema.fields
+         if f.name in cols])
+    report["column_classification"] = classified
+    numeric = classified["numeric"]
     if numeric:
         spec = {c: [(0.25, f"{c}_p25"), (0.5, f"{c}_p50"),
                     (0.75, f"{c}_p75")] for c in numeric[:8]}
@@ -78,8 +83,7 @@ def run(argv: list[str] | None = None) -> dict:
     # text-repetition pillar (uniqueness dimension at sub-document
     # granularity): Gopher top-2-gram fraction + duplicate-line stats
     # for the first string column — both zero-shuffle projections
-    text_cols = [f.name for f in df.schema.fields
-                 if f.dataType.typeName() == "string" and f.name in cols]
+    text_cols = classified["text"]
     if args.text_col or text_cols:
         tc = args.text_col or text_cols[0]
         from pyspark.sql import functions as F
