@@ -52,10 +52,14 @@ TS_MIN_ISO = "2024-07-01 00:00:00"  # timeliness: fixed recency cutoff (no
                                     # wall clock anywhere — determinism)
 
 # Arrow batch sizing for pandas UDF stages (docs per batch).
-# Swept at 32 slots on 240k docs (round 2): 2.5k→69.8k, 5k→63.7k,
-# 10k→73.9k, 20k→58.4k docs/s (min-of-3) — 10k is the knee between
-# per-batch overhead and L2-evicting working sets; keep it.
-ARROW_MAX_RECORDS_PER_BATCH = 10_000
+# Round 2 (per-doc loop UDF) swept to 10k. Round 3's vectorized UDF
+# changes the economics: every stat is now a full-batch kernel pass,
+# so the batch's text (~0.8 KB/doc) plus temporaries must stay
+# cache-resident per worker or 32 concurrent workers saturate the
+# DRAM bus. Re-swept at 32 slots on 320k docs (system Arrow pool,
+# min-of-3): 512→132k, 1024→184k, 4096→216k, 10000→64k docs/s —
+# 4096 (~3.3 MB text/batch) is the new knee.
+ARROW_MAX_RECORDS_PER_BATCH = 4_096
 
 # ---------------------------------------------------------------------------
 # Tokenization contract
