@@ -119,41 +119,38 @@ def get_model() -> np.ndarray:
     return _MODEL
 
 
-def score_texts(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Return (lang_pred: object array, lang_score: float64 array).
+def batch_trigram_ids(vals: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hashed char-trigram bucket ids for a whole Arrow batch in ONE
+    pass — the shared featurizer behind langid AND the quality
+    classifier (their bucket spaces are identical by construction).
 
-    lang_score is the per-trigram mean log-prob margin between the best
-    and second-best language, rounded to SCORE_DECIMALS. Empty/None text
-    scores ('und', 0.0).
+    Returns ``(flat, nzlens, nz)``: the doc-aligned concatenation of
+    every non-empty doc's bucket ids (uint16, < N_BUCKETS), the per-doc
+    trigram counts over the non-empty docs (int64; == the padded
+    prefix length), and the non-empty mask over the input order.
+    Bit-equal to per-doc `_trigram_buckets(t[:MAX_SCORED_CHARS])`.
 
-    Vectorized across the Arrow batch: all documents' trigram ids are
-    concatenated, scored with ONE contiguous row-gather from the
-    bucket-major model, and reduced per-document with np.add.reduceat —
-    per-row work is just the codepoint hashing.
+    The residual Python loop only slices/pads; the codepoint decode
+    (one utf-32 encode of the doc-aligned concat) and the trigram hash
+    run ONCE over the whole batch. Per-doc padding ' '+t+' '
+    concatenates to ' '+'  '.join(t)+' ', so each doc's trigrams sit
+    contiguously; the two hash positions straddling each doc boundary
+    are masked out.
     """
-    wt = get_model()                       # (N_BUCKETS, n_langs)
-    n = len(texts)
-    preds = np.full(n, "und", dtype=object)
-    scores = np.zeros(n, dtype=np.float64)
-    vals = texts.to_numpy(dtype=object)
-    # Batched hashing: the residual Python loop only slices/pads; the
-    # codepoint decode (one utf-32 encode of the doc-aligned concat)
-    # and the trigram hash run ONCE over the whole batch. Per-doc
-    # padding ' '+t+' ' concatenates to ' '+'  '.join(t)+' ', so each
-    # doc's trigrams sit contiguously; the two hash positions straddling
-    # each doc boundary are masked out.
+    n = len(vals)
     parts: list[str] = []
     lens = np.zeros(n, dtype=np.int64)
     for i in range(n):
         t = vals[i]
         if t is None or not isinstance(t, str) or t.strip() == "":
-            continue                       # no words → no prediction
+            continue                       # no words → no features
         s = t[:MAX_SCORED_CHARS]
         parts.append(s)
         lens[i] = len(s)                   # == trigram count when padded
     nz = lens > 0
     if not nz.any():
-        return preds, scores
+        return np.empty(0, dtype=np.uint16), lens[nz], nz
     big = " " + "  ".join(parts) + " "
     cps = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
     # Bucket ids in uint32 wraparound arithmetic: 2^32 ≡ 0 (mod 4096),
@@ -184,19 +181,27 @@ def score_texts(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     if len(ends) > 1:
         valid[ends[:-1] - 2] = False       # trigrams straddling a
         valid[ends[:-1] - 1] = False       # doc boundary
-    flat = h_all[valid]
-    # Chunked gather through a PREALLOCATED buffer: one big wt[flat]
-    # would allocate tens of MB of fresh pages per batch, which is
-    # 100×+ slower under concurrent forked workers (page-fault storms).
-    # Groups are doc-aligned so reduceat never straddles a chunk.
+    return h_all[valid], lens[nz], nz
+
+
+def doc_aligned_sums(wt: np.ndarray, flat: np.ndarray,
+                     nzlens: np.ndarray) -> np.ndarray:
+    """Per-document row sums of `wt[flat]` (flat doc-aligned with
+    per-doc counts `nzlens`), without materializing the full gather.
+
+    Chunked gather through a PREALLOCATED buffer: one big wt[flat]
+    would allocate tens of MB of fresh pages per batch, which is
+    100×+ slower under concurrent forked workers (page-fault storms).
+    Groups are doc-aligned so reduceat never straddles a chunk —
+    bit-equal to `np.add.reduceat(wt[flat], starts, axis=0)`.
+    """
     L = wt.shape[1]
-    nzlens = lens[nz]
     n_nz = len(nzlens)
     tri_ends = np.cumsum(nzlens)           # doc ends within `flat`
     # chunk sized to stay L2-resident (~330 KB gather buffer): aggregate
     # DRAM bandwidth is the scaling ceiling with 32 concurrent workers,
     # so score buffers must live in per-core cache
-    cap = max(8_192, int(nzlens.max()))
+    cap = max(8_192, int(nzlens.max()) if n_nz else 0)
     g_buf = np.empty((cap, L), dtype=np.float64)
     sums = np.empty((n_nz, L), dtype=np.float64)
     di = 0
@@ -212,6 +217,30 @@ def score_texts(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         np.cumsum(nzlens[di:dj][:-1], out=starts[1:])
         sums[di:dj] = np.add.reduceat(g_buf[:m], starts, axis=0)
         di = dj
+    return sums
+
+
+def score_texts(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Return (lang_pred: object array, lang_score: float64 array).
+
+    lang_score is the per-trigram mean log-prob margin between the best
+    and second-best language, rounded to SCORE_DECIMALS. Empty/None text
+    scores ('und', 0.0).
+
+    Vectorized across the Arrow batch: all documents' trigram ids are
+    concatenated (batch_trigram_ids), scored with contiguous row-gathers
+    from the bucket-major model, and reduced per-document with
+    np.add.reduceat (doc_aligned_sums) — per-row work is just the
+    codepoint hashing.
+    """
+    wt = get_model()                       # (N_BUCKETS, n_langs)
+    n = len(texts)
+    preds = np.full(n, "und", dtype=object)
+    scores = np.zeros(n, dtype=np.float64)
+    flat, nzlens, nz = batch_trigram_ids(texts.to_numpy(dtype=object))
+    if not nz.any():
+        return preds, scores
+    sums = doc_aligned_sums(wt, flat, nzlens)
     means = sums / nzlens[:, None]
     order = np.argsort(means, axis=1, kind="stable")
     best, second = order[:, -1], order[:, -2]

@@ -35,7 +35,8 @@ import numpy as np
 import pandas as pd
 
 from .. import config as C
-from .langid import MAX_SCORED_CHARS, _trigram_buckets
+from .langid import (MAX_SCORED_CHARS, _trigram_buckets,
+                     batch_trigram_ids, doc_aligned_sums)
 
 N_BUCKETS = 1 << 12            # shares langid's bucket-space size
 HEADS = ("high_perplexity", "symbol_ratio", "stopword_density",
@@ -50,6 +51,10 @@ _MODEL: tuple[np.ndarray, np.ndarray] | None = None
 
 
 def _doc_ids(text) -> np.ndarray:
+    """Per-doc reference featurizer — the semantic contract that
+    `batch_trigram_ids` must match bit-for-bit (pinned by
+    test_featurize_batch_equals_per_doc); scoring uses the batched
+    path only."""
     if text is None or not isinstance(text, str) or text.strip() == "":
         return np.empty(0, dtype=np.int64)
     return _trigram_buckets(text[:MAX_SCORED_CHARS])
@@ -59,18 +64,15 @@ def _featurize(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                np.ndarray]:
     """Concatenated trigram ids of the NON-EMPTY docs, their doc-aligned
     reduceat starts and lengths, plus the non-empty mask over the input
-    order. Empty docs are excluded up front so reduceat start indices
-    are always < len(flat)."""
-    ids_list = [_doc_ids(t) for t in texts]
-    counts = np.array([len(i) for i in ids_list], dtype=np.int64)
-    nz = counts > 0
-    nz_counts = counts[nz]
-    flat = (np.concatenate([i for i in ids_list if len(i)])
-            if nz.any() else np.empty(0, np.int64))
-    starts = np.zeros(len(nz_counts), dtype=np.int64)
-    if len(nz_counts) > 1:
-        np.cumsum(nz_counts[:-1], out=starts[1:])
-    return flat, starts, nz_counts.astype(np.float64), nz
+    order. One batched hash pass (shared with langid) — the former
+    per-doc loop was the classifier's dominant CPU sink. Empty docs are
+    excluded up front so reduceat start indices are always < len(flat).
+    """
+    flat, nzlens, nz = batch_trigram_ids(np.asarray(texts, dtype=object))
+    starts = np.zeros(len(nzlens), dtype=np.int64)
+    if len(nzlens) > 1:
+        np.cumsum(nzlens[:-1], out=starts[1:])
+    return flat, starts, nzlens.astype(np.float64), nz
 
 
 def _train_head(flat, starts, lens, y) -> tuple[np.ndarray, float]:
@@ -245,10 +247,13 @@ def score_texts(texts: pd.Series,
     W, cal = model if model is not None else get_model()
     bs, mu, sd = cal
     out = np.zeros(len(texts), dtype=np.float64)
-    flat, starts, lens, nz = _featurize(texts.to_numpy(dtype=object))
+    flat, nzlens, nz = batch_trigram_ids(texts.to_numpy(dtype=object))
     if not nz.any():
         return out
-    sums = np.add.reduceat(W[flat], starts, axis=0)  # (n_nz, K)
+    lens = nzlens.astype(np.float64)
+    # chunked preallocated gather (shared with langid) — a full W[flat]
+    # materialization is ~64 MB of fresh pages per 4k-doc batch
+    sums = doc_aligned_sums(W, flat, nzlens)         # (n_nz, K)
     z = (sums / lens[:, None] + bs[None, :] - mu[None, :]) / sd[None, :]
     probs = 1.0 / (1.0 + np.exp(-z))
     out[nz] = np.round(probs.min(axis=1), C.SCORE_DECIMALS)

@@ -26,6 +26,36 @@ def test_langid_totality():
     assert list(pred) == ["und", "und", "und", "en"]
 
 
+def test_featurize_batch_equals_per_doc():
+    """batch_trigram_ids (the shared one-pass featurizer behind langid
+    AND the quality classifier) must be bit-equal to the per-doc
+    reference path on every edge shape: None / empty / whitespace /
+    1-char / multi-codepoint unicode / truncation-boundary docs."""
+    from dataquality_spark.functions import quality_model as qm
+
+    rng = np.random.default_rng(7)
+    texts = ["the data of the value", "a", "", None, "   ", 3.5,
+             "x" * (langid.MAX_SCORED_CHARS + 40) + " beyond",
+             "x" * langid.MAX_SCORED_CHARS,
+             "naïve café — ünïcodé   nbsp \U0001F600 emoji",
+             " ".join(synth.gen_tokens("de", 200, rng))]
+    flat, nzlens, nz = langid.batch_trigram_ids(
+        np.asarray(texts, dtype=object))
+    ref = [qm._doc_ids(t) for t in texts]
+    assert nz.tolist() == [len(r) > 0 for r in ref]
+    assert nzlens.tolist() == [len(r) for r in ref if len(r)]
+    assert np.array_equal(
+        flat.astype(np.int64),
+        np.concatenate([r for r in ref if len(r)] or
+                       [np.empty(0, np.int64)]))
+    # doc_aligned_sums == the unchunked reduceat it replaces
+    wt = langid.get_model()
+    starts = np.zeros(len(nzlens), dtype=np.int64)
+    np.cumsum(nzlens[:-1], out=starts[1:])
+    assert np.array_equal(langid.doc_aligned_sums(wt, flat, nzlens),
+                          np.add.reduceat(wt[flat], starts, axis=0))
+
+
 def test_langid_deterministic():
     d = _docs("fr")
     p1, s1 = langid.score_texts(d)

@@ -11,6 +11,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from dataquality_spark import config as C
+from dataquality_spark import functions
 from dataquality_spark.functions import langid, lm, scrub
 
 # Text strategy: printable unicode plus planted PII-ish fragments.
@@ -57,7 +58,10 @@ def test_langid_total_and_deterministic(t):
 def test_perplexity_positive_and_deterministic(t):
     s = pd.Series([t, t])
     out = lm.perplexity(s)
-    if t.split():
+    # "has words" per the engine-wide ASCII-whitespace tokenize
+    # contract, NOT bare str.split(): a doc of only \x1c-\x1f (Unicode
+    # whitespace to Python, opaque bytes to the engine) IS a word here
+    if functions.tokenize(t):
         assert out[0] == out[1]
         assert out[0] > 0
     else:
