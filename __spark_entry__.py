@@ -406,6 +406,26 @@ def q_approx_distinct(spark, sf_dir):
 # Text analysis (documents)
 # ---------------------------------------------------------------------------
 
+def q_approx_distinct_bounds(spark, sf_dir):
+    """Exact-oracle twin for approx_distinct: each engine asserts its
+    OWN HyperLogLog estimate lands within 5% of its exact distinct
+    count, so the comparable value is the accuracy contract (booleans),
+    not the engine-specific sketch. Spark runs rsd=0.01 (~5 sigma of
+    headroom against the 5% tolerance); sketches are deterministic for
+    a fixed input, so this is reproducible, not probabilistic."""
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_o"),
+        F.count_distinct("l_orderkey").alias("e_o"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_p"),
+        F.count_distinct("l_partkey").alias("e_p"))
+    return row.select(
+        (F.abs(F.col("a_o") - F.col("e_o"))
+         <= 0.05 * F.col("e_o")).alias("orders_within_5pct"),
+        (F.abs(F.col("a_p") - F.col("e_p"))
+         <= 0.05 * F.col("e_p")).alias("parts_within_5pct"))
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (text_analysis.token_counts(docs)
@@ -1273,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_fixed": q_quality_model_fixed,
         "multimodal_features_fixed": q_multimodal_features_fixed,
         "webtext_rules": q_webtext_rules,
+        "approx_distinct_bounds": q_approx_distinct_bounds,
         # --- driver-green in r01/r02 (proof already on record) ---
         "scalar_probe": q_scalar_probe,
         "row_counts": q_row_counts,
@@ -2887,5 +2908,21 @@ def oracle_sql() -> dict[str, str]:
         "quality_model_fixed": _quality_model_fixed_sql(),
         "multimodal_features_fixed": _multimodal_features_fixed_sql(),
         "webtext_rules": _webtext_rules_sql(),
+
+        # each engine checks ITS OWN HLL sketch against its exact count;
+        # the matching values are the accuracy booleans (see
+        # q_approx_distinct_bounds)
+        "approx_distinct_bounds": """
+            SELECT
+              abs(approx_count_distinct(l_orderkey)
+                  - count(DISTINCT l_orderkey))
+                <= 0.05 * count(DISTINCT l_orderkey)
+                AS orders_within_5pct,
+              abs(approx_count_distinct(l_partkey)
+                  - count(DISTINCT l_partkey))
+                <= 0.05 * count(DISTINCT l_partkey)
+                AS parts_within_5pct
+            FROM lineitem
+        """,
     }
     return sqls
