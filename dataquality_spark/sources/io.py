@@ -42,14 +42,42 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def read_pages(spark: SparkSession, path_or_table: str,
                columns: list[str] | None = None) -> DataFrame:
-    """Read the pages corpus (parquet path or catalog table name)."""
-    if path_or_table.endswith(".parquet") or "/" in path_or_table:
+    """Read the pages corpus (parquet/jsonl path or catalog table name)."""
+    if path_or_table.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+        df = read_pages_jsonl(spark, path_or_table)
+    elif path_or_table.endswith(".parquet") or "/" in path_or_table:
         df = spark.read.schema(PAGES_SCHEMA).parquet(path_or_table)
     else:
         df = spark.read.table(path_or_table)  # Iceberg/catalog path
     if columns:
         df = df.select(*columns)  # column pruning reaches the scan
     return df
+
+
+# JSON wire schema: html travels base64-encoded (JSON has no binary
+# type); warc_ts as an ISO-8601 string parsed by the reader.
+_PAGES_JSON_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", StringType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Pages corpus from JSON-lines exports (crawler/exporter
+    interchange): declared schema (no inference scan — at 10^12 docs a
+    sampling pass is a full extra read), `html` carried as base64 and
+    decoded to the contract's BINARY, malformed lines dropped by the
+    reader's default PERMISSIVE→null + a loud count available via
+    `_corrupt_record` if callers opt in. Splittable when uncompressed;
+    .gz files are one partition each — shard exports accordingly."""
+    df = spark.read.schema(_PAGES_JSON_SCHEMA).json(path)
+    return df.select(
+        "url", "warc_ts",
+        F.unbase64(F.col("html")).alias("html"),
+        "text", "lang")
 
 
 def read_pages_lenient(spark: SparkSession, path_or_table: str) -> DataFrame:

@@ -35,3 +35,36 @@ def test_lenient_fails_loud_on_missing(spark, pages_input, tmp_path):
     p = _write(tmp_path, broken)
     with pytest.raises(ValueError, match="missing columns.*text.*lang"):
         io.read_pages_lenient(spark, p)
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, pages_input, tmp_path):
+    """JSONL ingest (html base64 on the wire) must yield byte-identical
+    rows to the parquet path — same contract schema, decoded BINARY."""
+    import base64
+    import json as _json
+
+    rows = pages_input.head(50).copy()
+    jl = tmp_path / "pages.jsonl"
+    with open(jl, "w") as f:
+        for r in rows.itertuples(index=False):
+            rec = {
+                "url": r.url,
+                "warc_ts": (None if pd.isna(r.warc_ts)
+                            else r.warc_ts.isoformat()),
+                "html": (None if r.html is None
+                         else base64.b64encode(r.html).decode()),
+                "text": r.text,
+                "lang": r.lang,
+            }
+            f.write(_json.dumps(rec) + "\n")
+    got = io.read_pages(spark, str(jl)).toPandas()
+    want = io.read_pages(spark, _write(tmp_path, rows)).toPandas()
+    assert [str(d) for d in got.dtypes] == [str(d) for d in want.dtypes]
+    g = got.sort_values("url").reset_index(drop=True)
+    w = want.sort_values("url").reset_index(drop=True)
+    assert (g.url == w.url).all()
+    assert (g.warc_ts == w.warc_ts).all()
+    assert all((a is None and b is None) or bytes(a) == bytes(b)
+               for a, b in zip(g.html, w.html))
+    assert (g.text.fillna("") == w.text.fillna("")).all()
+    assert (g.lang.fillna("") == w.lang.fillna("")).all()
