@@ -426,6 +426,19 @@ def q_approx_distinct_bounds(spark, sf_dir):
          <= 0.05 * F.col("e_p")).alias("parts_within_5pct"))
 
 
+def q_nl_completeness(spark, sf_dir):
+    """Reference A20 end-to-end (unity_sql_agent.py:284-354): an English
+    question is planned by the deterministic intent grammar
+    (dataquality_spark/nlq.py) into validated Spark SQL against the
+    registered catalog and executed — same ask→sql→execute flow, no
+    LLM, so the generated query is value-checkable against DuckDB."""
+    from dataquality_spark import nlq
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    p = nlq.plan(spark, "how complete is the documents table")
+    assert "error" not in p, p
+    return spark.sql(p["sql"])
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (text_analysis.token_counts(docs)
@@ -1294,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_fixed": q_multimodal_features_fixed,
         "webtext_rules": q_webtext_rules,
         "approx_distinct_bounds": q_approx_distinct_bounds,
+        "nl_completeness": q_nl_completeness,
         # --- driver-green in r01/r02 (proof already on record) ---
         "scalar_probe": q_scalar_probe,
         "row_counts": q_row_counts,
@@ -2923,6 +2937,27 @@ def oracle_sql() -> dict[str, str]:
                 <= 0.05 * count(DISTINCT l_partkey)
                 AS parts_within_5pct
             FROM lineitem
+        """,
+
+        # same per-column completeness the grammar-generated Spark SQL
+        # computes (nlq.plan emits the stack-unpivot single-scan form)
+        "nl_completeness": """
+            WITH agg AS (
+              SELECT CAST(count(*) AS DOUBLE) AS _n,
+                     CAST(count(doc_id) AS DOUBLE) AS c0,
+                     CAST(count(text) AS DOUBLE) AS c1,
+                     CAST(count(lang) AS DOUBLE) AS c2,
+                     CAST(count(source) AS DOUBLE) AS c3,
+                     CAST(count(n_chars) AS DOUBLE) AS c4
+              FROM documents)
+            SELECT "column", CASE WHEN _n = 0 THEN 1.0
+                                  ELSE c / _n END AS completeness
+            FROM (
+              SELECT _n, 'doc_id' AS "column", c0 AS c FROM agg
+              UNION ALL SELECT _n, 'text', c1 FROM agg
+              UNION ALL SELECT _n, 'lang', c2 FROM agg
+              UNION ALL SELECT _n, 'source', c3 FROM agg
+              UNION ALL SELECT _n, 'n_chars', c4 FROM agg)
         """,
     }
     return sqls

@@ -1,0 +1,309 @@
+"""Natural-language → Spark-SQL planning, deterministically (A20).
+
+Graft of the reference's NL→SQL generation flow
+(/root/reference/agents/unity_sql_agent.py:284-354 `_generate_sql`):
+catalog context → schema-availability validation → {sql, explanation,
+confidence} → generated-SQL validation → execution → formatting. The
+reference delegates the middle step to an LLM prompt whose 8 safety
+rules (:319-329) demand: only listed tables, only listed columns, never
+invent identifiers, LIMIT unless aggregating, no destructive ops. Here
+the generation step is a DETERMINISTIC intent grammar over the engine's
+implemented quality operators — the 8 prompt rules become code
+invariants instead of prompt text, so the answer is reproducible, needs
+no network, and can be value-checked against a SQL oracle (something an
+LLM step never could). No LLM anywhere, matching SURVEY §2.A's design
+note that rules are compiled, not generated.
+
+Flow parity map:
+
+* catalog context        → catalog.discover_tables (A7/A8)
+* schema validation      → resolve_columns (never invents a name)
+* generate {sql, explanation, confidence} → INTENTS grammar + templates
+* validate generated SQL → _FORBIDDEN guard + identifier re-check
+  (unity_sql_agent.py:127-159 analog)
+* execute + format       → answer() (A14/A21), errors via
+  errors.format_error_response (A22)
+
+Scale note: templates emit single-scan aggregates (stack() unpivot, not
+per-column UNION fan-out) and inject LIMIT on every non-aggregating
+SELECT, so an NL question can't accidentally materialize a 10^12-row
+result.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from . import catalog as cat
+from . import errors as err
+
+MAX_ROWS = 1000
+
+# Reference forbidden-operations guard (unity_sql_agent.py:127-159):
+# by construction the templates below can never produce these, but the
+# final validation re-checks anyway, exactly like the reference
+# re-validates its LLM output.
+_FORBIDDEN = re.compile(
+    r"\b(drop|delete|alter|insert|update|truncate|create|grant|revoke|"
+    r"merge)\b", re.IGNORECASE)
+
+_IDENT_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _q(ident: str) -> str:
+    """Backtick-quote a VALIDATED identifier. Identifiers reach here
+    only from the table's own schema or the session catalog, and are
+    shape-checked besides — user text can never inject SQL."""
+    if not _IDENT_OK.match(ident.replace(".", "")):
+        raise ValueError(f"unsafe identifier: {ident!r}")
+    return ".".join(f"`{p}`" for p in ident.split("."))
+
+
+# ---------------------------------------------------------------------------
+# Intent grammar
+# ---------------------------------------------------------------------------
+
+# (intent, trigger words, needs) — first match wins, so more specific
+# intents sit above the generic profile fallback.
+INTENTS: list[tuple[str, set[str], str]] = [
+    ("orphans", {"orphan", "orphans", "referential", "unmatched"}, "two"),
+    ("completeness", {"complete", "completeness", "null", "nulls",
+                      "missing", "empty"}, "none"),
+    ("uniqueness", {"unique", "uniqueness", "duplicate", "duplicates",
+                    "distinct", "dedup"}, "none"),
+    ("validity", {"valid", "validity", "range", "negative", "invalid",
+                  "outlier", "outliers"}, "numeric"),
+    ("timeliness", {"timeliness", "stale", "fresh", "recent", "latest",
+                    "oldest"}, "temporal"),
+    ("drift", {"drift", "trend", "monthly", "month"}, "temporal"),
+    ("topk", {"top", "largest", "highest", "biggest"}, "numeric"),
+    ("sample", {"sample", "show", "preview", "peek"}, "none"),
+    ("rowcount", {"count", "rows", "many", "size"}, "none"),
+    ("profile", {"profile", "quality", "assess", "health",
+                 "overview"}, "none"),
+]
+
+_SUPPORTED = ", ".join(i for i, _, _ in INTENTS)
+
+
+def _match_intent(question: str) -> str | None:
+    words = cat._words(question)
+    for intent, triggers, _ in INTENTS:
+        if triggers & words:
+            return intent
+    return None
+
+
+def resolve_columns(question: str,
+                    columns: list[dict[str, str]]) -> list[str]:
+    """Columns of the TABLE SCHEMA that the question mentions — exact
+    name or any underscore token (so 'orderkey' finds l_orderkey).
+    Never returns a name absent from the schema (reference prompt rules
+    5-6: do not guess, assume, or invent column names)."""
+    words = cat._words(question)
+    hits = []
+    for c in columns:
+        toks = _col_tokens(c["name"])
+        if toks & words:
+            hits.append(c["name"])
+    return hits
+
+
+def _col_tokens(name: str) -> set[str]:
+    """Matchable tokens of a column name: the full name plus its
+    underscore parts of length ≥ 2 — single-letter TPC-H-style prefixes
+    (o_, l_, c_) would otherwise make every column of the table match
+    any question that mentions one of them."""
+    return ({t for t in name.lower().split("_") if len(t) >= 2}
+            | {name.lower()})
+
+
+def _k_from(question: str, default: int = 10) -> int:
+    m = re.search(r"\b(\d+)\b", question)
+    return min(int(m.group(1)), MAX_ROWS) if m else default
+
+
+def _error(msg: str, suggestion: str) -> dict[str, Any]:
+    return {"error": msg, "suggestion": suggestion}
+
+
+def plan(spark: SparkSession, question: str) -> dict[str, Any]:
+    """NL question → {sql, explanation, confidence, table, intent} or
+    {error, suggestion} — the deterministic analog of the reference's
+    `_generate_sql` return shape (unity_sql_agent.py:335-340, :300-306).
+    """
+    found = [t for t in cat.discover_tables(spark, question, cap=3)
+             if "columns" in t]
+    # Question order, not catalog order: "orphans in orders vs customer"
+    # makes orders the anti-join left side.
+    low = question.lower()
+
+    def _pos(rec: dict[str, Any]) -> int:
+        name = rec["table"].split(".")[-1].lower()
+        i = low.find(name)
+        return i if i >= 0 else len(low)
+
+    found.sort(key=_pos)
+    if not found:
+        names = sorted({t.name for db in spark.catalog.listDatabases()
+                        for t in spark.catalog.listTables(db.name)})
+        return _error(
+            "No table in the question matches the catalog.",
+            f"Name one of the available tables: {', '.join(names)}"
+            if names else "Register the corpus tables first.")
+    intent = _match_intent(question)
+    if intent is None:
+        return _error(
+            "Could not map the question to a supported quality check.",
+            f"Ask about one of: {_SUPPORTED}.")
+
+    table = found[0]["table"]
+    cols = found[0]["columns"]
+    classified = cat.classify_columns(
+        [(c["name"], c["type"]) for c in cols])
+    mentioned = resolve_columns(question, cols)
+    needs = next(n for i, _, n in INTENTS if i == intent)
+
+    confidence = 0.95
+    if needs in ("numeric", "temporal"):
+        pool = classified[needs]
+        picked = [c for c in mentioned if c in pool]
+        if picked:
+            col = picked[0]
+        elif pool:
+            col, confidence = pool[0], 0.8  # defaulted, like rule 7's
+            # "get schema first" degradation — flagged via confidence
+        else:
+            return _error(
+                f"{table} has no {needs} column for a {intent} check.",
+                f"Columns: " + ", ".join(c["name"] for c in cols))
+
+    t = _q(table)
+    if intent in ("completeness", "profile"):
+        n = len(cols)
+        entries = ", ".join(
+            f"'{c['name']}', CASE WHEN _n = 0 THEN 1.0 "
+            f"ELSE _c_{i} / _n END" for i, c in enumerate(cols))
+        counts = ", ".join(
+            f"CAST(count({_q(c['name'])}) AS DOUBLE) AS _c_{i}"
+            for i, c in enumerate(cols))
+        sql = (f"SELECT stack({n}, {entries}) AS (column, completeness) "
+               f"FROM (SELECT CAST(count(*) AS DOUBLE) AS _n, {counts} "
+               f"FROM {t})")
+        explanation = (f"Non-null ratio per column of {table} in one "
+                       f"scan (single aggregate + stack unpivot).")
+    elif intent == "uniqueness":
+        targets = mentioned or [c["name"] for c in cols[:1]]
+        if not mentioned:
+            confidence = 0.8
+        sel = ", ".join(
+            f"count(DISTINCT {_q(c)}) AS distinct_{c}" for c in targets)
+        sql = f"SELECT count(*) AS n_rows, {sel} FROM {t}"
+        explanation = (f"Distinct counts vs total rows for "
+                       f"{', '.join(targets)} of {table}.")
+    elif intent == "validity":
+        qc = _q(col)
+        sql = (f"SELECT min({qc}) AS min_{col}, max({qc}) AS max_{col}, "
+               f"sum(CASE WHEN {qc} < 0 THEN 1 ELSE 0 END) "
+               f"AS negative_count FROM {t}")
+        explanation = f"Range and negative-value check on {table}.{col}."
+    elif intent == "timeliness":
+        qc = _q(col)
+        sql = (f"SELECT min({qc}) AS earliest, max({qc}) AS latest, "
+               f"count(*) AS n_rows FROM {t}")
+        explanation = f"Recency window of {table}.{col}."
+    elif intent == "drift":
+        qc = _q(col)
+        sql = (f"SELECT date_format({qc}, 'yyyy-MM') AS month, "
+               f"count(*) AS n_rows FROM {t} GROUP BY 1 ORDER BY 1")
+        explanation = f"Monthly volume trend of {table} over {col}."
+    elif intent == "topk":
+        k = _k_from(question)
+        sql = (f"SELECT * FROM {t} ORDER BY {_q(col)} DESC "
+               f"LIMIT {k}")
+        explanation = f"Top {k} rows of {table} by {col}."
+    elif intent == "rowcount":
+        sql = f"SELECT count(*) AS n_rows FROM {t}"
+        explanation = f"Row count of {table}."
+    elif intent == "sample":
+        k = _k_from(question)
+        sql = f"SELECT * FROM {t} LIMIT {k}"
+        explanation = f"First {k} rows of {table} (LIMIT guard)."
+    else:  # orphans — needs two tables sharing a column name
+        with_schema = [f for f in found if "columns" in f]
+        if len(with_schema) < 2:
+            return _error(
+                "An orphan check needs two tables named in the question.",
+                "Name both sides, e.g. 'orphans in orders vs customer'.")
+        t2rec = with_schema[1]
+        # Key detection by shared name token (length ≥ 2), so TPC-H
+        # style o_custkey ↔ c_custkey pairs join as naturally as
+        # identical names. Question-mentioned tokens win.
+        words = cat._words(question)
+
+        def _stem(name: str) -> str:  # widgets → widget
+            n = name.split(".")[-1].lower()
+            return n[:-1] if n.endswith("s") else n
+
+        l_stem, r_stem = _stem(table), _stem(t2rec["table"])
+        pairs = []  # (score, left_col, right_col)
+        for c1 in cols:
+            for c2 in t2rec["columns"]:
+                common = _col_tokens(c1["name"]) & _col_tokens(c2["name"])
+                if not common:
+                    continue
+                # FK-naming signal: a column carrying the OTHER table's
+                # stem (sales.widget_id → widgets) outranks a generic
+                # shared 'id'; a question-mentioned token outranks both.
+                score = max(len(t) for t in common)
+                if r_stem in _col_tokens(c1["name"]) \
+                        or l_stem in _col_tokens(c2["name"]):
+                    score += 100
+                if common & words:
+                    score += 1000
+                pairs.append((score, c1["name"], c2["name"]))
+        if not pairs:
+            return _error(
+                f"{table} and {t2rec['table']} share no column-name "
+                f"token to join on.",
+                "Orphan checks need a common key, e.g. custkey.")
+        _, lcol, rcol = max(pairs)
+        t2 = _q(t2rec["table"])
+        sql = (f"SELECT count(*) AS orphan_rows FROM {t} a "
+               f"LEFT ANTI JOIN {t2} b ON a.{_q(lcol)} = b.{_q(rcol)}")
+        explanation = (f"Rows of {table} whose {lcol} has no match in "
+                       f"{t2rec['table']}.{rcol} (anti-join).")
+
+    # Final validation of the generated SQL, mirroring the reference's
+    # re-validation of LLM output (unity_sql_agent.py:344-351).
+    if _FORBIDDEN.search(sql):
+        return _error("Generated SQL failed the safety re-check.",
+                      "This is a bug — the grammar emitted a forbidden "
+                      "operation.")
+    return {"sql": sql, "explanation": explanation,
+            "confidence": confidence, "table": table, "intent": intent}
+
+
+def answer(spark: SparkSession, question: str,
+           max_rows: int = MAX_ROWS) -> dict[str, Any]:
+    """Plan, execute, format — the reference's full ask→result loop
+    (`_generate_sql` → `execute_query` → result formatting,
+    unity_sql_agent.py:209-282) with the A21 result shape."""
+    p = plan(spark, question)
+    if "error" in p:
+        return {"status": "error", **p}
+    try:
+        df = spark.sql(p["sql"])
+        rows = df.limit(max_rows).collect()
+    except Exception as e:
+        return {"status": "error",
+                **err.format_error_response(e, job="nlq",
+                                            context={"sql": p["sql"]})}
+    return {"status": "success", "sql": p["sql"],
+            "explanation": p["explanation"],
+            "confidence": p["confidence"], "intent": p["intent"],
+            "table": p["table"], "columns": list(df.columns),
+            "rows": [list(r) for r in rows], "row_count": len(rows)}
