@@ -326,3 +326,27 @@ def test_curate_job_url_canon_and_upsample(spark, tmp_path):
     assert len(out[out.doc_id == 0]) == 2
     assert stats["n_docs_out"] == 5
     assert (out[out.doc_id == 0]["url_canon"] == "http://a.com/x").all()
+
+
+def test_ask_job_end_to_end(spark, tmp_path):
+    """jobs/ask.py: the reference's interactive_query analog — register
+    parquet tables by basename, answer questions in the reference's
+    success / {error, suggestion} shapes (main.py:60-84)."""
+    import pandas as pd
+
+    from jobs import ask
+
+    d = tmp_path / "tables"
+    d.mkdir()
+    pd.DataFrame({"id": [1, 2, 3], "score": [1.0, None, 3.0]}) \
+        .to_parquet(d / "gizmos.parquet", index=False)
+
+    out = ask.run(["--tables", str(d),
+                   "how complete is the gizmos table",
+                   "top 2 gizmos by score",
+                   "what color is the sky"])
+    assert [r["status"] for r in out] == ["success", "success", "error"]
+    comp = dict(out[0]["rows"])
+    assert comp == {"id": 1.0, "score": 2 / 3}
+    assert out[1]["rows"][0][0] == 3  # id of max score
+    assert "gizmos" in out[2]["suggestion"]
