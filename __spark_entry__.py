@@ -439,6 +439,23 @@ def q_nl_completeness(spark, sf_dir):
     return spark.sql(p["sql"])
 
 
+def q_nl_orphans(spark, sf_dir):
+    """A20 cross-table path: the grammar resolves the TPC-H key pair
+    (o_custkey ↔ c_custkey) by name token and plans an anti-join.
+    Customers with c_custkey % 10 == 0 are withheld from the registered
+    view so the orphan count is non-trivial (a planted referential gap,
+    not a vacuous zero)."""
+    from dataquality_spark import nlq
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    (_t(spark, sf_dir, "customer")
+     .filter(F.col("c_custkey") % 10 != 0)
+     .createOrReplaceTempView("customer"))
+    p = nlq.plan(spark, "orphan rows in orders vs customer on custkey")
+    assert "error" not in p, p
+    assert "LEFT ANTI JOIN" in p["sql"], p
+    return spark.sql(p["sql"])
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (text_analysis.token_counts(docs)
@@ -1308,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_rules": q_webtext_rules,
         "approx_distinct_bounds": q_approx_distinct_bounds,
         "nl_completeness": q_nl_completeness,
+        "nl_orphans": q_nl_orphans,
         # --- driver-green in r01/r02 (proof already on record) ---
         "scalar_probe": q_scalar_probe,
         "row_counts": q_row_counts,
@@ -2958,6 +2976,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT _n, 'lang', c2 FROM agg
               UNION ALL SELECT _n, 'source', c3 FROM agg
               UNION ALL SELECT _n, 'n_chars', c4 FROM agg)
+        """,
+
+        # same planted referential gap (customers with c_custkey % 10
+        # == 0 withheld) the Spark query registers before planning
+        "nl_orphans": """
+            SELECT count(*) AS orphan_rows
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey % 10 <> 0
+                AND c.c_custkey = o.o_custkey)
         """,
     }
     return sqls
