@@ -161,7 +161,14 @@ def plan(spark: SparkSession, question: str) -> dict[str, Any]:
             f"Ask about one of: {_SUPPORTED}.")
 
     table = found[0]["table"]
-    cols = found[0]["columns"]
+    # Only well-formed identifiers ever reach a template (they appear
+    # both backtick-quoted and as string literals): a hostile or exotic
+    # column name is excluded here rather than trusted downstream, and
+    # plan() degrades to {error, suggestion} instead of raising.
+    cols = [c for c in found[0]["columns"] if _IDENT_OK.match(c["name"])]
+    if not cols:
+        return _error(f"{table} has no addressable columns.",
+                      "Column names must be plain identifiers.")
     classified = cat.classify_columns(
         [(c["name"], c["type"]) for c in cols])
     mentioned = resolve_columns(question, cols)
@@ -249,9 +256,11 @@ def plan(spark: SparkSession, question: str) -> dict[str, Any]:
             return n[:-1] if n.endswith("s") else n
 
         l_stem, r_stem = _stem(table), _stem(t2rec["table"])
+        t2cols = [c for c in t2rec["columns"]
+                  if _IDENT_OK.match(c["name"])]
         pairs = []  # (score, left_col, right_col)
         for c1 in cols:
-            for c2 in t2rec["columns"]:
+            for c2 in t2cols:
                 common = _col_tokens(c1["name"]) & _col_tokens(c2["name"])
                 if not common:
                     continue
