@@ -1288,69 +1288,75 @@ def q_webtext_rules(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q_webtext_audit_rules(spark, sf_dir):
+    """Driver-visible EXACT oracle for the audit aggregation
+    (audit.audit_metrics, audit.py:28): run the real pipeline over the
+    same planted corpus as q_webtext_rules, REPLACE the model-dependent
+    columns (rule_hits → non-model rules only, keep → no-heuristic-hit)
+    so every audited number is SQL-derivable, then push the frame
+    through the real per-partition audit rollup — n_docs, n_kept,
+    n_distinct_urls, completeness ratios, and the rule_hit_counts map
+    exploded to (rule, n_rule) rows. The model-score-dependent audit
+    fields (pii_* sums, model-rule hits) stay covered by the rows-only
+    q_webtext_audit + the pytest byte-identity gate."""
+    from dataquality_spark import audit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.with_decisions(_rules_pages(docs))
+    model_rules = [C.R_LANG_MISMATCH, C.R_PPL]
+    heur = F.filter("rule_hits", lambda r: ~r.isin(model_rules))
+    enriched = (out.withColumn("rule_hits", heur)
+                .withColumn("keep", F.size("rule_hits") == 0))
+    aud = audit.audit_metrics(enriched)
+    return (aud.select(
+        C.PARTITION_COL, "n_docs", "n_kept", "n_distinct_urls",
+        "completeness_url", "completeness_warc_ts",
+        "completeness_text", "completeness_lang",
+        F.explode_outer("rule_hit_counts").alias("rule", "n_rule"))
+        .select(C.PARTITION_COL, "n_docs", "n_kept", "n_distinct_urls",
+                "completeness_url", "completeness_warc_ts",
+                "completeness_text", "completeness_lang",
+                F.coalesce("rule", F.lit("")).alias("rule"),
+                F.coalesce("n_rule", F.lit(0)).alias("n_rule"))
+        .orderBy(C.PARTITION_COL, "rule"))
+
+
+def q_kmeans_fit_sample(spark, sf_dir):
+    """Exact oracle for kmeans_fit's fit-on-sample mode (the 100-TB fit
+    recipe, operators/clustering.py): ONE Lloyd iteration from the
+    fixed 64-centroid init over the LCG-sampled quarter of the
+    embeddings (hash_bucket method='lcg' — the ANSI-SQL-reproducible
+    twin of the production xxhash64 sample). DuckDB re-derives the
+    sample membership, the nearest-centroid assignment, and the
+    per-cluster means (empty clusters keep the init centroid), pinning
+    the sampling filter AND the distributed partial-sum update in one
+    value-exact check. Multi-iteration convergence stays pytest-pinned
+    vs a numpy Lloyd reference (tests/test_clustering.py)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("e"))
+    cents = _fixed_centroids(spark, sf_dir)
+    fitted, _info = clustering.kmeans_fit(
+        emb, "e", 64, init=cents, max_iter=1,
+        sample_fraction=0.25, sample_key="vec_id", sample_method="lcg")
+    rows = [(ci, j, float(v))
+            for ci, row in enumerate(fitted) for j, v in enumerate(row)]
+    out = spark.createDataFrame(rows, "cluster int, dim_j int, value double")
+    return (out.select("cluster", "dim_j",
+                       F.round("value", 6).alias("value"))
+            .orderBy("cluster", "dim_j"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness harness samples the FIRST
-    # 50 dict entries only. Round 2's natural ordering left positions 50-69
-    # (the embedding/ANN family, kmeans, semdedup, multimodal, quality
-    # model, paragraph/line dedup, webtext decisions/audit, scrub) without
-    # a driver row even though all have local oracles. So: queries that
-    # have never had a driver correctness row come FIRST, followed by
-    # round-3 additions, then the 50 entries already driver-green in
-    # CORRECTNESS_r01/r02 (those keep their proof from prior rounds).
+    # 50 dict entries only. Round 3 front-loaded the 26 entries that had
+    # never had a driver row; this round ROTATES the window again so the
+    # 26 queries the r03 artifact pushed past position 50 (whose green
+    # rows date from r01/r02, pre-vectorization code) get fresh rows on
+    # current-generation code. Union of CORRECTNESS_r03 + r04 then covers
+    # all queries on post-vectorization code.
     return {
-        # --- never driver-checked before round 3 (r02 positions 50-69) ---
-        "stratified_sample": q_stratified_sample,
-        "dedupe_lines": q_dedupe_lines,
-        "dedupe_paragraphs": q_dedupe_paragraphs,
-        "quality_model": q_quality_model,
-        "host_blocklist": q_host_blocklist,
-        "top_ngram": q_top_ngram,
-        "pack_sequences": q_pack_sequences,
-        "embedding_norms": q_embedding_norms,
-        "kmeans_assign": q_kmeans_assign,
-        "semdedup": q_semdedup,
-        "embedding_topk": q_embedding_topk,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ivf": q_embedding_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_features": q_multimodal_features,
-        "scrub_sql": q_scrub_sql,
-        "webtext_decisions": q_webtext_decisions,
-        "webtext_audit": q_webtext_audit,
-        # --- new in round 3 (exact-oracle twins, never driver-checked) ---
-        "quality_model_fixed": q_quality_model_fixed,
-        "multimodal_features_fixed": q_multimodal_features_fixed,
-        "webtext_rules": q_webtext_rules,
-        "approx_distinct_bounds": q_approx_distinct_bounds,
-        "nl_completeness": q_nl_completeness,
-        "nl_orphans": q_nl_orphans,
-        # --- driver-green in r01/r02 (proof already on record) ---
-        "scalar_probe": q_scalar_probe,
-        "row_counts": q_row_counts,
-        "completeness_profile": q_completeness_profile,
-        "uniqueness_profile": q_uniqueness_profile,
-        "validity_range": q_validity_range,
-        "consistency_orphans": q_consistency_orphans,
-        "consistency_full_outer": q_consistency_full_outer,
-        "timeliness_buckets": q_timeliness_buckets,
-        "drift_monthly": q_drift_monthly,
-        "psi_drift": q_psi_drift,
-        "segment_agg": q_segment_agg,
-        "revenue_by_segment": q_revenue_by_segment,
-        "topk_customers": q_topk_customers,
-        "scalar_fns": q_scalar_fns,
-        "events_json": q_events_json,
-        "window_rank": q_window_rank,
-        "rollup_status": q_rollup_status,
-        "set_ops": q_set_ops,
-        "percentiles": q_percentiles,
-        "percentiles_sketch": q_percentiles_sketch,
-        "asof_purchase": q_asof_purchase,
-        "sessionize": q_sessionize,
-        "host_extract": q_host_extract,
-        "url_canonicalize": q_url_canonicalize,
+        # --- r01/r02-green only; rotated into the window for fresh rows ---
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "repeat_upsample": q_repeat_upsample,
         "approx_distinct": q_approx_distinct,
@@ -1377,6 +1383,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
         "split_sample": q_split_sample,
+        # --- new in round 4 (never driver-checked) ---
+        "webtext_audit_rules": q_webtext_audit_rules,
+        "kmeans_fit_sample": q_kmeans_fit_sample,
+        # --- r03-green (proof on current-generation code already) ---
+        "webtext_rules": q_webtext_rules,
+        "quality_model_fixed": q_quality_model_fixed,
+        "multimodal_features_fixed": q_multimodal_features_fixed,
+        "approx_distinct_bounds": q_approx_distinct_bounds,
+        "nl_completeness": q_nl_completeness,
+        "nl_orphans": q_nl_orphans,
+        "stratified_sample": q_stratified_sample,
+        "dedupe_lines": q_dedupe_lines,
+        "dedupe_paragraphs": q_dedupe_paragraphs,
+        "quality_model": q_quality_model,
+        "host_blocklist": q_host_blocklist,
+        "top_ngram": q_top_ngram,
+        "pack_sequences": q_pack_sequences,
+        "embedding_norms": q_embedding_norms,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ivf": q_embedding_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_features": q_multimodal_features,
+        "scrub_sql": q_scrub_sql,
+        "webtext_decisions": q_webtext_decisions,
+        "webtext_audit": q_webtext_audit,
+        "scalar_probe": q_scalar_probe,
+        "row_counts": q_row_counts,
+        "completeness_profile": q_completeness_profile,
+        "uniqueness_profile": q_uniqueness_profile,
+        "validity_range": q_validity_range,
+        "consistency_orphans": q_consistency_orphans,
+        "consistency_full_outer": q_consistency_full_outer,
+        "timeliness_buckets": q_timeliness_buckets,
+        "drift_monthly": q_drift_monthly,
+        "psi_drift": q_psi_drift,
+        "segment_agg": q_segment_agg,
+        "revenue_by_segment": q_revenue_by_segment,
+        "topk_customers": q_topk_customers,
+        "scalar_fns": q_scalar_fns,
+        "events_json": q_events_json,
+        "window_rank": q_window_rank,
+        "rollup_status": q_rollup_status,
+        "set_ops": q_set_ops,
+        "percentiles": q_percentiles,
+        "percentiles_sketch": q_percentiles_sketch,
+        "asof_purchase": q_asof_purchase,
+        "sessionize": q_sessionize,
+        "host_extract": q_host_extract,
+        "url_canonicalize": q_url_canonicalize,
     }
 
 
@@ -1598,6 +1658,152 @@ def _webtext_rules_sql() -> str:
         )
         SELECT doc_id, (rules_heur = '') AS keep_heur, rules_heur
         FROM r ORDER BY doc_id
+    """
+
+
+def _webtext_audit_rules_sql() -> str:
+    """DuckDB re-derivation of audit.audit_metrics over the planted
+    corpus with model rules filtered: per-partition n_docs / n_kept /
+    exact distinct urls / completeness ratios + the rule_hit_counts
+    map as exploded (rule, n_rule) rows — the same per-doc rule CASEs
+    as _webtext_rules_sql, aggregated the way audit.py:28 does."""
+    words = _sql_words("t")
+    stoplist = _sql_stop_in(sorted(set(C.ALL_STOPWORDS)))
+    sym = C.SYMBOL_CHARS.replace("'", "''")
+    return f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'https://docs.example.org/d/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+                 (CASE WHEN doc_id % 50 = 0
+                       THEN TIMESTAMP '2024-06-15 00:00:00'
+                       ELSE TIMESTAMP '2024-08-01 00:00:00' END
+                  + to_seconds(doc_id)) AS warc_ts,
+                 text, lang
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 'https://docs.example.org/d/' || CAST(doc_id AS VARCHAR),
+                 (CASE WHEN doc_id % 50 = 0
+                       THEN TIMESTAMP '2024-06-15 00:00:00'
+                       ELSE TIMESTAMP '2024-08-01 00:00:00' END
+                  + to_seconds(doc_id) + to_seconds(100000)),
+                 text, lang
+          FROM documents WHERE doc_id % 10 = 0
+        ), mins AS (
+          SELECT url, min(warc_ts) AS min_ts FROM pages GROUP BY url
+        ), s AS (
+          SELECT p.doc_id, p.url, p.warc_ts, p.text, p.lang,
+                 coalesce(p.text, '') AS t,
+                 (p.warc_ts > m.min_ts) AS is_dup,
+                 (p.warc_ts < TIMESTAMP '2024-07-01 00:00:00') AS stale,
+                 {words} AS words,
+                 list_filter(str_split(coalesce(p.text, ''), chr(10)),
+                             x -> x <> '') AS lines
+          FROM pages p JOIN mins m USING (url)
+        ), st AS (
+          SELECT doc_id, url, warc_ts, text, lang, is_dup, stale,
+                 CAST(len(words) AS BIGINT) AS n,
+                 CAST(length(translate(t, ' ' || chr(10) || chr(9)
+                                          || chr(13), '')) AS DOUBLE)
+                   AS word_chars,
+                 CAST(length(t) - length(translate(t, '{sym}', ''))
+                   AS DOUBLE) AS n_sym,
+                 CAST(len(list_filter(words,
+                   w -> lower(w) IN ({stoplist}))) AS BIGINT) AS n_stop,
+                 CAST(len(lines) AS BIGINT) AS nl,
+                 CAST(len(list_distinct(lines)) AS BIGINT) AS nl_d
+          FROM s
+        ), doc AS (
+          SELECT strftime(warc_ts, '%Y-%m') AS partition_id,
+                 url, text, lang,
+            list_filter([
+              CASE WHEN n = 0 THEN '{C.R_EMPTY}' ELSE '' END,
+              CASE WHEN n > 0 AND n < {C.MIN_WORDS}
+                   THEN '{C.R_SHORT}' ELSE '' END,
+              CASE WHEN n > 0 AND n > {C.MAX_WORDS}
+                   THEN '{C.R_LONG}' ELSE '' END,
+              CASE WHEN n > 0 AND NOT (word_chars / n
+                     BETWEEN {C.MIN_MEAN_WORD_LEN} AND {C.MAX_MEAN_WORD_LEN})
+                   THEN '{C.R_MEAN_WORD_LEN}' ELSE '' END,
+              CASE WHEN n > 0 AND n_sym / n > {C.MAX_SYMBOL_WORD_RATIO}
+                   THEN '{C.R_SYMBOL_RATIO}' ELSE '' END,
+              CASE WHEN n > 0 AND (n_stop < {C.MIN_STOPWORD_COUNT}
+                     OR CAST(n_stop AS DOUBLE) / n < {C.MIN_STOPWORD_FRACTION})
+                   THEN '{C.R_STOPWORD}' ELSE '' END,
+              CASE WHEN n > 0 AND nl > 0
+                     AND CAST(nl - nl_d AS DOUBLE) / nl
+                         > {C.MAX_REPEATED_LINE_FRACTION}
+                   THEN '{C.R_REPEATED_LINES}' ELSE '' END,
+              CASE WHEN is_dup THEN '{C.R_DUP_URL}' ELSE '' END,
+              CASE WHEN stale THEN '{C.R_STALE}' ELSE '' END
+            ], x -> x <> '') AS rules
+          FROM st
+        ), base AS (
+          SELECT partition_id,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN len(rules) = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_kept,
+                 CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_urls,
+                 ROUND(count(url) * 1.0 / count(*), {C.SCORE_DECIMALS})
+                   AS completeness_url,
+                 ROUND(count(partition_id) * 1.0 / count(*),
+                       {C.SCORE_DECIMALS}) AS completeness_warc_ts,
+                 ROUND(count(text) * 1.0 / count(*), {C.SCORE_DECIMALS})
+                   AS completeness_text,
+                 ROUND(count(lang) * 1.0 / count(*), {C.SCORE_DECIMALS})
+                   AS completeness_lang
+          FROM doc GROUP BY partition_id
+        ), hit_rows AS (
+          SELECT partition_id, unnest(rules) AS rule FROM doc
+        ), hits AS (
+          SELECT partition_id, rule, CAST(count(*) AS BIGINT) AS n_rule
+          FROM hit_rows GROUP BY partition_id, rule
+        )
+        SELECT b.partition_id, b.n_docs, b.n_kept, b.n_distinct_urls,
+               b.completeness_url, b.completeness_warc_ts,
+               b.completeness_text, b.completeness_lang,
+               coalesce(h.rule, '') AS rule,
+               coalesce(h.n_rule, 0) AS n_rule
+        FROM base b LEFT JOIN hits h USING (partition_id)
+        ORDER BY b.partition_id, rule
+    """
+
+
+def _kmeans_fit_sample_sql() -> str:
+    """DuckDB re-derivation of one sampled Lloyd iteration: LCG sample
+    membership (curation.hash_bucket method='lcg' constants), nearest
+    fixed centroid by the -2x·c + |c|² surrogate (ties → lowest cluster
+    index), per-cluster per-dim mean, empty clusters keep the init."""
+    return """
+        WITH c AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings WHERE vec_id < 64
+        ), samp AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+          WHERE ((vec_id % 2147483648) * 1103515245 + 12345)
+                % 2147483648 % 1000000 < 250000
+        ), d AS (
+          SELECT s.vec_id, s.e, c.cid,
+                 -2 * list_dot_product(s.e, c.ce)
+                 + list_dot_product(c.ce, c.ce) AS sc,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                    ORDER BY sc, c.cid) AS rn
+          FROM samp s CROSS JOIN c
+        ), lab AS (
+          SELECT vec_id, e, cid FROM d WHERE rn = 1
+        ), dims AS (
+          SELECT CAST(j AS INT) AS dim_j FROM generate_series(0, 63) t(j)
+        ), means AS (
+          SELECT l.cid, dm.dim_j, AVG(l.e[dm.dim_j + 1]) AS m
+          FROM lab l CROSS JOIN dims dm GROUP BY l.cid, dm.dim_j
+        )
+        SELECT CAST(c.cid AS INT) AS cluster, dm.dim_j AS dim_j,
+               ROUND(coalesce(m.m, c.ce[dm.dim_j + 1]), 6) AS value
+        FROM c CROSS JOIN dims dm
+        LEFT JOIN means m ON m.cid = c.cid AND m.dim_j = dm.dim_j
+        ORDER BY cluster, dm.dim_j
     """
 
 
@@ -2940,6 +3146,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_model_fixed": _quality_model_fixed_sql(),
         "multimodal_features_fixed": _multimodal_features_fixed_sql(),
         "webtext_rules": _webtext_rules_sql(),
+        "webtext_audit_rules": _webtext_audit_rules_sql(),
+        "kmeans_fit_sample": _kmeans_fit_sample_sql(),
 
         # each engine checks ITS OWN HLL sketch against its exact count;
         # the matching values are the accuracy booleans (see

@@ -213,11 +213,11 @@ def main() -> None:
         "pipeline_n_docs": n_pages,
         "cpus": int(cpus),
         "trials_per_query": 2,
-        # _live = this run's one shared-VM probe window (steal-
-        # sensitive); _committed = the canonical interleaved min-of-
-        # trials sweep (BENCH/scaling_r03.json, method in BASELINE.md)
-        "eff_2to8_live": eff_full,
-        "eff_2to8_models_live": eff_models,
+        # ONLY the canonical interleaved min-of-trials committed-sweep
+        # scalars are printed (method in BENCH/BASELINE.md). This run's
+        # single-window live probe is steal-sensitive and reads
+        # misleadingly low next to them (r03 verdict nit 3), so its
+        # record goes to BENCH/scaling_live_latest.json, not the line.
         "eff_2to8_committed": eff_2to8_committed,
         "eff_1to4_committed": eff_1to4,
     }))

@@ -56,9 +56,34 @@ def deterministic_init(df: DataFrame, emb_col: str, k: int) -> np.ndarray:
 
 def kmeans_fit(df: DataFrame, emb_col: str, k: int,
                init: np.ndarray | None = None, max_iter: int = 10,
-               tol: float = 1e-6) -> tuple[np.ndarray, dict]:
-    """Full-corpus Lloyd's. Returns (centroids [k×d], info with
-    `iterations` and final max centroid `shift`).
+               tol: float = 1e-6,
+               sample_fraction: float | None = None,
+               sample_salt: int = 0,
+               sample_key: str | None = None,
+               sample_method: str = "xxhash64") -> tuple[np.ndarray, dict]:
+    """Lloyd's over the corpus — or a deterministic hash sample of it.
+
+    Returns (centroids [k×d], info with `iterations` and final max
+    centroid `shift`).
+
+    `sample_fraction`: when set (0 < f ≤ 1), every iteration scans only
+    the rows whose `hash_bucket(key) < f·1e6` — the same keyed-hash
+    idiom as curation.split_assign, so the sample is a pure filter (no
+    shuffle, no RNG state), stable across runs, task retries,
+    partitionings, and cluster sizes. `sample_key` names the hashed
+    column (default: the vector's string form, so byte-identical
+    vectors sample together); `sample_method` is curation.hash_bucket's
+    'xxhash64' (production) or 'lcg' (ANSI-SQL-reproducible, used by
+    the oracle-checked contract query; needs a non-negative int key).
+
+    This is THE 100-TB fit recipe: Lloyd's centroid estimates converge
+    on an i.i.d. sample (per-cluster means are sample means —
+    O(1/√(f·n/k)) standard error, and f·n/k is still millions of points
+    per cluster at f=1e-4 on a 10^12-doc corpus), so fit cost drops
+    from max_iter full-corpus passes to max_iter × f·|corpus| while
+    `assign_clusters` stays full-corpus and map-only. The filter sits
+    directly on the columnar scan; each iteration reads only sampled
+    vectors.
 
     Empty clusters keep their previous centroid (deterministic; they
     can re-acquire points as others move). Numerically: per-task sums
@@ -66,11 +91,25 @@ def kmeans_fit(df: DataFrame, emb_col: str, k: int,
     sorting partials on task id, so repeated runs on the same
     partitioning are bit-identical, and any partitioning agrees to
     float tolerance (pinned by tests)."""
+    from .curation import hash_bucket
+
     sc = df.sparkSession.sparkContext
-    cents = (deterministic_init(df, emb_col, k) if init is None
+    slim = df
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(f"sample_fraction must be in (0, 1]: "
+                             f"{sample_fraction}")
+        buckets = 1_000_000
+        thr = int(round(sample_fraction * buckets))
+        key = (F.col(sample_key) if sample_key
+               else F.col(emb_col).cast("string"))
+        slim = slim.where(
+            hash_bucket(key, buckets, sample_salt, sample_method)
+            < F.lit(thr))
+    slim = slim.select(F.col(emb_col).alias("e"))
+    cents = (deterministic_init(slim, "e", k) if init is None
              else np.asarray(init, dtype=np.float64).copy())
     k, d = cents.shape
-    slim = df.select(F.col(emb_col).alias("e"))
 
     schema = T.StructType([
         T.StructField("task", T.IntegerType()),

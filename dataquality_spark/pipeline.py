@@ -357,8 +357,38 @@ def _dup_hash() -> Column:
     return F.crc32(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
 
 
+# Pack base: 2000-01-01T00:00:00Z. Subtracting it centers the 31-bit
+# seconds field on the WARC era, so the packed BIGINT is exact for any
+# warc_ts in [1932, 2068) — Common Crawl starts in 2008.
+_PACK_EPOCH_BASE = 946684800
+
+
 def _dup_pair() -> Column:
-    return F.struct(F.col("warc_ts").alias("_ts"), _dup_hash().alias("_h"))
+    """(warc_ts, crc32) packed into ONE BIGINT:
+
+        ((epoch_seconds - 2000-01-01) << 32) + crc32
+
+    Lexicographic (ts, crc) order == numeric order of the pack, because
+    the crc occupies exactly the low 32 bits (crc32 ∈ [0, 2^32)) and the
+    seconds field fits the high 31 bits + sign for any timestamp within
+    ±68 years of 2000 (signed shift keeps pre-2000 ordering correct).
+
+    Why a BIGINT and not struct(ts, crc): Catalyst's min(struct) is not
+    hash-aggregable — the dedup_flags groupBy planned a SortAggregate,
+    which sorts every (url, pair) row per partition and was the measured
+    16→32-core scaling bottleneck of the full pipeline (131k→114k docs/s
+    regression in BENCH/scaling_r03.json). min(BIGINT) is a mutable
+    hash-agg buffer type, so the same aggregate now runs as a
+    HashAggregate with map-side partial combine and no sort.
+
+    Resolution contract: second granularity — exactly WARC-Date's
+    resolution (WARC/1.0 §5.4, ISO-8601 whole seconds), so no ordering
+    information is lost on Common-Crawl-shaped inputs; the session pins
+    spark.sql.session.timeZone=UTC so unix_timestamp is deterministic.
+    warc_ts is NOT NULL per the pages schema (sources/iceberg_spec.py).
+    """
+    sec = F.unix_timestamp(F.col("warc_ts")) - F.lit(_PACK_EPOCH_BASE)
+    return F.shiftleft(sec, 32) + _dup_hash()
 
 
 def dedup_flags(full_pages: DataFrame) -> DataFrame:
@@ -367,8 +397,19 @@ def dedup_flags(full_pages: DataFrame) -> DataFrame:
 
     The earliest (warc_ts, crc32(text)) pair per url wins; any row whose
     pair compares strictly greater is a duplicate. Value-based (not
-    positional) on purpose: the flag frame is slim (url, ts, crc32)
-    aggregates — the document text never enters the dedup shuffle.
+    positional) on purpose: the flag frame is slim (url, packed-BIGINT)
+    aggregates — the document text never enters the dedup shuffle, and
+    min(BIGINT) plans as a HashAggregate with map-side partial combine
+    (see _dup_pair for why not min(struct)).
+
+    Scan-cost note: this branch re-reads (url, warc_ts, text) from
+    parquet to compute the crc — at 100 TB that is a second columnar
+    read of the dominant text column. That is deliberate: the
+    alternative (one scan, window-min over url) would SHUFFLE every
+    text row by url — write + read + sort of the corpus' dominant
+    column — whereas the extra read is sequential, pruned to three
+    columns, and feeds a slim aggregate whose shuffle is ~25 B/doc
+    (BENCH/isolation_r03.json traffic accounting).
 
     Restricting to count > 1 is semantics-free (a unique url's pair IS
     its own minimum, left-join miss ⇒ not-dup) and is the scale lever:

@@ -4,6 +4,7 @@
         "how complete is the documents table"
     python jobs/ask.py --tables /data "orphans in orders vs customer" \
         "top 10 orders by o_totalprice"
+    python jobs/ask.py --tables /data --interactive   # REPL on stdin
 
 The grafted equivalent of the reference's interactive query loop
 (/root/reference/main.py:60-84 `interactive_query` → agent.ask →
@@ -41,27 +42,45 @@ def register_tables(spark, tables_dir: str) -> list[str]:
     return names
 
 
-def run(argv: list[str] | None = None) -> list[dict]:
+def run(argv: list[str] | None = None,
+        stdin=None) -> list[dict]:
     ap = argparse.ArgumentParser()
-    ap.add_argument("questions", nargs="+",
+    ap.add_argument("questions", nargs="*",
                     help="one or more English questions")
     ap.add_argument("--tables", default=None,
                     help="directory of *.parquet tables to register "
                          "(omit to use already-registered catalog "
                          "tables)")
+    ap.add_argument("--interactive", action="store_true",
+                    help="REPL: read one question per stdin line until "
+                         "EOF or 'exit' — the reference's interactive "
+                         "loop (main.py:60-84) shape")
     ap.add_argument("--max-rows", type=int, default=nlq.MAX_ROWS)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if not args.questions and not args.interactive:
+        ap.error("give questions as arguments or pass --interactive")
 
     spark = get_spark("dq-ask", master=args.master)
     if args.tables:
         register_tables(spark, args.tables)
-    out = []
-    for q in args.questions:
+
+    def _answer(q: str) -> dict:
         r = nlq.answer(spark, q, max_rows=args.max_rows)
         r["question"] = q
-        out.append(r)
         print(json.dumps(r, default=str))
+        return r
+
+    out = [_answer(q) for q in args.questions]
+    if args.interactive:
+        stream = stdin if stdin is not None else sys.stdin
+        for line in stream:
+            q = line.strip()
+            if not q:
+                continue
+            if q.lower() in ("exit", "quit"):
+                break
+            out.append(_answer(q))
     return out
 
 

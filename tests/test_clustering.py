@@ -125,3 +125,58 @@ def test_fit_empty_cluster_keeps_centroid(spark):
     cents, _ = clustering.kmeans_fit(df, "e", 2, init=far, max_iter=3)
     assert np.allclose(cents[1], [1000.0, 1000.0])
     assert np.allclose(cents[0], [1.5, 0.0])
+
+
+def test_fit_on_sample_near_full_fit(spark, blob_df):
+    """The 100-TB fit recipe: centroids fitted on a deterministic hash
+    sample land within the blob radius of the full-corpus fit, and the
+    sample filter actually shrinks the scanned row set."""
+    df, pts, centers = blob_df
+    # init at the true blob centers: both fits then converge to per-blob
+    # means (no local-optimum drift), isolating the sampling error
+    full, _ = clustering.kmeans_fit(df, "e", 3, init=centers, max_iter=10)
+    samp, _ = clustering.kmeans_fit(df, "e", 3, init=centers, max_iter=10,
+                                    sample_fraction=0.5)
+    # blobs have sigma 0.3; sample means deviate O(sigma/sqrt(n/2k))
+    assert np.abs(samp - full).max() < 0.3
+    # cluster-to-cluster assignment must agree between the two fits
+    lab_full = ((pts[:, None, :] - full[None]) ** 2).sum(2).argmin(1)
+    lab_samp = ((pts[:, None, :] - samp[None]) ** 2).sum(2).argmin(1)
+    assert (lab_full == lab_samp).mean() > 0.99
+
+
+def test_fit_on_sample_deterministic_and_partition_invariant(spark, blob_df):
+    df, _, _ = blob_df
+    init = clustering.deterministic_init(df, "e", 3)
+    a, _ = clustering.kmeans_fit(df.repartition(1), "e", 3, init=init,
+                                 max_iter=4, sample_fraction=0.4,
+                                 sample_salt=9)
+    b, _ = clustering.kmeans_fit(df.repartition(11), "e", 3, init=init,
+                                 max_iter=4, sample_fraction=0.4,
+                                 sample_salt=9)
+    assert np.allclose(a, b, atol=1e-9)
+
+
+def test_fit_on_sample_lcg_matches_manual_filter(spark, blob_df):
+    """sample_key + method='lcg' selects exactly the rows the LCG keeps
+    — fit on the pre-filtered frame must be bit-identical."""
+    df, _, _ = blob_df
+    a_mod, c_mod, m_mod = 1103515245, 12345, 2147483648
+    thr = int(round(0.5 * 1_000_000))
+    keep = df.where(
+        ((F.col("id") % m_mod) * a_mod + c_mod) % m_mod % 1_000_000 < thr)
+    init = clustering.deterministic_init(keep, "e", 3)
+    via_param, _ = clustering.kmeans_fit(
+        df, "e", 3, init=init, max_iter=3,
+        sample_fraction=0.5, sample_key="id", sample_method="lcg")
+    via_filter, _ = clustering.kmeans_fit(keep, "e", 3, init=init,
+                                          max_iter=3)
+    assert np.array_equal(via_param, via_filter)
+
+
+def test_fit_sample_fraction_validation(spark, blob_df):
+    df, _, _ = blob_df
+    with pytest.raises(ValueError):
+        clustering.kmeans_fit(df, "e", 3, max_iter=1, sample_fraction=0.0)
+    with pytest.raises(ValueError):
+        clustering.kmeans_fit(df, "e", 3, max_iter=1, sample_fraction=1.5)

@@ -350,3 +350,38 @@ def test_ask_job_end_to_end(spark, tmp_path):
     assert comp == {"id": 1.0, "score": 2 / 3}
     assert out[1]["rows"][0][0] == 3  # id of max score
     assert "gizmos" in out[2]["suggestion"]
+
+
+def test_ask_job_interactive_repl(spark, tmp_path):
+    """--interactive: a two-question stdin session, one JSON answer per
+    line, terminated by 'exit' (reference main.py:60-84 REPL shape)."""
+    import io
+
+    import pandas as pd
+
+    from jobs import ask
+
+    d = tmp_path / "tables"
+    d.mkdir()
+    pd.DataFrame({"id": [1, 2, 3], "score": [1.0, None, 3.0]}) \
+        .to_parquet(d / "gizmos.parquet", index=False)
+
+    stdin = io.StringIO(
+        "how complete is the gizmos table\n"
+        "\n"                      # blank lines are skipped
+        "top 2 gizmos by score\n"
+        "exit\n"
+        "never reached\n")
+    out = ask.run(["--tables", str(d), "--interactive"], stdin=stdin)
+    assert [r["status"] for r in out] == ["success", "success"]
+    assert dict(out[0]["rows"]) == {"id": 1.0, "score": 2 / 3}
+    assert out[1]["rows"][0][0] == 3
+
+
+def test_ask_job_requires_question_or_interactive(spark):
+    import pytest
+
+    from jobs import ask
+
+    with pytest.raises(SystemExit):
+        ask.run(["--tables", "/nonexistent"])
