@@ -114,7 +114,7 @@ def main() -> None:
     # this shared VM whose aggregate text traffic stays under the ~2 GB/s
     # DRAM ceiling, so it measures the ENGINE's serial fraction rather
     # than the host's bus (the 1..32-core sweep + Amdahl fit quantifying
-    # that ceiling lives in BENCH/scaling_r03.json via
+    # that ceiling lives in BENCH/scaling_r04.json via
     # tools/scaling_bench.py --fit).
     #
     # OUTPUT CONTRACT: the printed line must stay small (<~1 KB) — the
@@ -134,7 +134,7 @@ def main() -> None:
 
             # 80k docs bounds probe wall-time even when the shared VM is
             # steal-saturated; the canonical precise numbers live in the
-            # committed 320k-doc sweep (BENCH/scaling_r03.json).
+            # committed 320k-doc sweep (BENCH/scaling_r04.json).
             n_scale = max(n_pages, 80_000)
             scale_pd = synth.gen_pages(n_scale, seed=42)[
                 ["url", "warc_ts", "html", "text", "lang"]]
@@ -172,10 +172,10 @@ def main() -> None:
                   "note": ("live probe = one shared-VM window, "
                            "steal-sensitive; the committed interleaved "
                            "six-size min-of-trials sweep in "
-                           "BENCH/scaling_r03.json (reproducible via its "
+                           "BENCH/scaling_r04.json (reproducible via its "
                            "embedded command) is the canonical evidence")}
         try:
-            with open(os.path.join(here, "BENCH", "scaling_r03.json")) as f:
+            with open(os.path.join(here, "BENCH", "scaling_r04.json")) as f:
                 ref = json.load(f)
             detail["committed_sweep"] = {
                 "n_to_4n_pairs": ref.get("n_to_4n_pairs"),

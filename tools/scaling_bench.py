@@ -146,7 +146,31 @@ def _summarize(per_size: dict[int, dict], sizes: list[int]) -> dict:
             "speedup": round(sp, 3),
             "ideal_speedup": ratio,
             "scaling_efficiency": round(sp / ratio, 3)}
+    pairs = n_to_4n_pairs(out)
+    if pairs:
+        out["n_to_4n_pairs"] = pairs
     return out
+
+
+def n_to_4n_pairs(summary: dict) -> dict:
+    """Every (N, 4N) pair present in the measured sizes, with the
+    docs/sec at both ends and the 4×-ideal efficiency — the north
+    rule's two-cluster-size criterion evidenced at multiple rungs."""
+    sizes = summary["sizes"]
+    pairs: dict = {}
+    for lo in sizes:
+        hi = lo * 4
+        if hi not in sizes:
+            continue
+        entry = {}
+        for stage in ("full", "models"):
+            d_lo = summary["per_size"][str(lo)][stage]["docs_per_sec"]
+            d_hi = summary["per_size"][str(hi)][stage]["docs_per_sec"]
+            entry[stage] = {"docs_per_sec_low": d_lo,
+                            "docs_per_sec_high": d_hi,
+                            "efficiency": round(d_hi / d_lo / 4.0, 3)}
+        pairs[f"{lo}to{hi}"] = entry
+    return pairs
 
 
 def measure(sizes: list[int], input_dir: str, trials: int = 3,
