@@ -333,9 +333,15 @@ def dedupe_paragraphs_global(df: DataFrame, text_col: str, id_col: str,
 
     Scale design: document text NEVER shuffles. Paragraphs are
     posexploded to slim (id, pos, xxhash64(para)) triples (~24 B each)
-    map-side; the winner-per-hash aggregate is restricted to hashes
-    seen more than once (exact_dedup's pattern), so the drop list —
-    (id, [positions to drop]) — is proportional to the DUPLICATED
+    map-side. Duplicated hashes are found first with a count-only
+    HashAggregate (map-side partial combine — the only aggregate that
+    sees every paragraph), and the winner-per-hash `min(struct(id,
+    pos))` — sort-based, because struct min is not hash-aggregable —
+    runs only over triples that joined a duplicated hash, i.e. the
+    DUPLICATED subset (exact_dedup's pattern). Both the winner
+    aggregate and the drop join group/join on `_ph`, so they reuse the
+    join's partitioning instead of adding shuffles; the drop list —
+    (id, [positions to drop]) — is proportional to the duplicated
     subset only and AQE broadcasts it back onto the original rows,
     where a position filter rebuilds the text in place.
 
@@ -349,11 +355,14 @@ def dedupe_paragraphs_global(df: DataFrame, text_col: str, id_col: str,
                     .alias("_pos", "_para"))
           .where(F.trim("_para") != "")      # blanks are never dropped
           .select(id_col, "_pos", F.xxhash64("_para").alias("_ph")))
-    dup_winners = (ex.groupBy("_ph")
-                   .agg(F.count(F.lit(1)).alias("_n"),
-                        F.min(F.struct(id_col, "_pos")).alias("_win"))
-                   .where(F.col("_n") > 1))
-    drops = (ex.join(dup_winners, "_ph")
+    dup_hashes = (ex.groupBy("_ph")
+                  .agg(F.count(F.lit(1)).alias("_n"))
+                  .where(F.col("_n") > 1)
+                  .select("_ph"))
+    dup_triples = ex.join(dup_hashes, "_ph")
+    dup_winners = (dup_triples.groupBy("_ph")
+                   .agg(F.min(F.struct(id_col, "_pos")).alias("_win")))
+    drops = (dup_triples.join(dup_winners, "_ph")
              .where((F.col(f"_win.{id_col}") != F.col(id_col))
                     | (F.col("_win._pos") != F.col("_pos")))
              .groupBy(id_col)
