@@ -873,6 +873,25 @@ def q_stratified_sample(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_token_budget(spark, sf_dir):
+    """Per-language token-budget quota (data mixing by cap,
+    operators/curation.token_budget_sample): keep documents per lang in
+    deterministic LCG-priority order until cumulative n_chars reaches
+    the budget (12k default, 30k override for 'en'); the doc that
+    crosses the boundary is kept (≤ 1-doc overshoot, every group
+    non-empty). Scale shape: window cumsum over a slim projection →
+    one-row-per-group cutoff broadcast back as a map-side filter —
+    text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.token_budget_sample(
+                docs, "lang", "n_chars", "doc_id",
+                budget=12_000, budgets={"en": 30_000},
+                salt=7, method="lcg")
+            .select("doc_id", "lang",
+                    F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
 def _multiline_docs(docs):
     """Deterministic multi-line restructuring of the documents corpus:
     ' table ' → newline, plus two planted copies of each doc's first
@@ -1386,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (never driver-checked) ---
         "webtext_audit_rules": q_webtext_audit_rules,
         "kmeans_fit_sample": q_kmeans_fit_sample,
+        "token_budget": q_token_budget,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -2537,6 +2557,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 900 THEN 'val'
                         ELSE 'test' END AS split
             FROM b ORDER BY doc_id
+        """,
+
+        # Token-budget quota: greedy per-lang cap in LCG-priority
+        # order; keep iff the cumulative n_chars BEFORE the doc is
+        # under the lang's budget (overshoot ≤ 1 doc by construction).
+        "token_budget": """
+            WITH pr AS (
+              SELECT doc_id, lang, n_chars,
+                     ((doc_id % 2147483648) * 1103515245 + 12345 + 7)
+                       % 2147483648 AS prio
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_chars,
+                     COALESCE(SUM(n_chars) OVER (
+                        PARTITION BY lang ORDER BY prio, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS before_t
+              FROM pr
+            )
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM c
+            WHERE before_t < CASE WHEN lang = 'en' THEN 30000
+                                  ELSE 12000 END
+            ORDER BY doc_id
         """,
 
         # Stratified mixing: integer per-source thresholds, LCG bucket.

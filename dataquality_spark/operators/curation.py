@@ -235,6 +235,86 @@ def repeat_upsample(df: DataFrame, id_col: str, weight_col: str,
                                              F.col("n_copies")))))
 
 
+def token_budget_sample(df: DataFrame, group_col: str, token_col: str,
+                        key_col: str, budget: int,
+                        budgets: dict[str, int] | None = None,
+                        salt: int = 0, method: str = "xxhash64",
+                        buckets: int = _LCG_M) -> DataFrame:
+    """Deterministic per-group token-budget sampling (data mixing by
+    quota): keep, per group, the documents in a deterministic hash
+    priority order until the group's cumulative `token_col` reaches its
+    budget. The greedy rule is `tokens_before_this_doc < budget`, so
+    every non-empty group with a positive budget keeps at least one
+    document and the kept set slightly OVERSHOOTS the budget by at most
+    one document — the standard quota semantics (a Pile/Dolma-style
+    per-source token target expressed as a cap instead of a weight;
+    complements `stratified_sample`, which fixes a RATE, and
+    `repeat_upsample`, which fixes an epoch WEIGHT).
+
+    `budget` is the default cap for every group; `budgets` (string
+    group → cap) overrides per group, exactly like `stratified_sample`'s
+    rates table (broadcast-joined, so millions of groups cost one
+    map-side lookup). A budget ≤ 0 keeps nothing from that group.
+    Priority is `hash_bucket(key_col)` with ties broken by `key_col`,
+    so the kept set is reproducible bit-for-bit across runs, task
+    retries, partitionings, and cluster sizes, and is NESTED: raising a
+    budget only ever ADDS documents, never swaps them. Keys must be
+    non-null (and non-negative ints for method='lcg'); `token_col` must
+    be non-negative — the cutoff rewrite below relies on the cumulative
+    sum being nondecreasing. NULL tokens count as 0.
+
+    Scale design: document text NEVER shuffles. The running sum runs on
+    a slim (group, key, tokens, priority) projection (~32 B/row); the
+    window's partition-by-group shuffle and per-group sort touch only
+    that projection. The per-row keep decision is then rewritten as a
+    comparison against a ONE-ROW-PER-GROUP cutoff — the first document
+    in priority order whose preceding cumulative total reaches the
+    budget (min over (priority, key) of the crossing rows; the
+    aggregate reuses the window's (group, priority, key) sort and
+    partitioning, so it adds no exchange) — and the cutoff table
+    broadcast-joins back onto the full rows as a pure map-side filter:
+    keep iff the group has no cutoff or (priority, key) sorts strictly
+    before it. Equivalent to the window formula because the cumulative
+    sum is nondecreasing along the priority order. Skew note: one
+    giant group sorts on one task's slim rows; if a single group's
+    (key, tokens) pairs exceed a task's memory, pre-aggregate to
+    coarser keys or split the group upstream — the full-row side is
+    never affected.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    prio = hash_bucket(F.col(key_col), buckets, salt, method)
+    slim = df.select(F.col(group_col).alias("_g"),
+                     F.col(key_col).alias("_k"),
+                     F.col(token_col).cast("long").alias("_t"),
+                     prio.alias("_prio"))
+    if budgets:
+        schema = T.StructType([T.StructField("_g", T.StringType()),
+                               T.StructField("_budget", T.LongType())])
+        bdf = spark.createDataFrame(
+            [(g, int(b)) for g, b in budgets.items()], schema)
+        slim = (slim.join(F.broadcast(bdf), "_g", "left")
+                .withColumn("_budget",
+                            F.coalesce("_budget", F.lit(int(budget)))))
+    else:
+        slim = slim.withColumn("_budget", F.lit(int(budget)))
+    w = (Window.partitionBy("_g").orderBy("_prio", "_k")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    crossing = (slim
+                .withColumn("_before",
+                            F.coalesce(F.sum("_t").over(w), F.lit(0)))
+                .where(F.col("_before") >= F.col("_budget")))
+    cutoffs = (crossing.groupBy("_g")
+               .agg(F.min(F.struct(F.col("_prio"), F.col("_k")))
+                    .alias("_cut")))
+    probe = F.struct(prio.alias("_prio"), F.col(key_col).alias("_k"))
+    return (df.join(F.broadcast(cutoffs),
+                    F.col(group_col).eqNullSafe(F.col("_g")), "left")
+            .where(F.col("_cut").isNull() | (probe < F.col("_cut")))
+            .drop("_g", "_cut"))
+
+
 def host_blocklist_filter(df: DataFrame, url_col: str,
                           blocked_hosts: DataFrame,
                           host_col: str = "host") -> DataFrame:

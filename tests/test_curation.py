@@ -500,3 +500,82 @@ class TestRepeatUpsample:
                                   "doc_id long, wt double"),
             "doc_id", "wt").collect()
         assert all(r.copy_idx == 1 for r in low)
+
+
+class TestTokenBudgetSample:
+    """token_budget_sample: per-group greedy quota in deterministic
+    hash-priority order, cutoff-rewrite ≡ direct window formula."""
+
+    def _ref_keep(self, rows, budget, budgets=None, salt=0):
+        # pure-Python greedy over the same LCG priority
+        A, C, M = 1103515245, 12345, 2147483648
+        by_g = {}
+        for doc_id, g, t in rows:
+            by_g.setdefault(g, []).append(
+                (((doc_id % M) * A + C + salt) % M, doc_id, t))
+        keep = set()
+        for g, items in by_g.items():
+            b = (budgets or {}).get(g, budget)
+            cum = 0
+            for prio, doc_id, t in sorted(items):
+                if cum < b:
+                    keep.add(doc_id)
+                cum += t
+        return keep
+
+    def test_matches_reference_and_overshoot(self, spark):
+        rows = [(i, ["a", "b", "c"][i % 3], (i * 37) % 400 + 1)
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, tok long")
+        out = curation.token_budget_sample(
+            df, "g", "tok", "doc_id", budget=6000, budgets={"b": 900},
+            salt=5, method="lcg")
+        got = {r.doc_id for r in out.collect()}
+        assert got == self._ref_keep(rows, 6000, {"b": 900}, salt=5)
+        # overshoot ≤ one document: dropping the LAST kept doc (max
+        # priority) must bring the group back under budget
+        kept = out.collect()
+        A, C, M = 1103515245, 12345, 2147483648
+        for g, b in (("a", 6000), ("b", 900), ("c", 6000)):
+            grp = [r for r in kept if r.g == g]
+            tot = sum(r.tok for r in grp)
+            last = max(grp, key=lambda r: (((r.doc_id % M) * A + C + 5)
+                                           % M, r.doc_id))
+            assert tot - last.tok < b <= max(tot, b)
+
+    def test_partitioning_invariant_and_nested(self, spark):
+        rows = [(i, "g" + str(i % 5), (i * 13) % 200 + 1)
+                for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, tok long")
+        a = {r.doc_id for r in curation.token_budget_sample(
+            df, "g", "tok", "doc_id", budget=2500).collect()}
+        b = {r.doc_id for r in curation.token_budget_sample(
+            df.repartition(13), "g", "tok", "doc_id",
+            budget=2500).collect()}
+        assert a == b                       # retry/partitioning stable
+        bigger = {r.doc_id for r in curation.token_budget_sample(
+            df, "g", "tok", "doc_id", budget=5000).collect()}
+        assert a <= bigger                  # nested: raising only adds
+
+    def test_zero_budget_and_keep_all(self, spark):
+        rows = [(i, "only", 10) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, tok long")
+        none = curation.token_budget_sample(df, "g", "tok", "doc_id",
+                                            budget=0)
+        assert none.count() == 0
+        allk = curation.token_budget_sample(df, "g", "tok", "doc_id",
+                                            budget=10_000_000)
+        assert allk.count() == 20
+
+    def test_text_never_joins_slim_side(self, spark):
+        rows = [(i, "g", 10, "payload " * 50) for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, g string, tok long, text string")
+        out = curation.token_budget_sample(df, "g", "tok", "doc_id",
+                                           budget=200)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # decision side broadcasts one row per group back onto the corpus
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" \
+            not in plan
+        got = out.select("doc_id", "text").collect()
+        assert all(r.text.startswith("payload") for r in got)
