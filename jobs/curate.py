@@ -25,7 +25,11 @@ training-data pipeline runs between filtering and tokenization:
    one canonical url, keeping the min-id doc;
 6. mixture upsampling (--upsample-weight COL): floor(w) copies plus a
    hash-gated extra (curation.repeat_upsample), salted independently
-   of --split.
+   of --split;
+7. per-group token-budget quota (--token-budget N [--budget-group COL]
+   [--budget-tokens COL]): greedy deterministic cap per group
+   (curation.token_budget_sample), salted independently of --split
+   and --upsample-weight.
 
 Every step is a DataFrame transform (broadcast joins + narrow
 projections; document text never shuffles — see BENCH/PLANS.md), so the
@@ -139,6 +143,19 @@ def _run(argv: list[str] | None = None) -> dict:
                     help="deterministic fractional upsampling by this "
                          "weight column (curation.repeat_upsample; "
                          "salted independently of --split)")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    metavar="N",
+                    help="per-group token cap (curation."
+                         "token_budget_sample): keep docs per "
+                         "--budget-group in deterministic hash-priority "
+                         "order until the group's cumulative "
+                         "--budget-tokens reaches N; salted at salt+2 "
+                         "so quota, split, and upsample decisions stay "
+                         "independent")
+    ap.add_argument("--budget-group", default="lang", metavar="COL",
+                    help="group column for --token-budget")
+    ap.add_argument("--budget-tokens", default="n_chars", metavar="COL",
+                    help="token-count column for --token-budget")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--master", default=None)
@@ -250,6 +267,12 @@ def _run(argv: list[str] | None = None) -> dict:
         df = curation.repeat_upsample(df, id_col, args.upsample_weight,
                                       salt=args.salt + 1)
         steps.append("upsample")
+
+    if args.token_budget is not None:
+        df = curation.token_budget_sample(
+            df, args.budget_group, args.budget_tokens, id_col,
+            budget=args.token_budget, salt=args.salt + 2)
+        steps.append("token_budget")
 
     df.write.mode("overwrite").parquet(args.output)
     from dataquality_spark.caching import unpersist_all

@@ -385,3 +385,29 @@ def test_ask_job_requires_question_or_interactive(spark):
 
     with pytest.raises(SystemExit):
         ask.run(["--tables", "/nonexistent"])
+
+
+def test_curate_job_token_budget(spark, tmp_path):
+    """--token-budget caps each --budget-group at N cumulative
+    --budget-tokens through the CLI; equal-sized docs make the kept
+    count per group exact (budget/doc_tokens)."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "lang": ["en" if i % 2 else "de" for i in range(60)],
+        "n_chars": [100] * 60,
+        "text": [f"doc {i}" for i in range(60)],
+    })
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--token-budget", "1000"])
+    assert stats["steps"] == ["token_budget"]
+    out = spark.read.parquet(outp).toPandas()
+    # 100-token docs, 1000 cap → exactly 10 kept per lang (the 11th
+    # doc's preceding cumulative is 1000, not < 1000)
+    assert out.groupby("lang").size().to_dict() == {"de": 10, "en": 10}
+    assert stats["n_docs_out"] == 20
