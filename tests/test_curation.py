@@ -579,3 +579,48 @@ class TestTokenBudgetSample:
             not in plan
         got = out.select("doc_id", "text").collect()
         assert all(r.text.startswith("payload") for r in got)
+
+
+# Property test: the cutoff-rewrite (window cumsum → one-row-per-group
+# crossing point → broadcast filter) must equal the direct greedy over
+# the same LCG priority for ANY corpus shape hypothesis can draw —
+# duplicate token values, zero/NULL tokens, budgets at/over/under the
+# group total, per-group overrides, singleton and empty-after-filter
+# groups. The Spark round trip is ~0.5 s/example, so examples are few
+# but each carries many groups and collision-prone small token values.
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_tb_rows = st.lists(
+    st.tuples(st.integers(0, 200),                    # doc_id (dedup below)
+              st.sampled_from(["a", "b", "c", "d"]),  # group
+              st.one_of(st.none(), st.integers(0, 40))),  # tokens
+    min_size=1, max_size=60,
+    unique_by=lambda r: r[0])
+
+
+class TestTokenBudgetProperty:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=_tb_rows, budget=st.integers(0, 300),
+           override=st.one_of(st.none(), st.integers(-5, 120)),
+           salt=st.integers(0, 10_000))
+    def test_cutoff_rewrite_equals_greedy(self, spark, rows, budget,
+                                          override, salt):
+        budgets = None if override is None else {"b": override}
+        df = spark.createDataFrame(rows, "doc_id long, g string, tok long")
+        got = {r.doc_id for r in curation.token_budget_sample(
+            df, "g", "tok", "doc_id", budget=budget, budgets=budgets,
+            salt=salt, method="lcg").collect()}
+        A, C, M = 1103515245, 12345, 2147483648
+        want, by_g = set(), {}
+        for doc_id, g, t in rows:
+            by_g.setdefault(g, []).append(
+                (((doc_id % M) * A + C + salt) % M, doc_id, t or 0))
+        for g, items in by_g.items():
+            b, cum = (budgets or {}).get(g, budget), 0
+            for _, doc_id, t in sorted(items):
+                if cum < b:
+                    want.add(doc_id)
+                cum += t
+        assert got == want
