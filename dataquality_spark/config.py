@@ -153,5 +153,13 @@ SALT_BUCKETS = 16                    # salt modulus for skewed-host repartition
 # flag join falls back to a shuffle join.
 BROADCAST_FLAGS_MAX_ROWS = 5_000_000
 
+# Optional ingest-materialized content fingerprint. When the pages input
+# carries this column (= crc32 of the UTF-8 bytes of coalesce(text,''),
+# exactly pipeline._dup_hash / zlib.crc32 semantics — writers add it via
+# pipeline.with_dup_fingerprint), the url-dedup flags branch reads
+# (url, warc_ts, text_crc32) ≈ 20 B/row instead of re-reading the
+# dominant text column, cutting the second corpus scan ~40× at 100 TB.
+FINGERPRINT_COL = "text_crc32"
+
 # Float rounding applied before any cross-engine comparison.
 SCORE_DECIMALS = 6

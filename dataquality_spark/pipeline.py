@@ -349,11 +349,19 @@ def _rule_entry(cond: Column, rule_id: str) -> Column:
     return F.when(cond, F.lit(rule_id))
 
 
-def _dup_hash() -> Column:
+def _dup_hash(precomputed: bool = False) -> Column:
     """CRC-32 of the text bytes as the dedup content identity — the same
     standard algorithm as Python's zlib.crc32, so the pandas oracle
     computes bit-identical values, at ~5x the throughput of md5 (the
-    hash runs over every text byte in two plan branches)."""
+    hash runs over every text byte in two plan branches).
+
+    `precomputed=True` reads the ingest-materialized C.FINGERPRINT_COL
+    instead of hashing text — same value by the writer contract
+    (with_dup_fingerprint), so results are identical; only the scan
+    shape changes (the flags branch stops re-reading the text column).
+    """
+    if precomputed:
+        return F.col(C.FINGERPRINT_COL).cast("long")
     return F.crc32(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
 
 
@@ -363,7 +371,7 @@ def _dup_hash() -> Column:
 _PACK_EPOCH_BASE = 946684800
 
 
-def _dup_pair() -> Column:
+def _dup_pair(precomputed: bool = False) -> Column:
     """(warc_ts, crc32) packed into ONE BIGINT:
 
         ((epoch_seconds - 2000-01-01) << 32) + crc32
@@ -388,7 +396,22 @@ def _dup_pair() -> Column:
     warc_ts is NOT NULL per the pages schema (sources/iceberg_spec.py).
     """
     sec = F.unix_timestamp(F.col("warc_ts")) - F.lit(_PACK_EPOCH_BASE)
-    return F.shiftleft(sec, 32) + _dup_hash()
+    return F.shiftleft(sec, 32) + _dup_hash(precomputed)
+
+
+def with_dup_fingerprint(pages: DataFrame) -> DataFrame:
+    """Materialize the dedup content fingerprint (C.FINGERPRINT_COL =
+    crc32 of the UTF-8 text bytes, NULL text as '') for ingest writers.
+
+    Adding this column at WRITE time makes every later dedup_flags pass
+    read a slim (url, warc_ts, crc32) projection — ~20 B/row — instead
+    of re-scanning the corpus' dominant text column (~40× less I/O for
+    the second pass at Common-Crawl text sizes). dedup_flags and
+    with_decisions pick the column up automatically when present; the
+    value contract is exactly _dup_hash, so keep/drop decisions are
+    bit-identical either way (pinned by test_pipeline identity test).
+    """
+    return pages.withColumn(C.FINGERPRINT_COL, _dup_hash())
 
 
 def dedup_flags(full_pages: DataFrame) -> DataFrame:
@@ -409,7 +432,11 @@ def dedup_flags(full_pages: DataFrame) -> DataFrame:
     text row by url — write + read + sort of the corpus' dominant
     column — whereas the extra read is sequential, pruned to three
     columns, and feeds a slim aggregate whose shuffle is ~25 B/doc
-    (BENCH/isolation_r03.json traffic accounting).
+    (BENCH/isolation_r03.json traffic accounting). When the input
+    carries the ingest-materialized C.FINGERPRINT_COL
+    (with_dup_fingerprint), the re-read drops the text column entirely
+    and this branch scans ~20 B/row — hash once at write, dedup many
+    times for free.
 
     Restricting to count > 1 is semantics-free (a unique url's pair IS
     its own minimum, left-join miss ⇒ not-dup) and is the scale lever:
@@ -424,8 +451,9 @@ def dedup_flags(full_pages: DataFrame) -> DataFrame:
     a RESUMED run can rank against the FULL corpus while only
     processing the remaining partitions.
     """
+    pre = C.FINGERPRINT_COL in full_pages.columns
     return (full_pages
-            .select("url", _dup_pair().alias("_pair"))
+            .select("url", _dup_pair(pre).alias("_pair"))
             .groupBy("url").agg(F.min("_pair").alias("_min_pair"),
                                 F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > 1).drop("_n"))
@@ -474,7 +502,8 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
     if not mark_dups:
         # streaming path: unbounded dedup state is not allowed; dedup is
         # handled upstream by watermarked dropDuplicates (streaming/).
-        df = df.withColumn("is_dup_url", F.lit(False))
+        df = df.withColumn("is_dup_url", F.lit(False)) \
+               .drop(C.FINGERPRINT_COL)
     else:
         # Runtime-adaptive join strategy: AQE cannot see through the
         # count>1 filter's selectivity at the stage boundary, so left
@@ -493,11 +522,12 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
         n_flag_urls = flags.count()
         fj = (F.broadcast(flags)
               if n_flag_urls <= C.BROADCAST_FLAGS_MAX_ROWS else flags)
+        pre = C.FINGERPRINT_COL in df.columns
         df = (df.join(fj, "url", "left")
                 .withColumn("is_dup_url",
-                            F.coalesce(_dup_pair() > F.col("_min_pair"),
+                            F.coalesce(_dup_pair(pre) > F.col("_min_pair"),
                                        F.lit(False)))
-                .drop("_min_pair"))
+                .drop("_min_pair", C.FINGERPRINT_COL))
 
     # S3: heuristic/dup/staleness rule booleans (pure Catalyst; exact
     # oracle semantics — empty text suppresses the other heuristics).

@@ -93,6 +93,55 @@ def test_keep_drop_f1_meets_target(golden, pages_sdf):
     assert f1 == 1.0  # byte-exact rule parity implies perfect agreement
 
 
+def test_precomputed_fingerprint_identity_and_slim_scan(
+        spark, pages_input, golden, tmp_path):
+    """Ingest-materialized text_crc32 (pipeline.with_dup_fingerprint):
+    decisions must be bit-identical to hashing text on the fly — the
+    synth corpus plants same-url rows whose winner is decided by the
+    (warc_ts, crc32) pair, so a wrong fingerprint value would flip
+    keep labels — and the dedup_flags branch must scan only
+    (url, warc_ts, text_crc32), never the text column (the 100-TB win:
+    the second corpus pass reads ~20 B/row instead of the full text)."""
+    from pyspark.sql import functions as F
+
+    from dataquality_spark import config as C
+
+    p = str(tmp_path / "pages_fp")
+    pipeline.with_dup_fingerprint(
+        spark.createDataFrame(pages_input)).write.parquet(p)
+    rd = spark.read.parquet(p)
+
+    # value contract: the materialized column IS zlib.crc32 semantics
+    import zlib
+    sample = rd.select("text", C.FINGERPRINT_COL).limit(50).collect()
+    for r in sample:
+        assert r[C.FINGERPRINT_COL] == zlib.crc32(
+            (r.text or "").encode("utf-8"))
+
+    # decision identity vs the pandas oracle (same gate as the direct path)
+    out = pipeline.decisions(rd).toPandas()
+    assert C.FINGERPRINT_COL not in out.columns
+    m = golden.merge(out, on=["url", "warc_ts"], suffixes=("_g", "_s"))
+    assert len(m) == len(golden)
+    assert (m.keep_g == m.keep_s).all()
+    assert (m.rule_hits_g.map(tuple) == m.rule_hits_s.map(tuple)).all()
+
+    # scan shape: the flags branch prunes text from its parquet read
+    flags_plan = (pipeline.dedup_flags(rd)
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert C.FINGERPRINT_COL in flags_plan
+    assert "text:string" not in flags_plan
+    # without the column the same branch must read text (control)
+    ctrl_plan = (pipeline.dedup_flags(rd.drop(C.FINGERPRINT_COL))
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "text" in ctrl_plan
+
+    # extra column never leaks into with_decisions output either
+    full = pipeline.with_decisions(rd.limit(5))
+    assert C.FINGERPRINT_COL not in full.columns
+    assert full.filter(F.col("url").isNotNull()).count() == 5
+
+
 def test_unicode_whitespace_matches_oracle(spark, pages_input):
     """Contract tokenizer: NBSP (\\xa0), LINE SEPARATOR (\\u2028) and
     \\x0b are WORD characters (only ASCII whitespace splits). Bare

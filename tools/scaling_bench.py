@@ -102,17 +102,25 @@ def run_at(cores: int, input_dir: str, n_trials: int = 3) -> dict:
     return json.loads(lines[-1])
 
 
-def synthesize_corpus(n_docs: int, out_dir: str) -> None:
+def synthesize_corpus(n_docs: int, out_dir: str,
+                      precompute_crc: bool = False) -> None:
+    """precompute_crc materializes pipeline.with_dup_fingerprint's
+    text_crc32 column at write time — the ingest-side trade that turns
+    the dedup-flags branch's second text scan into a ~20 B/row slim
+    read (A/B probe for that path; decisions are bit-identical)."""
+    wrap = ("pipeline.with_dup_fingerprint(df)" if precompute_crc
+            else "df")
     code = f"""
 import sys; sys.path.insert(0, {REPO!r})
-from dataquality_spark import synth
+from pyspark.sql import functions as F
+from dataquality_spark import pipeline, synth
 from dataquality_spark.session import get_spark
 pages = synth.gen_pages({n_docs}, seed=42)[
     ["url", "warc_ts", "html", "text", "lang"]]
 spark = get_spark("synth", master="local[16]")
 spark.sparkContext.setLogLevel("ERROR")
-spark.createDataFrame(pages).repartition(64).write.mode(
-    "overwrite").parquet({out_dir!r})
+df = spark.createDataFrame(pages)
+{wrap}.repartition(64).write.mode("overwrite").parquet({out_dir!r})
 """
     subprocess.run([sys.executable, "-c", code], check=True, timeout=1800)
 
@@ -245,6 +253,11 @@ def main() -> None:
                          "neighbors")
     ap.add_argument("--fit", action="store_true",
                     help="add the Amdahl T(c)=s+p/c fit (use ≥3 sizes)")
+    ap.add_argument("--precompute-crc", action="store_true",
+                    help="materialize text_crc32 at corpus-write time "
+                         "(with_dup_fingerprint) so the dedup-flags "
+                         "branch scans slim rows — A/B for the "
+                         "ingest-fingerprint fast path")
     ap.add_argument("--out", default=None,
                     help="also write the JSON summary to this path")
     args = ap.parse_args()
@@ -256,9 +269,11 @@ def main() -> None:
         input_dir = os.path.join(work, "pages")
         print(f"synthesizing {args.n_docs} pages → {input_dir}",
               file=sys.stderr)
-        synthesize_corpus(args.n_docs, input_dir)
+        synthesize_corpus(args.n_docs, input_dir, args.precompute_crc)
 
     summary = measure(sizes, input_dir, args.trials, args.alternate)
+    if args.precompute_crc:
+        summary["precomputed_crc"] = True
     if args.fit:
         summary["amdahl_fit"] = amdahl_fit(summary)
     if args.out:
