@@ -17,8 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, StringType, StructField,
-                               StructType, TimestampType)
+from pyspark.sql.types import (BinaryType, LongType, StringType,
+                               StructField, StructType, TimestampType)
 
 from .. import config as C
 
@@ -40,13 +40,37 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _pages_schema_with_fingerprint() -> StructType:
+    """Contract schema + the optional ingest fingerprint column
+    (config.FINGERPRINT_COL = crc32 of the text bytes, materialized at
+    write time by pipeline.with_dup_fingerprint)."""
+    return StructType(list(PAGES_SCHEMA.fields) +
+                      [StructField(C.FINGERPRINT_COL, LongType())])
+
+
 def read_pages(spark: SparkSession, path_or_table: str,
                columns: list[str] | None = None) -> DataFrame:
-    """Read the pages corpus (parquet/jsonl path or catalog table name)."""
+    """Read the pages corpus (parquet/jsonl path or catalog table name).
+
+    If the parquet files carry the OPTIONAL ingest fingerprint column
+    (pipeline.with_dup_fingerprint), it rides along so the dedup-flags
+    branch scans slim rows instead of re-reading text. The presence
+    check is a footer-only schema probe — declaring the column when the
+    files lack it would null-fill every fingerprint and silently corrupt
+    the dedup ranking, so it is included only when physically present.
+    Catalog tables expose their real schema already, so the column rides
+    along there with no probe.
+    """
     if path_or_table.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
         df = read_pages_jsonl(spark, path_or_table)
     elif path_or_table.endswith(".parquet") or "/" in path_or_table:
-        df = spark.read.schema(PAGES_SCHEMA).parquet(path_or_table)
+        try:
+            footer_cols = spark.read.parquet(path_or_table).schema.names
+        except Exception:
+            footer_cols = []
+        schema = (_pages_schema_with_fingerprint()
+                  if C.FINGERPRINT_COL in footer_cols else PAGES_SCHEMA)
+        df = spark.read.schema(schema).parquet(path_or_table)
     else:
         df = spark.read.table(path_or_table)  # Iceberg/catalog path
     if columns:
@@ -108,6 +132,11 @@ def read_pages_lenient(spark: SparkSession, path_or_table: str) -> DataFrame:
     if missing:
         raise ValueError(f"pages input is missing columns: {missing} "
                          f"(found: {sorted(raw.columns)})")
+    # the optional ingest fingerprint survives case drift too
+    fp_src = by_lower.get(C.FINGERPRINT_COL.lower())
+    if fp_src is not None:
+        cols.append(F.col(f"`{fp_src}`").cast("long")
+                    .alias(C.FINGERPRINT_COL))
     return raw.select(*cols)
 
 

@@ -37,6 +37,46 @@ def test_lenient_fails_loud_on_missing(spark, pages_input, tmp_path):
         io.read_pages_lenient(spark, p)
 
 
+def test_read_pages_detects_ingest_fingerprint(spark, pages_input, tmp_path):
+    """read_pages must pick up the OPTIONAL write-time text_crc32 column
+    when physically present (footer probe) and must NOT declare it when
+    absent — declaring an absent column would null-fill every
+    fingerprint and silently corrupt the dedup ranking."""
+    import zlib
+
+    from dataquality_spark import config as C, pipeline
+
+    plain = _write(tmp_path, pages_input, "plain")
+    got_plain = io.read_pages(spark, plain)
+    assert got_plain.columns == [f.name for f in io.PAGES_SCHEMA.fields]
+
+    fp_dir = str(tmp_path / "fp.parquet")
+    pipeline.with_dup_fingerprint(
+        spark.createDataFrame(pages_input)).write.parquet(fp_dir)
+    got_fp = io.read_pages(spark, fp_dir)
+    assert C.FINGERPRINT_COL in got_fp.columns
+    assert got_fp.filter(f"{C.FINGERPRINT_COL} IS NULL").count() == 0
+    for r in got_fp.select("text", C.FINGERPRINT_COL).limit(20).collect():
+        assert r[C.FINGERPRINT_COL] == zlib.crc32(
+            (r.text or "").encode("utf-8"))
+
+
+def test_lenient_carries_fingerprint_through_case_drift(
+        spark, pages_input, tmp_path):
+    from dataquality_spark import config as C
+    import zlib
+
+    drifted = pages_input.rename(columns={"url": "URL", "html": "HTML"})
+    drifted["Text_CRC32"] = [
+        zlib.crc32((t or "").encode("utf-8")) for t in drifted["text"]]
+    p = _write(tmp_path, drifted, "drift_fp")
+    got = io.read_pages_lenient(spark, p)
+    assert got.columns == ([f.name for f in io.PAGES_SCHEMA.fields]
+                           + [C.FINGERPRINT_COL])
+    assert dict(got.dtypes)[C.FINGERPRINT_COL] == "bigint"
+    assert got.count() == len(pages_input)
+
+
 def test_jsonl_roundtrip_matches_parquet(spark, pages_input, tmp_path):
     """JSONL ingest (html base64 on the wire) must yield byte-identical
     rows to the parquet path — same contract schema, decoded BINARY."""
