@@ -892,6 +892,26 @@ def q_token_budget(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled corpus mixing (Lample & Conneau 2019 /
+    mT5, operators/curation.temperature_sample): per-lang keep rate
+    ∝ n_lang^0.5 / n_lang toward an expected 200 kept docs — alpha<1
+    flattens the mixture so low-resource langs keep a larger share.
+    Exactness: integer weight lattice (floor(sqrt(n)·1000)) + DECIMAL
+    integral-division threshold, so the kept set is bit-identical to
+    the DuckDB twin (sqrt is the only float op; IEEE-correctly rounded
+    in both engines). Scale shape: one slim groupBy(lang) count →
+    scalar total → broadcast threshold table probed map-side; text
+    never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.temperature_sample(
+                docs, "lang", "doc_id", target_total=200, alpha=0.5,
+                salt=11, method="lcg")
+            .select("doc_id", "lang",
+                    F.col("bucket").cast("long").alias("bucket"))
+            .orderBy("doc_id"))
+
+
 def _multiline_docs(docs):
     """Deterministic multi-line restructuring of the documents corpus:
     ' table ' → newline, plus two planted copies of each doc's first
@@ -1406,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_audit_rules": q_webtext_audit_rules,
         "kmeans_fit_sample": q_kmeans_fit_sample,
         "token_budget": q_token_budget,
+        "temperature_mix": q_temperature_mix,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -2580,6 +2601,37 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE before_t < CASE WHEN lang = 'en' THEN 30000
                                   ELSE 12000 END
+            ORDER BY doc_id
+        """,
+
+        # Temperature mixing: p_g ∝ n_g^0.5 realized as an integer
+        # threshold — sqrt is IEEE-exact in both engines; everything
+        # after the weight lattice is integer (HUGEINT // ↔ Spark div).
+        "temperature_mix": """
+            WITH n AS (
+              SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang
+            ), w AS (
+              SELECT lang, n_g,
+                     CAST(floor(sqrt(CAST(n_g AS DOUBLE)) * 1000)
+                          AS HUGEINT) AS w_g
+              FROM n
+            ), tot AS (
+              SELECT SUM(w_g) AS wsum FROM w
+            ), t AS (
+              SELECT lang,
+                     LEAST(CAST(1000000 AS HUGEINT),
+                           (CAST(200 AS HUGEINT) * w_g * 1000000)
+                             // (wsum * CAST(n_g AS HUGEINT))) AS thr
+              FROM w CROSS JOIN tot
+            ), b AS (
+              SELECT doc_id, lang,
+                     (((doc_id % 2147483648) * 1103515245 + 12345 + 11)
+                       % 2147483648) % 1000000 AS bucket
+              FROM documents
+            )
+            SELECT b.doc_id, b.lang, CAST(bucket AS BIGINT) AS bucket
+            FROM b JOIN t USING (lang)
+            WHERE bucket < thr
             ORDER BY doc_id
         """,
 

@@ -315,6 +315,88 @@ def token_budget_sample(df: DataFrame, group_col: str, token_col: str,
             .drop("_g", "_cut"))
 
 
+def temperature_sample(df: DataFrame, group_col: str, key_col: str,
+                       target_total: int, alpha: float = 0.5,
+                       size_col: str | None = None, salt: int = 0,
+                       method: str = "xxhash64",
+                       buckets: int = 1_000_000,
+                       weight_scale: int = 1_000) -> DataFrame:
+    """Temperature-scaled corpus mixing (Lample & Conneau 2019 / mT5):
+    sample groups with probability p_g ∝ n_g^alpha, realized as a
+    deterministic per-group DOWNSAMPLING rate toward an expected
+    `target_total` kept size. alpha < 1 flattens the mixture (low-
+    resource groups keep a larger share than their corpus share),
+    alpha = 1 is a plain uniform global downsample, alpha = 0 gives
+    every group the same expected kept size.
+
+    n_g is the group's row count, or its summed `size_col` (e.g.
+    tokens) when given — then `target_total` is in the same units.
+    Keep rate r_g = min(1, target_total · p_g / n_g); a row is kept iff
+    hash_bucket(key) < floor(r_g · buckets), the same deterministic
+    primitive as `stratified_sample` (which takes EXPLICIT rates —
+    this operator derives them from the data). Rates that the formula
+    would push above 1 are capped (downsample-only); compose with
+    `repeat_upsample` if true >1 epoch weights are wanted.
+
+    Cross-engine exactness: group weights are put on an integer
+    lattice (w_g = floor(n_g^alpha · weight_scale)) and the keep rule
+    is evaluated as an integer threshold
+    `bucket < min(buckets, (T·w_g·buckets) // (W·n_g))` in
+    DECIMAL(38,0) arithmetic, so a SQL oracle reproduces the kept set
+    bit-for-bit — no float-summation order sensitivity (the only
+    float op is n_g^alpha per group, IEEE-exact for alpha = 0.5/1/0).
+
+    Scale design: one slim groupBy(group) count shuffle (bytes ∝
+    #groups), one scalar total, and a broadcast of the per-group
+    threshold table back onto the corpus as a pure map-side filter —
+    document text never shuffles and the keep decision is stable
+    across runs, partitionings, and task retries.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0: {alpha}")
+    if target_total <= 0:
+        raise ValueError(f"target_total must be positive: {target_total}")
+    size = (F.count(F.lit(1)) if size_col is None
+            else F.sum(F.coalesce(F.col(size_col).cast("long"), F.lit(0))))
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        size.cast("long").alias("_n"))
+    nd = F.col("_n").cast("double")
+    # alpha=0.5 MUST be sqrt, not pow(x, 0.5): IEEE sqrt is correctly
+    # rounded in every engine, pow is only 1-ulp-accurate in Java — the
+    # lattice floor would flip at boundaries between engines otherwise.
+    pw = (F.sqrt(nd) if alpha == 0.5
+          else nd if alpha == 1.0
+          else F.lit(1.0) if alpha == 0.0
+          else F.pow(nd, F.lit(float(alpha))))
+    # tracked persist: the weights table is tiny (one row per group)
+    # but feeds BOTH the threshold projection and the scalar total —
+    # without it Spark recomputes the groupBy subtree, i.e. a second
+    # full pass over the group column at corpus scale. Callers release
+    # via dataquality_spark.caching.unpersist_all() like decontaminate.
+    weights = _track_persist(counts.withColumn(
+        "_w", F.floor(pw * F.lit(int(weight_scale))).cast("long")))
+    total = weights.agg(F.sum("_w").cast("long").alias("_wsum"))
+    dec = "decimal(38,0)"
+    num = (F.lit(int(target_total)).cast(dec) * F.col("_w").cast(dec)
+           * F.lit(int(buckets)).cast(dec))
+    den = F.col("_wsum").cast(dec) * F.col("_n").cast(dec)
+    # `div` = true integral division (SQL oracles use `//`); floor(a/b)
+    # would round the decimal quotient to scale 6 FIRST and can step
+    # over an integer boundary the exact quotient sits just below.
+    thr = (weights.crossJoin(F.broadcast(total))
+           .withColumn("_num", num).withColumn("_den", den)
+           .withColumn("_thr", F.least(
+               F.lit(int(buckets)).cast("long"),
+               F.expr("CAST((_num div _den) AS BIGINT)")))
+           .select("_g", "_thr"))
+    b = hash_bucket(F.col(key_col), buckets, salt, method)
+    return (df.join(F.broadcast(thr),
+                    F.col(group_col).eqNullSafe(F.col("_g")), "left")
+            .withColumn("bucket", b)
+            .where(F.col("bucket") < F.col("_thr"))
+            .drop("_g", "_thr"))
+
+
 def host_blocklist_filter(df: DataFrame, url_col: str,
                           blocked_hosts: DataFrame,
                           host_col: str = "host") -> DataFrame:

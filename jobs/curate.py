@@ -29,7 +29,11 @@ training-data pipeline runs between filtering and tokenization:
 7. per-group token-budget quota (--token-budget N [--budget-group COL]
    [--budget-tokens COL]): greedy deterministic cap per group
    (curation.token_budget_sample), salted independently of --split
-   and --upsample-weight.
+   and --upsample-weight;
+8. temperature-scaled mixing (--temperature-total N
+   [--temperature-alpha 0.5]): per---budget-group downsampling rate
+   ∝ n^alpha/n toward an expected N kept docs
+   (curation.temperature_sample), salted independently of all above.
 
 Every step is a DataFrame transform (broadcast joins + narrow
 projections; document text never shuffles — see BENCH/PLANS.md), so the
@@ -153,9 +157,19 @@ def _run(argv: list[str] | None = None) -> dict:
                          "so quota, split, and upsample decisions stay "
                          "independent")
     ap.add_argument("--budget-group", default="lang", metavar="COL",
-                    help="group column for --token-budget")
+                    help="group column for --token-budget and "
+                         "--temperature-total")
     ap.add_argument("--budget-tokens", default="n_chars", metavar="COL",
                     help="token-count column for --token-budget")
+    ap.add_argument("--temperature-total", type=int, default=None,
+                    metavar="N",
+                    help="temperature-scaled mixing (curation."
+                         "temperature_sample): downsample toward an "
+                         "expected N kept docs with per---budget-group "
+                         "rate ∝ n^alpha/n (salted at salt+3)")
+    ap.add_argument("--temperature-alpha", type=float, default=0.5,
+                    help="mixing temperature exponent alpha "
+                         "(0=equal groups, 1=plain global downsample)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--master", default=None)
@@ -273,6 +287,12 @@ def _run(argv: list[str] | None = None) -> dict:
             df, args.budget_group, args.budget_tokens, id_col,
             budget=args.token_budget, salt=args.salt + 2)
         steps.append("token_budget")
+
+    if args.temperature_total is not None:
+        df = curation.temperature_sample(
+            df, args.budget_group, id_col, args.temperature_total,
+            alpha=args.temperature_alpha, salt=args.salt + 3)
+        steps.append("temperature_mix")
 
     df.write.mode("overwrite").parquet(args.output)
     from dataquality_spark.caching import unpersist_all

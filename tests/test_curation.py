@@ -581,6 +581,113 @@ class TestTokenBudgetSample:
         assert all(r.text.startswith("payload") for r in got)
 
 
+class TestTemperatureSample:
+    """temperature_sample: p_g ∝ n_g^alpha as a deterministic per-group
+    downsampling rate on the integer lattice — bit-identical to the
+    pure-Python reference for any corpus."""
+
+    _M, _A, _C = 2147483648, 1103515245, 12345
+
+    def _ref_keep(self, rows, target, alpha, salt, buckets=1_000_000,
+                  scale=1000, sizes=None):
+        import math
+
+        n = {}
+        for doc_id, g in rows:
+            n[g] = n.get(g, 0) + (sizes[doc_id] if sizes else 1)
+        w = {}
+        for g, ng in n.items():
+            p = (math.sqrt(ng) if alpha == 0.5
+                 else float(ng) if alpha == 1.0
+                 else 1.0 if alpha == 0.0 else ng ** alpha)
+            w[g] = math.floor(p * scale)
+        W = sum(w.values())
+        thr = {g: min(buckets, (target * w[g] * buckets) // (W * n[g]))
+               for g in n}
+        def bucket(k):
+            return (((k % self._M) * self._A + self._C + salt)
+                    % self._M) % buckets
+        return {d for d, g in rows if bucket(d) < thr[g]}
+
+    def test_matches_reference_alpha_half(self, spark):
+        rows = [(i, ["en"] * 6 + ["de", "de", "fr", "zz"]) for i in range(400)]
+        rows = [(i, r[1][i % 10]) for i, r in enumerate(rows)]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        out = curation.temperature_sample(df, "g", "doc_id", 150,
+                                          alpha=0.5, salt=3, method="lcg")
+        got = {r.doc_id for r in out.collect()}
+        assert got == self._ref_keep(rows, 150, 0.5, 3)
+        # flattening: the dominant group's kept SHARE must be below its
+        # corpus share; the smallest group's above
+        kept = out.groupBy("g").count().collect()
+        share = {r.g: r["count"] for r in kept}
+        assert share.get("en", 0) / max(1, len(got)) < 0.6  # corpus share
+        assert share.get("zz", 0) > 0
+
+    def test_alpha_one_is_uniform_global_downsample(self, spark):
+        rows = [(i, "g" + str(i % 7)) for i in range(350)]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        out = curation.temperature_sample(df, "g", "doc_id", 100,
+                                          alpha=1.0, salt=0, method="lcg")
+        got = {r.doc_id for r in out.collect()}
+        # identical threshold for every group: floor(T*buckets/N)
+        thr = (100 * 1_000_000) // 350
+        def bucket(k):
+            return (((k % self._M) * self._A + self._C) % self._M) % 1_000_000
+        assert got == {i for i, _ in rows if bucket(i) < thr}
+
+    def test_alpha_zero_equalizes_groups(self, spark):
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        out = curation.temperature_sample(df, "g", "doc_id", 200,
+                                          alpha=0.0, salt=1, method="lcg")
+        got = {r.doc_id for r in out.collect()}
+        assert got == self._ref_keep(rows, 200, 0.0, 1)
+        per = {r.g: r["count"]
+               for r in out.groupBy("g").count().collect()}
+        # expected ~100 kept from EACH group despite the 9:1 skew
+        assert 60 <= per.get("big", 0) <= 140
+        assert 60 <= per.get("small", 0) <= 140
+
+    def test_cap_keeps_everything_and_partitioning_invariance(self, spark):
+        rows = [(i, "g" + str(i % 3)) for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        allk = curation.temperature_sample(df, "g", "doc_id", 10_000_000,
+                                           alpha=0.5, method="lcg")
+        assert allk.count() == 120          # rate capped at 1 → keep all
+        a = {r.doc_id for r in curation.temperature_sample(
+            df, "g", "doc_id", 40, alpha=0.5, salt=9).collect()}
+        b = {r.doc_id for r in curation.temperature_sample(
+            df.repartition(13), "g", "doc_id", 40,
+            alpha=0.5, salt=9).collect()}
+        assert a == b                       # retry/partitioning stable
+
+    def test_size_col_weights_by_tokens(self, spark):
+        rows = [(i, "a" if i % 2 == 0 else "b", 100 if i % 2 == 0 else 1)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, tok long")
+        out = curation.temperature_sample(df, "g", "doc_id", 3000,
+                                          alpha=0.5, size_col="tok",
+                                          salt=2, method="lcg")
+        got = {r.doc_id for r in out.collect()}
+        sizes = {i: t for i, _, t in rows}
+        assert got == self._ref_keep([(i, g) for i, g, _ in rows],
+                                     3000, 0.5, 2, sizes=sizes)
+        # group b (100 docs × 1 token) is far under any fair share of a
+        # 3000-token target → kept whole; group a is downsampled
+        per = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+        assert per.get("b", 0) == 100
+        assert per.get("a", 0) < 100
+
+    def test_validation_errors(self, spark):
+        df = spark.createDataFrame([(1, "g")], "doc_id long, g string")
+        import pytest
+        with pytest.raises(ValueError, match="alpha"):
+            curation.temperature_sample(df, "g", "doc_id", 10, alpha=-0.1)
+        with pytest.raises(ValueError, match="target_total"):
+            curation.temperature_sample(df, "g", "doc_id", 0)
+
+
 # Property test: the cutoff-rewrite (window cumsum → one-row-per-group
 # crossing point → broadcast filter) must equal the direct greedy over
 # the same LCG priority for ANY corpus shape hypothesis can draw —

@@ -411,3 +411,29 @@ def test_curate_job_token_budget(spark, tmp_path):
     # doc's preceding cumulative is 1000, not < 1000)
     assert out.groupby("lang").size().to_dict() == {"de": 10, "en": 10}
     assert stats["n_docs_out"] == 20
+
+
+def test_curate_job_temperature_mix(spark, tmp_path):
+    """--temperature-total downsamples toward an expected N kept docs
+    with per-group rate ∝ n^alpha/n; alpha=0 on a skewed corpus keeps
+    roughly equal counts per group."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(400),
+        "lang": ["en" if i < 320 else "de" for i in range(400)],
+        "n_chars": [100] * 400,
+        "text": [f"doc {i}" for i in range(400)],
+    })
+    inp, outp = str(tmp_path / "in_t"), str(tmp_path / "out_t")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--temperature-total", "100",
+                        "--temperature-alpha", "0.0"])
+    assert stats["steps"] == ["temperature_mix"]
+    per = spark.read.parquet(outp).toPandas().groupby("lang").size()
+    # alpha=0 → each group targets ~50 kept despite the 4:1 skew
+    assert 25 <= per.get("en", 0) <= 75
+    assert 25 <= per.get("de", 0) <= 75
