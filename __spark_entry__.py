@@ -912,6 +912,23 @@ def q_temperature_mix(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet selection step (Wenzek et al. 2020,
+    operators/curation.quantile_buckets): per-language score-quantile
+    thirds (head = lowest scores = best perplexity in CCNet; here the
+    deterministic n_chars score stands in). Exact mode = NTILE(3) over
+    (lang, score, doc_id) — a total order both engines reproduce
+    bit-for-bit; the 100-TB path is mode='thresholds'
+    (percentile_approx boundaries broadcast back map-side, no per-group
+    sort), pinned separately in pytest."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.quantile_buckets(
+                docs, "lang", "n_chars", "doc_id", k=3,
+                labels=("head", "middle", "tail"))
+            .select("doc_id", "lang", "qbucket")
+            .orderBy("doc_id"))
+
+
 def _multiline_docs(docs):
     """Deterministic multi-line restructuring of the documents corpus:
     ' table ' → newline, plus two planted copies of each doc's first
@@ -1427,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fit_sample": q_kmeans_fit_sample,
         "token_budget": q_token_budget,
         "temperature_mix": q_temperature_mix,
+        "ccnet_buckets": q_ccnet_buckets,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -2632,6 +2650,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc_id, b.lang, CAST(bucket AS BIGINT) AS bucket
             FROM b JOIN t USING (lang)
             WHERE bucket < thr
+            ORDER BY doc_id
+        """,
+
+        # CCNet head/middle/tail: NTILE over a (lang, score, key)
+        # total order — deterministic, both engines bit-identical.
+        "ccnet_buckets": """
+            SELECT doc_id, lang,
+                   ['head','middle','tail'][NTILE(3) OVER (
+                      PARTITION BY lang ORDER BY n_chars, doc_id)]
+                     AS qbucket
+            FROM documents
             ORDER BY doc_id
         """,
 

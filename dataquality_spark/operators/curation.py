@@ -397,6 +397,68 @@ def temperature_sample(df: DataFrame, group_col: str, key_col: str,
             .drop("_g", "_thr"))
 
 
+def quantile_buckets(df: DataFrame, group_col: str, score_col: str,
+                     key_col: str, k: int = 3,
+                     labels: tuple[str, ...] | None = None,
+                     mode: str = "ntile",
+                     accuracy: int = 10_000,
+                     out_col: str = "qbucket") -> DataFrame:
+    """Per-group score-quantile bucketing — the CCNet selection step
+    (Wenzek et al. 2020): split each language's documents into
+    perplexity head/middle/tail thirds, then train on the head. Generic
+    over any (group, score): k buckets, optional labels (e.g.
+    ('head', 'middle', 'tail') with k=3; bucket 1 = LOWEST scores).
+
+    mode='ntile' (exact): NTILE(k) over (group, score, key) — ties
+    broken by key, so the assignment is a deterministic total order an
+    ANSI SQL oracle reproduces bit-for-bit. Scale shape: the window
+    sorts only a slim (group, score, key) projection, but one GROUP is
+    one window partition = one task — exact ntile is for corpora whose
+    largest group's slim rows fit a task (~10^8). Beyond that use:
+
+    mode='thresholds' (100-TB path): per-group boundary scores from
+    percentile_approx over the slim projection (one partial-aggregate
+    pass, no sort), broadcast back, bucket = 1 + #thresholds below the
+    score — a pure map-side comparison. Deterministic for a fixed
+    input, but approx boundaries may differ from exact ntile near
+    quantile edges (the documented trade; raise `accuracy` to tighten).
+
+    Adds `out_col` (1..k int) and, when labels are given, replaces it
+    with the label string. Scores must be non-null; rows with NULL
+    group form their own group (standard groupBy semantics).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if labels is not None and len(labels) != k:
+        raise ValueError(f"labels must have exactly k={k} entries")
+    if mode == "ntile":
+        from pyspark.sql.window import Window
+
+        w = (Window.partitionBy(group_col)
+             .orderBy(F.col(score_col).asc(), F.col(key_col).asc()))
+        out = df.withColumn(out_col, F.ntile(k).over(w))
+    elif mode == "thresholds":
+        qs = [i / k for i in range(1, k)]
+        th = (df.groupBy(F.col(group_col).alias("_g"))
+              .agg(F.percentile_approx(
+                  F.col(score_col), qs, accuracy).alias("_ths")))
+        probe = F.col(score_col)
+        bucket = F.lit(1) + F.aggregate(
+            F.col("_ths"), F.lit(0),
+            lambda acc, t: acc + F.when(probe > t, 1).otherwise(0))
+        out = (df.join(F.broadcast(th),
+                       F.col(group_col).eqNullSafe(F.col("_g")), "left")
+               .withColumn(out_col, bucket.cast("int"))
+               .drop("_g", "_ths"))
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    if labels is not None:
+        out = out.withColumn(
+            out_col, F.element_at(F.array(*[F.lit(x) for x in labels]),
+                                  F.col(out_col)))
+    return out
+
+
 def host_blocklist_filter(df: DataFrame, url_col: str,
                           blocked_hosts: DataFrame,
                           host_col: str = "host") -> DataFrame:

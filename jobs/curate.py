@@ -33,7 +33,11 @@ training-data pipeline runs between filtering and tokenization:
 8. temperature-scaled mixing (--temperature-total N
    [--temperature-alpha 0.5]): per---budget-group downsampling rate
    ∝ n^alpha/n toward an expected N kept docs
-   (curation.temperature_sample), salted independently of all above.
+   (curation.temperature_sample), salted independently of all above;
+9. CCNet-style score-quantile bucketing (--quantile-buckets K
+   [--quantile-score COL] [--quantile-mode thresholds|ntile]): adds a
+   qbucket column per --budget-group (curation.quantile_buckets) —
+   filter on it downstream to keep the perplexity head.
 
 Every step is a DataFrame transform (broadcast joins + narrow
 projections; document text never shuffles — see BENCH/PLANS.md), so the
@@ -170,6 +174,18 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--temperature-alpha", type=float, default=0.5,
                     help="mixing temperature exponent alpha "
                          "(0=equal groups, 1=plain global downsample)")
+    ap.add_argument("--quantile-buckets", type=int, default=None,
+                    metavar="K",
+                    help="CCNet-style per---budget-group score-quantile "
+                         "bucketing (curation.quantile_buckets): adds a "
+                         "qbucket column (1=lowest --quantile-score)")
+    ap.add_argument("--quantile-score", default="n_chars", metavar="COL",
+                    help="score column for --quantile-buckets")
+    ap.add_argument("--quantile-mode", choices=["ntile", "thresholds"],
+                    default="thresholds",
+                    help="ntile = exact (per-group sort); thresholds = "
+                         "percentile_approx map-side (the scale path, "
+                         "default)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--master", default=None)
@@ -293,6 +309,12 @@ def _run(argv: list[str] | None = None) -> dict:
             df, args.budget_group, id_col, args.temperature_total,
             alpha=args.temperature_alpha, salt=args.salt + 3)
         steps.append("temperature_mix")
+
+    if args.quantile_buckets is not None:
+        df = curation.quantile_buckets(
+            df, args.budget_group, args.quantile_score, id_col,
+            k=args.quantile_buckets, mode=args.quantile_mode)
+        steps.append("quantile_buckets")
 
     df.write.mode("overwrite").parquet(args.output)
     from dataquality_spark.caching import unpersist_all

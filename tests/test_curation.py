@@ -688,6 +688,76 @@ class TestTemperatureSample:
             curation.temperature_sample(df, "g", "doc_id", 0)
 
 
+class TestQuantileBuckets:
+    """quantile_buckets: CCNet-style per-group score-quantile
+    assignment — exact NTILE mode vs a pure-Python reference, plus the
+    scale-path thresholds mode."""
+
+    def _ref_ntile(self, rows, k):
+        # SQL NTILE: groups of size ceil then floor, lowest scores first
+        out = {}
+        by_g = {}
+        for key, g, s in rows:
+            by_g.setdefault(g, []).append((s, key))
+        for g, items in by_g.items():
+            items.sort()
+            n = len(items)
+            base, extra = divmod(n, k)
+            i = 0
+            for b in range(1, k + 1):
+                size = base + (1 if b <= extra else 0)
+                for _ in range(size):
+                    if i < n:
+                        out[items[i][1]] = b
+                        i += 1
+        return out
+
+    def test_ntile_matches_reference(self, spark):
+        rows = [(i, "g" + str(i % 4), (i * 37) % 50) for i in range(237)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, s long")
+        got = {r.doc_id: r.qbucket
+               for r in curation.quantile_buckets(
+                   df, "g", "s", "doc_id", k=3).collect()}
+        assert got == self._ref_ntile(rows, 3)
+
+    def test_labels_and_head_is_lowest(self, spark):
+        rows = [(i, "g", i) for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, s long")
+        got = curation.quantile_buckets(
+            df, "g", "s", "doc_id", k=3,
+            labels=("head", "middle", "tail")).collect()
+        lab = {r.doc_id: r.qbucket for r in got}
+        assert all(lab[i] == "head" for i in range(30))
+        assert all(lab[i] == "tail" for i in range(60, 90))
+
+    def test_thresholds_mode_is_map_side_and_close(self, spark):
+        rows = [(i, "g" + str(i % 3), (i * 13) % 997) for i in range(600)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, s long")
+        exact = {r.doc_id: r.qbucket for r in curation.quantile_buckets(
+            df, "g", "s", "doc_id", k=4).collect()}
+        approx_df = curation.quantile_buckets(
+            df, "g", "s", "doc_id", k=4, mode="thresholds")
+        approx = {r.doc_id: r.qbucket for r in approx_df.collect()}
+        agree = sum(exact[i] == approx[i] for i in exact) / len(exact)
+        assert agree > 0.95          # boundary rows only may differ
+        plan = approx_df._jdf.queryExecution().executedPlan().toString()
+        # corpus side probes a broadcast threshold table — no sort of
+        # the full rows anywhere (the ntile mode's per-group sort is
+        # exactly what this mode exists to avoid)
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "g", 1)], "doc_id long, g string, s long")
+        import pytest
+        with pytest.raises(ValueError, match="k must"):
+            curation.quantile_buckets(df, "g", "s", "doc_id", k=0)
+        with pytest.raises(ValueError, match="labels"):
+            curation.quantile_buckets(df, "g", "s", "doc_id", k=3,
+                                      labels=("a", "b"))
+        with pytest.raises(ValueError, match="mode"):
+            curation.quantile_buckets(df, "g", "s", "doc_id", mode="nope")
+
+
 # Property test: the cutoff-rewrite (window cumsum → one-row-per-group
 # crossing point → broadcast filter) must equal the direct greedy over
 # the same LCG priority for ANY corpus shape hypothesis can draw —

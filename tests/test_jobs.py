@@ -437,3 +437,27 @@ def test_curate_job_temperature_mix(spark, tmp_path):
     # alpha=0 → each group targets ~50 kept despite the 4:1 skew
     assert 25 <= per.get("en", 0) <= 75
     assert 25 <= per.get("de", 0) <= 75
+
+
+def test_curate_job_quantile_buckets(spark, tmp_path):
+    """--quantile-buckets adds a per-group qbucket column (1 = lowest
+    --quantile-score) through the CLI thresholds mode."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(90),
+        "lang": ["en"] * 90,
+        "n_chars": list(range(90)),
+        "text": [f"doc {i}" for i in range(90)],
+    })
+    inp, outp = str(tmp_path / "in_q"), str(tmp_path / "out_q")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--quantile-buckets", "3"])
+    assert stats["steps"] == ["quantile_buckets"]
+    out = spark.read.parquet(outp).toPandas().set_index("doc_id")
+    assert set(out.qbucket) == {1, 2, 3}
+    assert out.loc[0, "qbucket"] == 1 and out.loc[89, "qbucket"] == 3
+    assert stats["n_docs_out"] == 90
