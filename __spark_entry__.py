@@ -929,6 +929,24 @@ def q_ccnet_buckets(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance scores (Xie et al. 2023,
+    operators/curation.dsir_importance): every document scored by
+    log p_target/p_raw under bag-of-ngram (uni+bi) unigram models —
+    here the target distribution is the English subset, so en docs
+    score high and others negative. Per-feature weights are
+    floor(1e6·Δln) on an integer lattice, so per-doc sums are
+    order-free BIGINT adds and the scores are bit-identical to the
+    DuckDB twin (ln is the only float op, once per feature). Scale
+    shape: exact gram strings here (oracle mode); buckets=10^4 hashes
+    the feature space to a fixed broadcastable weight table at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.dsir_importance(
+                docs, docs.filter(F.col("lang") == "en"),
+                "text", "doc_id", n=2)
+            .orderBy("doc_id"))
+
+
 def _multiline_docs(docs):
     """Deterministic multi-line restructuring of the documents corpus:
     ' table ' → newline, plus two planted copies of each doc's first
@@ -1445,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "temperature_mix": q_temperature_mix,
         "ccnet_buckets": q_ccnet_buckets,
+        "dsir_scores": q_dsir_scores,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -2651,6 +2670,52 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN t USING (lang)
             WHERE bucket < thr
             ORDER BY doc_id
+        """,
+
+        # DSIR: integer-lattice log-ratio weights; ln once per feature,
+        # per-doc sums are BIGINT (order-free) — engines bit-identical.
+        "dsir_scores": """
+            WITH words AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, lang, unnest(ws) AS f FROM words
+              UNION ALL
+              SELECT doc_id, lang,
+                     unnest(list_filter(list_transform(ws, (x, i) ->
+                              CASE WHEN i + 1 <= len(ws)
+                                   THEN ws[i] || ' ' || ws[i+1] END),
+                            s -> s IS NOT NULL)) AS f
+              FROM words
+            ), tc AS (
+              SELECT f, COUNT(*) AS ct FROM feats
+              WHERE lang = 'en' GROUP BY f
+            ), rc AS (
+              SELECT f, COUNT(*) AS cr FROM feats GROUP BY f
+            ), vocab AS (
+              SELECT rc.f, COALESCE(tc.ct, 0) AS ct, rc.cr
+              FROM rc LEFT JOIN tc USING (f)
+            ), tot AS (
+              SELECT SUM(ct) AS T, SUM(cr) AS R, COUNT(*) AS V FROM vocab
+            ), w AS (
+              SELECT f, CAST(floor(1000000 * (
+                        ln((ct + 1.0) / (T + 1.0 * V))
+                      - ln((cr + 1.0) / (R + 1.0 * V)))) AS BIGINT) AS wt
+              FROM vocab CROSS JOIN tot
+            ), scored AS (
+              SELECT feats.doc_id, COUNT(*) AS n_feats,
+                     SUM(wt) AS dsir_score
+              FROM feats JOIN w ON feats.f = w.f
+              GROUP BY feats.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(COALESCE(s.dsir_score, 0) AS BIGINT) AS dsir_score
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY d.doc_id
         """,
 
         # CCNet head/middle/tail: NTILE over a (lang, score, key)

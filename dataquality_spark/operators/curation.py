@@ -397,6 +397,113 @@ def temperature_sample(df: DataFrame, group_col: str, key_col: str,
             .drop("_g", "_thr"))
 
 
+def _word_ngrams(text_col: str, n: int):
+    """All word n-grams of orders 1..n (DSIR's unigram+bigram feature
+    space for n=2) over the contract tokenizer (ASCII-whitespace split,
+    empty tokens dropped — text_analysis._words)."""
+    from .text_analysis import _words
+
+    words = _words(F.col(text_col))
+
+    def grams(order: int):
+        # NOTE: the transform lambda must take exactly ONE parameter —
+        # a second parameter would receive the element INDEX from
+        # F.transform, not a closure default.
+        m = F.size(words) - (order - 1)
+        return F.when(m > 0, F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, order))
+        )).otherwise(F.array().cast("array<string>"))
+
+    out = grams(1)
+    for order in range(2, n + 1):
+        out = F.concat(out, grams(order))
+    return out
+
+
+def dsir_importance(train: DataFrame, target: DataFrame, text_col: str,
+                    id_col: str, n: int = 2, smoothing: float = 1.0,
+                    scale: int = 1_000_000,
+                    buckets: int | None = None) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every training
+    document by how target-like its hashed-n-gram feature distribution
+    is — log p_target(doc)/p_raw(doc) under bag-of-feature unigram
+    models — then resample the highest-importance documents (compose
+    with quantile_buckets / top-k / temperature_sample downstream).
+
+    Feature space: word n-grams of orders 1..n (DSIR's unigram+bigram
+    for n=2); `buckets` hashes grams into a FIXED feature space
+    (xxhash64 pmod buckets — the paper's 10^4 hash buckets; the scale
+    mode, weight table is buckets rows and broadcasts), `buckets=None`
+    keeps exact gram strings (the oracle-checkable mode; weight table
+    is vocabulary-sized — fine for corpora whose vocab fits a shuffle
+    join, use buckets at 100 TB).
+
+    Per-feature weight on an integer lattice:
+      w_f = floor(scale · (ln((ct_f+a)/(T+aV)) − ln((cr_f+a)/(R+aV))))
+    with ct/cr = target/raw occurrence counts, T/R their totals, V the
+    union feature-space size, a = `smoothing` (Laplace). A document's
+    score is the BIGINT sum of w_f over its feature OCCURRENCES —
+    integer addition is order-free, so the score is reproducible
+    bit-for-bit on any partitioning (the reason for the lattice; the
+    only float ops are the per-feature lns, computed once each).
+
+    Returns the slim flag table (id_col, n_feats, dsir_score) —
+    callers join it back on the id; training text never shuffles
+    beyond its gram explode (same decontaminate-style shape).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0: {smoothing}")
+
+    def feats(d):
+        g = F.explode(_word_ngrams(text_col, n)).alias("_f")
+        out = d.select(g)
+        if buckets:
+            out = out.select(
+                F.pmod(F.xxhash64("_f"), F.lit(buckets)).alias("_f"))
+        return out
+
+    tcnt = feats(target).groupBy("_f").agg(
+        F.count(F.lit(1)).cast("long").alias("_ct"))
+    rcnt = feats(train).groupBy("_f").agg(
+        F.count(F.lit(1)).cast("long").alias("_cr"))
+    vocab = (tcnt.join(rcnt, "_f", "full_outer")
+             .select("_f",
+                     F.coalesce("_ct", F.lit(0)).alias("_ct"),
+                     F.coalesce("_cr", F.lit(0)).alias("_cr")))
+    tot = vocab.agg(F.sum("_ct").alias("_T"), F.sum("_cr").alias("_R"),
+                    F.count(F.lit(1)).cast("long").alias("_V"))
+    a = float(smoothing)
+    w = F.floor(F.lit(int(scale)) * (
+        F.log((F.col("_ct") + a) / (F.col("_T") + a * F.col("_V")))
+        - F.log((F.col("_cr") + a) / (F.col("_R") + a * F.col("_V")))
+    )).cast("long")
+    weights = (vocab.crossJoin(F.broadcast(tot))
+               .select("_f", w.alias("_w")))
+    if buckets:
+        weights = F.broadcast(weights)
+
+    doc_feats = train.select(F.col(id_col), F.explode(
+        _word_ngrams(text_col, n)).alias("_f"))
+    if buckets:
+        doc_feats = doc_feats.withColumn(
+            "_f", F.pmod(F.xxhash64("_f"), F.lit(buckets)))
+    scored = (doc_feats.join(weights, "_f")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
+                   F.sum("_w").cast("long").alias("dsir_score")))
+    # empty-text docs have no features: score 0 by convention
+    return (train.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_feats", F.lit(0)).cast("long")
+                    .alias("n_feats"),
+                    F.coalesce("dsir_score", F.lit(0)).cast("long")
+                    .alias("dsir_score")))
+
+
 def quantile_buckets(df: DataFrame, group_col: str, score_col: str,
                      key_col: str, k: int = 3,
                      labels: tuple[str, ...] | None = None,

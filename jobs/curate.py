@@ -37,7 +37,11 @@ training-data pipeline runs between filtering and tokenization:
 9. CCNet-style score-quantile bucketing (--quantile-buckets K
    [--quantile-score COL] [--quantile-mode thresholds|ntile]): adds a
    qbucket column per --budget-group (curation.quantile_buckets) —
-   filter on it downstream to keep the perplexity head.
+   filter on it downstream to keep the perplexity head;
+10. DSIR importance scoring (--dsir-target PATH [--dsir-buckets N]):
+    joins log p_target/p_raw hashed-n-gram importance scores
+    (curation.dsir_importance) — chain with --quantile-buckets
+    --quantile-score dsir_score to keep the most target-like docs.
 
 Every step is a DataFrame transform (broadcast joins + narrow
 projections; document text never shuffles — see BENCH/PLANS.md), so the
@@ -186,6 +190,16 @@ def _run(argv: list[str] | None = None) -> dict:
                     help="ntile = exact (per-group sort); thresholds = "
                          "percentile_approx map-side (the scale path, "
                          "default)")
+    ap.add_argument("--dsir-target", default=None, metavar="PATH",
+                    help="parquet of target-distribution docs: join "
+                         "DSIR importance scores (curation."
+                         "dsir_importance) onto every doc as "
+                         "n_feats/dsir_score — select on them with "
+                         "--quantile-buckets --quantile-score "
+                         "dsir_score")
+    ap.add_argument("--dsir-buckets", type=int, default=10_000,
+                    help="hashed feature-space size for --dsir-target "
+                         "(0 = exact gram strings)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--master", default=None)
@@ -309,6 +323,14 @@ def _run(argv: list[str] | None = None) -> dict:
             df, args.budget_group, id_col, args.temperature_total,
             alpha=args.temperature_alpha, salt=args.salt + 3)
         steps.append("temperature_mix")
+
+    if args.dsir_target:
+        tgt = spark.read.parquet(args.dsir_target)
+        scores = curation.dsir_importance(
+            df, tgt, text_col, id_col,
+            buckets=args.dsir_buckets or None)
+        df = df.join(scores, id_col, "left")
+        steps.append("dsir")
 
     if args.quantile_buckets is not None:
         df = curation.quantile_buckets(

@@ -688,6 +688,74 @@ class TestTemperatureSample:
             curation.temperature_sample(df, "g", "doc_id", 0)
 
 
+class TestDsirImportance:
+    """dsir_importance: integer-lattice log-ratio importance scores vs
+    a pure-Python reference (Xie et al. 2023 semantics)."""
+
+    def _ref(self, rows, target_ids, n=2, a=1.0, scale=1_000_000):
+        import math
+        from collections import Counter
+
+        def grams(t):
+            ws = [w for w in (t or "").split() if w]
+            out = list(ws)
+            for k in range(2, n + 1):
+                out += [" ".join(ws[i:i + k])
+                        for i in range(len(ws) - k + 1)]
+            return out
+
+        tc, rc = Counter(), Counter()
+        for doc_id, t in rows:
+            g = grams(t)
+            rc.update(g)
+            if doc_id in target_ids:
+                tc.update(g)
+        V = len(rc)
+        T, R = sum(tc.values()), sum(rc.values())
+        w = {f: math.floor(scale * (
+            math.log((tc.get(f, 0) + a) / (T + a * V))
+            - math.log((cr + a) / (R + a * V)))) for f, cr in rc.items()}
+        return {doc_id: (len(grams(t)), sum(w[f] for f in grams(t)))
+                for doc_id, t in rows}
+
+    def test_matches_reference_and_target_affinity(self, spark):
+        rows = ([(i, "the quick brown fox jumps high") for i in range(10)]
+                + [(i, "der schnelle braune fuchs springt hoch")
+                   for i in range(10, 20)]
+                + [(20, "the quick fox"), (21, ""), (22, None)])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        target = df.filter("doc_id < 10")   # the 'english' distribution
+        got = {r.doc_id: (r.n_feats, r.dsir_score)
+               for r in curation.dsir_importance(
+                   df, target, "text", "doc_id", n=2).collect()}
+        want = self._ref(rows, set(range(10)))
+        assert got == want
+        # target-like docs outscore the rest; empty/null text scores 0
+        assert got[20][1] > 0 > got[15][1]
+        assert got[21] == (0, 0) and got[22] == (0, 0)
+
+    def test_buckets_mode_broadcasts_and_preserves_ranking(self, spark):
+        rows = ([(i, "alpha beta gamma delta " * 3) for i in range(20)]
+                + [(i, "uno dos tres cuatro " * 3) for i in range(20, 40)])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = curation.dsir_importance(df, df.filter("doc_id < 20"),
+                                       "text", "doc_id", buckets=1024)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan   # fixed weight table
+        sc = {r.doc_id: r.dsir_score for r in out.collect()}
+        assert min(sc[i] for i in range(20)) > max(
+            sc[i] for i in range(20, 40))
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest
+        with pytest.raises(ValueError, match="n must"):
+            curation.dsir_importance(df, df, "text", "doc_id", n=0)
+        with pytest.raises(ValueError, match="smoothing"):
+            curation.dsir_importance(df, df, "text", "doc_id",
+                                     smoothing=0)
+
+
 class TestQuantileBuckets:
     """quantile_buckets: CCNet-style per-group score-quantile
     assignment — exact NTILE mode vs a pure-Python reference, plus the

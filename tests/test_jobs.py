@@ -461,3 +461,32 @@ def test_curate_job_quantile_buckets(spark, tmp_path):
     assert set(out.qbucket) == {1, 2, 3}
     assert out.loc[0, "qbucket"] == 1 and out.loc[89, "qbucket"] == 3
     assert stats["n_docs_out"] == 90
+
+
+def test_curate_job_dsir_then_quantile(spark, tmp_path):
+    """--dsir-target joins importance scores; chained with
+    --quantile-buckets --quantile-score dsir_score the head bucket is
+    the most target-like docs."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "lang": ["en"] * 40,
+        "text": (["the quick brown fox jumps"] * 20
+                 + ["der schnelle braune fuchs springt"] * 20),
+    })
+    target = docs.head(20)
+    inp, tgt, outp = (str(tmp_path / p) for p in ("in_d", "tgt", "out_d"))
+    spark.createDataFrame(docs).write.parquet(inp)
+    spark.createDataFrame(target).write.parquet(tgt)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--dsir-target", tgt,
+                        "--quantile-buckets", "2",
+                        "--quantile-score", "dsir_score"])
+    assert stats["steps"] == ["dsir", "quantile_buckets"]
+    out = spark.read.parquet(outp).toPandas()
+    # bucket 2 (highest dsir_score) must be exactly the target-like docs
+    top = set(out[out.qbucket == 2].doc_id)
+    assert top == set(range(20))
