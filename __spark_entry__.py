@@ -947,6 +947,21 @@ def q_dsir_scores(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Lee-et-al exact-substring REMOVAL at k=5 tokens
+    (operators/dedup.remove_dup_spans — the acting step of
+    dup_span_stats): every duplicated 5-token span keeps only its
+    globally-first (id, pos) occurrence; text rebuilt byte-identically
+    from the surviving tokens in BOTH engines. Scale shape: slim
+    (hash, id, pos) shuffles, two hash-aggregable winner passes
+    (min id → min pos), text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.remove_dup_spans(docs, "text", "doc_id", k=5)
+            .select(F.col("id").alias("doc_id"), "n_tokens",
+                    "n_removed", "text_dedup")
+            .orderBy("doc_id"))
+
+
 def _multiline_docs(docs):
     """Deterministic multi-line restructuring of the documents corpus:
     ' table ' → newline, plus two planted copies of each doc's first
@@ -1464,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_scores": q_dsir_scores,
+        "dup_span_removal": q_dup_span_removal,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -2670,6 +2686,65 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN t USING (lang)
             WHERE bucket < thr
             ORDER BY doc_id
+        """,
+
+        # Lee-et-al substring removal: winner per span hash keeps its
+        # tokens, all other occurrences' [pos, pos+5) intervals cut.
+        "dup_span_removal": """
+            WITH w0 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), g AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id,
+                  unnest(list_filter(list_transform(words, (x, i) ->
+                    CASE WHEN i + 4 <= len(words) THEN
+                      struct_pack(pos := i,
+                        h := CAST(concat('0x', substr(md5(
+                               x || ' ' || words[i+1] || ' ' ||
+                               words[i+2] || ' ' || words[i+3] || ' ' ||
+                               words[i+4]), 1, 15)) AS BIGINT))
+                    END), s -> s IS NOT NULL)) AS u
+                FROM w0)
+            ), dh AS (
+              SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+            ), occ AS (
+              SELECT g.doc_id, g.pos, g.h FROM g JOIN dh USING (h)
+            ), wid AS (
+              SELECT h, MIN(doc_id) AS wid FROM occ GROUP BY h
+            ), wpos AS (
+              SELECT occ.h, wid, MIN(pos) AS wpos
+              FROM occ JOIN wid USING (h) WHERE occ.doc_id = wid
+              GROUP BY occ.h, wid
+            ), rem AS (
+              SELECT occ.doc_id, occ.pos
+              FROM occ JOIN wpos USING (h)
+              WHERE NOT (occ.doc_id = wpos.wid AND occ.pos = wpos.wpos)
+            ), tok AS (
+              SELECT doc_id, u.p AS p, u.w AS w FROM (
+                SELECT doc_id, unnest(list_transform(words, (x, i) ->
+                         struct_pack(p := i, w := x))) AS u
+                FROM w0)
+            ), kept AS (
+              SELECT t.doc_id, t.p, t.w FROM tok t
+              WHERE NOT EXISTS (SELECT 1 FROM rem r
+                                WHERE r.doc_id = t.doc_id
+                                  AND r.pos <= t.p AND t.p < r.pos + 5)
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(w, ' ' ORDER BY p) AS text_dedup
+              FROM kept GROUP BY doc_id
+            )
+            SELECT w0.doc_id,
+                   CAST(len(words) AS BIGINT) AS n_tokens,
+                   CAST(len(words) - coalesce(n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   coalesce(text_dedup, '') AS text_dedup
+            FROM w0 LEFT JOIN agg USING (doc_id)
+            ORDER BY w0.doc_id
         """,
 
         # DSIR: integer-lattice log-ratio weights; ln once per feature,

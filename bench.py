@@ -36,6 +36,10 @@ HEADLINE = [
     "dedupe_paragraphs", "bloom_dedup_cross", "kmeans_assign", "semdedup",
     "embedding_topk", "embedding_neardup", "multimodal_meta", "scrub_sql",
     "quality_model",
+    # round-4 additions (temperature/CCNet/DSIR selection + Lee-et-al
+    # span removal) — headline totals are NOT comparable to r03's
+    # 28-query line; compare per-query timings instead
+    "temperature_mix", "ccnet_buckets", "dsir_scores", "dup_span_removal",
 ]
 
 

@@ -459,6 +459,87 @@ def dup_span_stats(df: DataFrame, text_col: str, id_col: str,
             .select("id", "n_tokens", "n_dup_spans", "dup_token_frac"))
 
 
+def remove_dup_spans(df: DataFrame, text_col: str, id_col: str,
+                     k: int = 10) -> DataFrame:
+    """Lee-et-al-style exact-substring REMOVAL at fixed span length
+    `k` tokens ("Deduplicating Training Data Makes Language Models
+    Better", 2022 — the acting step dup_span_stats only measures):
+    every k-token span that occurs a second time anywhere in the
+    corpus is removed EXCEPT its globally-first occurrence
+    (lexicographic (id, pos) minimum per span hash), and each doc's
+    text is rebuilt from the surviving tokens.
+
+    Returns (id, n_tokens, n_removed, text_dedup). The rebuild is
+    token-normalized — surviving tokens joined by single spaces (the
+    tokenizer is the contract ASCII-whitespace split, so originals
+    with single-space separators round-trip byte-identically; other
+    whitespace runs collapse, the same semantics the token stream a
+    TRAINING pipeline feeds downstream actually uses).
+
+    Scale design (same skeleton as dup_span_stats): the only
+    exchanges carry slim (hash, id, pos) span rows and the per-doc
+    removal-position lists — text never shuffles; the winner per hash
+    is found with two HASH-aggregable passes (min id, then min pos
+    within that id) instead of one min(struct) SortAggregate; the
+    interval-union filter is a per-row codegen `exists` over the
+    doc's removal starts (O(tokens × removals), removals are few by
+    construction). A span whose winner occurrence overlaps a removed
+    interval in the same doc keeps only its uncovered tokens — the
+    fixed-k interval-union approximation of the paper's suffix-array
+    cut, applied identically in the SQL oracle.
+    """
+    words = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             r"\s+"), lambda w: w != "")
+    base = df.select(F.col(id_col).alias("id"), words.alias("_w"))
+    m = F.size("_w") - (k - 1)
+    spans = base.select(
+        "id", "_w",
+        F.when(m > 0, F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.conv(F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, k))),
+                    1, 15), 16, 10).cast("long").alias("h"))))
+        .otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+        .alias("_g"))
+    ex = _track_persist(
+        spans.select("id", F.explode("_g").alias("g"))
+        .select("id", F.col("g.pos").alias("pos"),
+                F.col("g.h").alias("h")))
+    dup_h = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+             .where(F.col("c") >= 2).select("h"))
+    occ = ex.join(dup_h, "h")
+    wid = occ.groupBy("h").agg(F.min("id").alias("_wid"))
+    wpos = (occ.join(wid, "h").where(F.col("id") == F.col("_wid"))
+            .groupBy("h", "_wid").agg(F.min("pos").alias("_wpos")))
+    removals = (occ.join(wpos, "h")
+                .where(~((F.col("id") == F.col("_wid"))
+                         & (F.col("pos") == F.col("_wpos"))))
+                .groupBy("id")
+                .agg(F.collect_list("pos").alias("_rm")))
+    toks = F.filter(
+        F.transform(F.col("_w"),
+                    lambda w, i: F.struct((i + 1).alias("p"),
+                                          w.alias("w"))),
+        lambda s: ~F.exists(
+            F.col("_rm"),
+            lambda r: (r <= s["p"]) & (s["p"] < r + F.lit(k))))
+    return (spans.select("id", "_w")
+            .join(removals, "id", "left")
+            .withColumn("_rm", F.coalesce(
+                F.col("_rm"), F.array().cast("array<int>")))
+            .withColumn("_kept", toks)
+            .select(
+                "id",
+                F.size("_w").cast("long").alias("n_tokens"),
+                (F.size("_w") - F.size("_kept")).cast("long")
+                .alias("n_removed"),
+                F.concat_ws(" ", F.transform(
+                    F.col("_kept"), lambda s: s["w"]))
+                .alias("text_dedup")))
+
+
 def simhash_md5(df: DataFrame, text_col: str, id_col: str,
                 shingle_n: int = 2, bits: int = 60) -> DataFrame:
     """(id, simhash_md5, n_shingles) — the exact-oracle-checkable twin

@@ -17,7 +17,9 @@ training-data pipeline runs between filtering and tokenization:
 2. benchmark decontamination (only when --eval is given): 13-gram
    overlap flags joined back as `contaminated` / `n_matched`;
 3. global paragraph dedup (--dedupe-paragraphs): text rebuilt in place,
-   `n_paragraphs` / `n_kept` recorded;
+   `n_paragraphs` / `n_kept` recorded; plus Lee-et-al exact-substring
+   removal (--remove-dup-spans K): every duplicated K-token span keeps
+   only its globally-first occurrence (dedup.remove_dup_spans);
 4. deterministic split assignment (--split): hash-stable `bucket` and
    `split` columns — reproducible on any cluster size or retry;
 5. URL canonicalization + url-level dedup (--url-canon COL
@@ -104,6 +106,12 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--drop-contaminated", action="store_true",
                     help="filter flagged docs instead of only flagging")
     ap.add_argument("--dedupe-paragraphs", action="store_true")
+    ap.add_argument("--remove-dup-spans", type=int, default=None,
+                    metavar="K",
+                    help="Lee-et-al exact-substring removal: cut every "
+                         "duplicated K-token span except its globally-"
+                         "first occurrence and rebuild text "
+                         "(dedup.remove_dup_spans)")
     ap.add_argument("--dedup-ref", default=None,
                     help="parquet dir of the previously-kept corpus: "
                          "drop exact text matches (cross-run dedup)")
@@ -296,6 +304,16 @@ def _run(argv: list[str] | None = None) -> dict:
         df = (curation.dedupe_paragraphs_global(df, text_col, id_col)
               .withColumn(text_col, F.col("text_kept")).drop("text_kept"))
         steps.append("dedupe_paragraphs")
+
+    if args.remove_dup_spans is not None:
+        from dataquality_spark.operators import dedup as _dedup
+        spans = (_dedup.remove_dup_spans(df, text_col, id_col,
+                                         k=args.remove_dup_spans)
+                 .select(F.col("id").alias(id_col), "text_dedup"))
+        df = (df.join(spans, id_col)
+              .withColumn(text_col, F.col("text_dedup"))
+              .drop("text_dedup"))
+        steps.append("remove_dup_spans")
 
     if args.quality_model:
         from dataquality_spark.functions import quality_model as qm

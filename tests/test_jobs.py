@@ -490,3 +490,26 @@ def test_curate_job_dsir_then_quantile(spark, tmp_path):
     # bucket 2 (highest dsir_score) must be exactly the target-like docs
     top = set(out[out.qbucket == 2].doc_id)
     assert top == set(range(20))
+
+
+def test_curate_job_remove_dup_spans(spark, tmp_path):
+    """--remove-dup-spans K rebuilds text with every duplicated K-token
+    span cut except its globally-first occurrence."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f", "a b c d e zz", "clean words only here"],
+    })
+    inp, outp = str(tmp_path / "in_s"), str(tmp_path / "out_s")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--remove-dup-spans", "5"])
+    assert stats["steps"] == ["remove_dup_spans"]
+    out = (spark.read.parquet(outp).toPandas()
+           .set_index("doc_id").text.to_dict())
+    assert out[1] == "a b c d e f"      # winner keeps its tokens
+    assert out[2] == "zz"               # shared 5-span cut
+    assert out[3] == "clean words only here"

@@ -129,6 +129,40 @@ def test_dup_span_stats_handcrafted(spark):
     assert out[5]["n_dup_spans"] == 0 and out[5]["dup_token_frac"] == 0.0
 
 
+def test_remove_dup_spans_handcrafted(spark):
+    """Lee-et-al substring removal: the globally-first (id, pos)
+    occurrence of each duplicated span keeps its tokens; every other
+    occurrence's [pos, pos+k) interval is cut; rebuild is the
+    surviving token stream."""
+    rows = [
+        (1, "a b c d e f g h"),     # winner of 'a b c d e'
+        (2, "a b c d e x y z"),     # loses the shared span → 'x y z'
+        (3, "p q r s t u v"),       # clean
+        (4, "a b c d e f g h"),     # exact dup of 1 → fully removed
+        (5, ""), (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           dedup.remove_dup_spans(df, "text", "doc_id", k=5).collect()}
+    assert out[1]["text_dedup"] == "a b c d e f g h"   # winner intact
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_dedup"] == "x y z"
+    assert out[2]["n_removed"] == 5
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_dedup"] == "" and out[4]["n_removed"] == 8
+    assert out[5]["text_dedup"] == "" and out[5]["n_tokens"] == 0
+    assert out[6]["text_dedup"] == "" and out[6]["n_tokens"] == 0
+    # idempotence: a second pass over the deduped text removes nothing
+    # (every duplicated span now has exactly one surviving occurrence)
+    again = spark.createDataFrame(
+        [(k, v["text_dedup"]) for k, v in out.items()],
+        "doc_id long, text string")
+    out2 = dedup.remove_dup_spans(again, "text", "doc_id", k=5).collect()
+    assert all(r["n_removed"] == 0 for r in out2)
+    from dataquality_spark.caching import unpersist_all
+    unpersist_all()
+
+
 def test_embedding_neardup_planted(spark, emb):
     base = emb.select("vec_id", F.transform(
         "embedding", lambda x: x.cast("double")).alias("embedding"))
