@@ -869,3 +869,43 @@ class TestTokenBudgetProperty:
                     want.add(doc_id)
                 cum += t
         assert got == want
+
+
+_ts_rows = st.lists(
+    st.tuples(st.integers(0, 500),                     # doc_id
+              st.sampled_from(["a", "b", "c", "d"])),  # group
+    min_size=1, max_size=80,
+    unique_by=lambda r: r[0])
+
+
+class TestTemperatureSampleProperty:
+    """The Spark integer-lattice threshold path must equal the
+    pure-Python reference for ANY corpus shape/target/salt at the
+    IEEE-exact alphas (0 = uniform groups, 0.5 = sqrt, 1 = global)."""
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=_ts_rows, target=st.integers(1, 500),
+           alpha=st.sampled_from([0.0, 0.5, 1.0]),
+           salt=st.integers(0, 10_000))
+    def test_lattice_equals_reference(self, spark, rows, target, alpha,
+                                      salt):
+        import math
+
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        got = {r.doc_id for r in curation.temperature_sample(
+            df, "g", "doc_id", target, alpha=alpha, salt=salt,
+            method="lcg").collect()}
+        A, C, M, B, S = 1103515245, 12345, 2147483648, 1_000_000, 1000
+        n = {}
+        for _, g in rows:
+            n[g] = n.get(g, 0) + 1
+        w = {g: math.floor(
+            (math.sqrt(ng) if alpha == 0.5
+             else float(ng) if alpha == 1.0 else 1.0) * S)
+            for g, ng in n.items()}
+        W = sum(w.values())
+        thr = {g: min(B, (target * w[g] * B) // (W * n[g])) for g in n}
+        want = {d for d, g in rows
+                if (((d % M) * A + C + salt) % M) % B < thr[g]}
+        assert got == want
