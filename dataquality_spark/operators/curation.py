@@ -383,11 +383,16 @@ def temperature_sample(df: DataFrame, group_col: str, key_col: str,
     # `div` = true integral division (SQL oracles use `//`); floor(a/b)
     # would round the decimal quotient to scale 6 FIRST and can step
     # over an integer boundary the exact quotient sits just below.
+    # The rate-cap happens on the NUMERATOR — min(num, den·buckets) —
+    # which is algebraically identical to least(buckets, num div den)
+    # but keeps the quotient ≤ buckets, so a huge target_total can
+    # never overflow the BIGINT quotient under ANSI mode.
     thr = (weights.crossJoin(F.broadcast(total))
-           .withColumn("_num", num).withColumn("_den", den)
-           .withColumn("_thr", F.least(
-               F.lit(int(buckets)).cast("long"),
-               F.expr("CAST((_num div _den) AS BIGINT)")))
+           .withColumn("_num", F.least(
+               num, den * F.lit(int(buckets)).cast(dec)))
+           .withColumn("_den", den)
+           .withColumn("_thr",
+                       F.expr("CAST((_num div _den) AS BIGINT)"))
            .select("_g", "_thr"))
     b = hash_bucket(F.col(key_col), buckets, salt, method)
     return (df.join(F.broadcast(thr),

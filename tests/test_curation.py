@@ -687,6 +687,15 @@ class TestTemperatureSample:
         with pytest.raises(ValueError, match="target_total"):
             curation.temperature_sample(df, "g", "doc_id", 0)
 
+    def test_absurd_target_never_overflows(self, spark):
+        # numerator-side cap: a 10^15 target on a 1-doc group must keep
+        # everything instead of overflowing the ANSI BIGINT quotient
+        df = spark.createDataFrame([(1, "g"), (2, "h")],
+                                   "doc_id long, g string")
+        out = curation.temperature_sample(df, "g", "doc_id",
+                                          10**15, alpha=0.5)
+        assert out.count() == 2
+
 
 class TestDsirImportance:
     """dsir_importance: integer-lattice log-ratio importance scores vs
