@@ -962,6 +962,36 @@ def q_dup_span_removal(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4 §2.2 line-level cleaning (operators/curation.c4_line_filter):
+    keep lines ending in terminal punctuation with ≥2 words and no
+    'javascript'; flag docs with '{' or 'lorem ipsum' and require ≥3
+    surviving lines. Input: documents restructured to deterministic
+    multi-line form (' table ' → newline), per-line punctuation
+    appended by length(line) % 3 (a base-free rule both engines
+    evaluate identically), a planted '{' line on doc_id%7 and a
+    'Lorem ipsum' line on doc_id%11. Rebuilt text byte-identical;
+    zero-shuffle pure projection."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.replace(F.coalesce(F.col("text"), F.lit("")),
+                   F.lit(" table "), F.lit("\n"))
+    ls = F.transform(F.split(t2, "\n"), lambda x: F.concat(
+        x, F.when(F.length(x) % 3 == 0, F.lit("."))
+            .when(F.length(x) % 3 == 1, F.lit("!"))
+            .otherwise(F.lit(""))))
+    mtext = F.concat(
+        F.array_join(ls, "\n"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nfunction {")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("\nLorem ipsum dolor.")).otherwise(F.lit("")))
+    return (curation.c4_line_filter(
+                docs.withColumn("mtext", mtext), "mtext", min_words=2)
+            .select("doc_id", "text_c4", "n_lines", "n_kept_lines",
+                    "has_brace", "has_lorem", "keep_doc")
+            .orderBy("doc_id"))
+
+
 def _multiline_docs(docs):
     """Deterministic multi-line restructuring of the documents corpus:
     ' table ' → newline, plus two planted copies of each doc's first
@@ -1480,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_scores": q_dsir_scores,
         "dup_span_removal": q_dup_span_removal,
+        "c4_line_filter": q_c4_line_filter,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -2686,6 +2717,55 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN t USING (lang)
             WHERE bucket < thr
             ORDER BY doc_id
+        """,
+
+        # C4 line filter: per-line punct/word/banned rules + doc flags;
+        # coalesce on array_to_string (DuckDB returns NULL for []).
+        "c4_line_filter": """
+            WITH m AS (
+              SELECT doc_id,
+                     replace(coalesce(text, ''), ' table ', chr(10)) AS t2
+              FROM documents
+            ), m2 AS (
+              SELECT doc_id,
+                     list_transform(string_split(t2, chr(10)), x ->
+                       x || CASE length(x) % 3 WHEN 0 THEN '.'
+                                               WHEN 1 THEN '!'
+                                               ELSE '' END) AS ls
+              FROM m
+            ), m3 AS (
+              SELECT doc_id,
+                     array_to_string(ls, chr(10))
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'function {' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN chr(10) || 'Lorem ipsum dolor.'
+                             ELSE '' END AS mtext
+              FROM m2
+            ), l AS (
+              SELECT doc_id, string_split(mtext, chr(10)) AS lines, mtext
+              FROM m3
+            ), k AS (
+              SELECT doc_id, lines,
+                     list_filter(lines, x ->
+                       right(trim(x), 1) IN ('.', '!', '?', '"')
+                       AND len(list_filter(
+                             string_split_regex(trim(x), '\\s+'),
+                             w -> w <> '')) >= 2
+                       AND NOT contains(lower(trim(x)), 'javascript'))
+                       AS kept,
+                     contains(lower(mtext), '{') AS has_brace,
+                     contains(lower(mtext), 'lorem ipsum') AS has_lorem
+              FROM l
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   has_brace, has_lorem,
+                   (NOT has_brace AND NOT has_lorem AND len(kept) >= 3)
+                     AS keep_doc
+            FROM k ORDER BY doc_id
         """,
 
         # Lee-et-al substring removal: winner per span hash keeps its

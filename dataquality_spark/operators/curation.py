@@ -713,6 +713,65 @@ def dedupe_paragraphs_global(df: DataFrame, text_col: str, id_col: str,
             .drop("_drops"))
 
 
+def c4_line_filter(df: DataFrame, text_col: str,
+                   min_words: int = 3,
+                   terminal_punct: str = ".!?\"",
+                   banned_substrings: tuple[str, ...] = ("javascript",),
+                   min_kept_lines: int = 3,
+                   out_col: str = "text_c4") -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2): keep a
+    line only if it ends in terminal punctuation AND has at least
+    `min_words` whitespace words AND contains none of
+    `banned_substrings` (case-insensitive; C4 uses the word
+    "javascript" to nuke boilerplate cookie/JS warnings). Doc-level
+    flags follow the same paper: `has_brace` ("{" anywhere — code, C4
+    drops the doc), `has_lorem` ("lorem ipsum", case-insensitive), and
+    `keep_doc` = no brace, no lorem, and ≥ `min_kept_lines` surviving
+    lines. The rebuilt text joins surviving lines with "\\n" —
+    byte-identical to the ANSI-SQL twin.
+
+    Adds: out_col, n_lines, n_kept_lines, has_brace, has_lorem,
+    keep_doc. Filtering on keep_doc is the caller's decision (the flag
+    table pattern: this operator never drops rows).
+
+    Scale: a pure per-row codegen projection — zero shuffles, zero
+    joins, the same cost class as the scrub bank; composes before
+    dedupe_lines / remove_dup_spans in a cleanup chain.
+    """
+    if min_words < 0 or min_kept_lines < 0:
+        raise ValueError("min_words and min_kept_lines must be >= 0")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    punct = [F.lit(c) for c in terminal_punct]
+
+    def line_ok(x):
+        t = F.trim(x)
+        ends = F.array_contains(F.array(*punct), F.substring(t, -1, 1))
+        n_words = F.size(F.filter(F.split(t, r"\s+"),
+                                  lambda w: w != ""))
+        ok = ends & (n_words >= F.lit(min_words))
+        low = F.lower(t)
+        for b in banned_substrings:
+            ok = ok & ~low.contains(b.lower())
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    n = F.size(lines).cast("long")
+    nk = F.size(kept).cast("long")
+    low_text = F.lower(text)
+    has_brace = low_text.contains("{")
+    has_lorem = low_text.contains("lorem ipsum")
+    return (df
+            .withColumn(out_col, F.concat_ws("\n", kept))
+            .withColumn("n_lines", n)
+            .withColumn("n_kept_lines", nk)
+            .withColumn("has_brace", has_brace)
+            .withColumn("has_lorem", has_lorem)
+            .withColumn("keep_doc",
+                        ~has_brace & ~has_lorem
+                        & (nk >= F.lit(min_kept_lines))))
+
+
 def dedupe_lines(df: DataFrame, text_col: str,
                  out_col: str = "text_dedup") -> DataFrame:
     """Remove duplicate lines within each document (keep first

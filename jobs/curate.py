@@ -17,7 +17,9 @@ training-data pipeline runs between filtering and tokenization:
 2. benchmark decontamination (only when --eval is given): 13-gram
    overlap flags joined back as `contaminated` / `n_matched`;
 3. global paragraph dedup (--dedupe-paragraphs): text rebuilt in place,
-   `n_paragraphs` / `n_kept` recorded; plus Lee-et-al exact-substring
+   `n_paragraphs` / `n_kept` recorded; C4 line-level cleaning
+   (--c4-lines): punctuation/word-count/javascript line rules +
+   brace/lorem doc drops (curation.c4_line_filter); plus Lee-et-al exact-substring
    removal (--remove-dup-spans K): every duplicated K-token span keeps
    only its globally-first occurrence (dedup.remove_dup_spans);
 4. deterministic split assignment (--split): hash-stable `bucket` and
@@ -106,6 +108,12 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--drop-contaminated", action="store_true",
                     help="filter flagged docs instead of only flagging")
     ap.add_argument("--dedupe-paragraphs", action="store_true")
+    ap.add_argument("--c4-lines", action="store_true",
+                    help="C4 line-level cleaning (curation."
+                         "c4_line_filter): rebuild text from lines "
+                         "ending in terminal punctuation with >=3 "
+                         "words and no 'javascript'; DROP docs flagged "
+                         "by the brace/lorem/min-lines rules")
     ap.add_argument("--remove-dup-spans", type=int, default=None,
                     metavar="K",
                     help="Lee-et-al exact-substring removal: cut every "
@@ -299,6 +307,14 @@ def _run(argv: list[str] | None = None) -> dict:
             steps.append("decontaminate:drop")
         else:
             steps.append("decontaminate:flag")
+
+    if args.c4_lines:
+        df = (curation.c4_line_filter(df, text_col)
+              .where(F.col("keep_doc"))
+              .withColumn(text_col, F.col("text_c4"))
+              .drop("text_c4", "n_lines", "n_kept_lines",
+                    "has_brace", "has_lorem", "keep_doc"))
+        steps.append("c4_lines")
 
     if args.dedupe_paragraphs:
         df = (curation.dedupe_paragraphs_global(df, text_col, id_col)

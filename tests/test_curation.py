@@ -697,6 +697,42 @@ class TestTemperatureSample:
         assert out.count() == 2
 
 
+class TestC4LineFilter:
+    """C4 §2.2 line rules: terminal punctuation, min words, banned
+    substrings, and the doc-level brace/lorem/min-lines flags."""
+
+    def test_rules_handcrafted(self, spark):
+        rows = [
+            (1, "This is a good sentence.\nshort.\nNo punct here at all\n"
+                "Enable JavaScript to continue.\nProper long sentence!"),
+            (2, "function() { return 1; }\nA valid long sentence."),
+            (3, "Lorem Ipsum dolor sit amet.\nReal sentence here too."),
+            (4, None),
+            (5, 'Quoted line counts too."'),
+            (6, "One good sentence.\nTwo good sentences!\n"
+                "Three good sentences?"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               curation.c4_line_filter(df, "text").collect()}
+        assert out[1].text_c4 == ("This is a good sentence.\n"
+                                  "Proper long sentence!")
+        assert (out[1].n_lines, out[1].n_kept_lines) == (5, 2)
+        assert out[2].has_brace and not out[2].keep_doc
+        assert out[3].has_lorem and not out[3].keep_doc
+        assert out[4].text_c4 == "" and out[4].n_kept_lines == 0
+        assert out[5].n_kept_lines == 1       # quote is terminal punct
+        assert out[6].keep_doc                # 3 kept lines, no flags
+        # no rows dropped — flag-table semantics
+        assert len(out) == 6
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest
+        with pytest.raises(ValueError, match="min_words"):
+            curation.c4_line_filter(df, "text", min_words=-1)
+
+
 class TestDsirImportance:
     """dsir_importance: integer-lattice log-ratio importance scores vs
     a pure-Python reference (Xie et al. 2023 semantics)."""

@@ -513,3 +513,27 @@ def test_curate_job_remove_dup_spans(spark, tmp_path):
     assert out[1] == "a b c d e f"      # winner keeps its tokens
     assert out[2] == "zz"               # shared 5-span cut
     assert out[3] == "clean words only here"
+
+
+def test_curate_job_c4_lines(spark, tmp_path):
+    """--c4-lines rebuilds text from surviving lines and DROPS docs
+    flagged by the brace/lorem/min-lines doc rules."""
+    import pandas as pd
+
+    from jobs import curate
+
+    good = ("This is a fine sentence.\nnope no punct\n"
+            "Another proper sentence!\nA third good one?")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [good, "Code here { inline.\nValid sentence one."],
+    })
+    inp, outp = str(tmp_path / "in_c4"), str(tmp_path / "out_c4")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp, "--c4-lines"])
+    assert stats["steps"] == ["c4_lines"]
+    out = spark.read.parquet(outp).toPandas()
+    assert list(out.doc_id) == [1]       # brace doc dropped
+    assert out.text.iloc[0] == ("This is a fine sentence.\n"
+                                "Another proper sentence!\n"
+                                "A third good one?")
