@@ -923,6 +923,47 @@ _ts_rows = st.lists(
     unique_by=lambda r: r[0])
 
 
+_c4_line = st.lists(
+    st.sampled_from(["word", "alpha", "beta", "x", "JavaScript",
+                     "{", "lorem", "ipsum"]),
+    min_size=0, max_size=6).map(" ".join).flatmap(
+        lambda body: st.sampled_from(["", ".", "!", "?", '"', ",", "x"])
+        .map(lambda p: body + p))
+_c4_doc = st.lists(_c4_line, min_size=0, max_size=8).map("\n".join)
+
+
+class TestC4LineFilterProperty:
+    """Spark c4_line_filter ≡ a pure-Python reference for arbitrary
+    line/punctuation/banned-substring combinations."""
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(_c4_doc, min_size=1, max_size=8),
+           min_words=st.integers(0, 4))
+    def test_matches_python_reference(self, spark, docs, min_words):
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.text_c4, r.n_lines, r.n_kept_lines,
+                          r.has_brace, r.has_lorem, r.keep_doc)
+               for r in curation.c4_line_filter(
+                   df, "text", min_words=min_words).collect()}
+        for doc_id, text in rows:
+            lines = (text or "").split("\n")
+
+            def ok(x):
+                t = x.strip()
+                return (bool(t) and t[-1] in '.!?"'
+                        and len(t.split()) >= min_words
+                        and "javascript" not in t.lower())
+
+            kept = [x for x in lines if ok(x)]
+            low = (text or "").lower()
+            brace, lorem = "{" in low, "lorem ipsum" in low
+            want = ("\n".join(kept), len(lines), len(kept), brace,
+                    lorem, not brace and not lorem and len(kept) >= 3)
+            assert got[doc_id] == want, (doc_id, text)
+
+
 class TestTemperatureSampleProperty:
     """The Spark integer-lattice threshold path must equal the
     pure-Python reference for ANY corpus shape/target/salt at the
