@@ -992,6 +992,47 @@ def q_c4_line_filter(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_GOPHER_SPAM = "spam spam spam spam spam spam."
+_GOPHER_CLICK = "click here to click here to click here to win"
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition-filter suite (Rae et al. 2021 Table A1;
+    operators/text_analysis.gopher_repetition): duplicate paragraph /
+    line fractions by count and char mass, top 2/3/4-gram char
+    fraction, duplicated 5/10-gram char fraction — one zero-shuffle
+    projection of array folds. Input: documents restructured
+    deterministically (' table ' → paragraph break, ' value ' → line
+    break), two identical spam paragraphs planted on doc_id%5 and a
+    repeated-3-gram line on doc_id%7. Exact BIGINT numerators ride
+    along so the cross-engine pin is integer-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    base = F.replace(
+        F.replace(F.coalesce(F.col("text"), F.lit("")),
+                  F.lit(" table "), F.lit("\n\n")),
+        F.lit(" value "), F.lit("\n"))
+    mtext = F.concat(
+        base,
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\n\n" + _GOPHER_SPAM + "\n\n" + _GOPHER_SPAM))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\n" + _GOPHER_CLICK)).otherwise(F.lit("")))
+    return (text_analysis.gopher_repetition(
+                docs.withColumn("mtext", mtext), "mtext",
+                top_ns=(2, 3, 4), dup_ns=(5, 10))
+            .select("doc_id", "n_paras", "dup_para_frac",
+                    "dup_para_char_frac", "n_lines_rep", "dup_line_frac",
+                    "dup_line_char_frac", "norm_text_len",
+                    "top_2gram_cover", "top_2gram_char_frac",
+                    "top_3gram_cover", "top_3gram_char_frac",
+                    "top_4gram_cover", "top_4gram_char_frac",
+                    "dup_5gram_chars", "ngram_5_tot_chars",
+                    "dup_5gram_char_frac", "dup_10gram_chars",
+                    "ngram_10_tot_chars", "dup_10gram_char_frac")
+            .orderBy("doc_id"))
+
+
 def _multiline_docs(docs):
     """Deterministic multi-line restructuring of the documents corpus:
     ' table ' → newline, plus two planted copies of each doc's first
@@ -1511,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "dup_span_removal": q_dup_span_removal,
         "c4_line_filter": q_c4_line_filter,
+        "gopher_repetition": q_gopher_repetition,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -2766,6 +2808,113 @@ def oracle_sql() -> dict[str, str]:
                    (NOT has_brace AND NOT has_lorem AND len(kept) >= 3)
                      AS keep_doc
             FROM k ORDER BY doc_id
+        """,
+
+        # Gopher repetition suite ground truth: the relational
+        # formulation (unnest → group by (doc, gram)) cross-checks the
+        # engine's in-array folds; integer numerators pinned exactly.
+        "gopher_repetition": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     replace(replace(coalesce(text, ''),
+                                     ' table ', chr(10) || chr(10)),
+                             ' value ', chr(10))
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || chr(10) || '{_GOPHER_SPAM}'
+                                  || chr(10) || chr(10) || '{_GOPHER_SPAM}'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || '{_GOPHER_CLICK}'
+                             ELSE '' END AS mtext
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     list_filter(string_split(mtext, chr(10) || chr(10)),
+                                 s -> s <> '') AS paras,
+                     list_filter(string_split(mtext, chr(10)),
+                                 s -> s <> '') AS lines,
+                     {_sql_words('mtext')} AS words
+              FROM m
+            ), s AS (
+              SELECT doc_id,
+                     len(paras) AS np, len(list_distinct(paras)) AS ndp,
+                     coalesce(list_sum(list_transform(paras,
+                       x -> length(x))), 0) AS ptot,
+                     coalesce(list_sum(list_transform(list_distinct(paras),
+                       x -> length(x))), 0) AS pdist,
+                     len(lines) AS nl, len(list_distinct(lines)) AS ndl,
+                     coalesce(list_sum(list_transform(lines,
+                       x -> length(x))), 0) AS ltot,
+                     coalesce(list_sum(list_transform(list_distinct(lines),
+                       x -> length(x))), 0) AS ldist,
+                     coalesce(length(array_to_string(words, ' ')), 0)
+                       AS norm_len
+              FROM b
+            ){"".join(f''', g{n} AS (
+              SELECT doc_id, list_filter(list_transform(words, (x, i) ->
+                CASE WHEN i + {n - 1} <= len(words)
+                     THEN array_to_string(words[i:i+{n - 1}], ' ') END),
+                x -> x IS NOT NULL) AS grams
+              FROM b
+            ), c{n} AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt,
+                     length(gram) AS glen
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g{n})
+              GROUP BY doc_id, gram
+            )''' for n in (2, 3, 4, 5, 10))}{"".join(f''', t{n} AS (
+              SELECT doc_id, cnt * glen AS cover
+              FROM (SELECT doc_id, cnt, glen, ROW_NUMBER() OVER
+                      (PARTITION BY doc_id
+                       ORDER BY cnt DESC, glen DESC) AS rn
+                    FROM c{n})
+              WHERE rn = 1
+            )''' for n in (2, 3, 4))}{"".join(f''', d{n} AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END)
+                       AS dup,
+                     SUM(cnt * glen) AS tot
+              FROM c{n} GROUP BY doc_id
+            )''' for n in (5, 10))}
+            SELECT s.doc_id,
+                   CAST(s.np AS BIGINT) AS n_paras,
+                   ROUND(CASE WHEN s.np > 0
+                              THEN (s.np - s.ndp) / CAST(s.np AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_para_frac,
+                   ROUND(CASE WHEN s.ptot > 0
+                              THEN (s.ptot - s.pdist)
+                                   / CAST(s.ptot AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_para_char_frac,
+                   CAST(s.nl AS BIGINT) AS n_lines_rep,
+                   ROUND(CASE WHEN s.nl > 0
+                              THEN (s.nl - s.ndl) / CAST(s.nl AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN s.ltot > 0
+                              THEN (s.ltot - s.ldist)
+                                   / CAST(s.ltot AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_line_char_frac,
+                   CAST(s.norm_len AS BIGINT) AS norm_text_len
+                   {"".join(f''',
+                   CAST(coalesce(t{n}.cover, 0) AS BIGINT)
+                     AS top_{n}gram_cover,
+                   ROUND(CASE WHEN s.norm_len > 0
+                              THEN coalesce(t{n}.cover, 0)
+                                   / CAST(s.norm_len AS DOUBLE)
+                              ELSE 0.0 END, 6)
+                     AS top_{n}gram_char_frac''' for n in (2, 3, 4))}
+                   {"".join(f''',
+                   CAST(coalesce(d{n}.dup, 0) AS BIGINT)
+                     AS dup_{n}gram_chars,
+                   CAST(coalesce(d{n}.tot, 0) AS BIGINT)
+                     AS ngram_{n}_tot_chars,
+                   ROUND(CASE WHEN coalesce(d{n}.tot, 0) > 0
+                              THEN d{n}.dup / CAST(d{n}.tot AS DOUBLE)
+                              ELSE 0.0 END, 6)
+                     AS dup_{n}gram_char_frac''' for n in (5, 10))}
+            FROM s
+            LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+            LEFT JOIN d10 USING (doc_id)
+            ORDER BY s.doc_id
         """,
 
         # Lee-et-al substring removal: winner per span hash keeps its

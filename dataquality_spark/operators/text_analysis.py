@@ -356,3 +356,179 @@ def corpus_top_ngrams(df: DataFrame, text_col: str = "text",
             .groupBy("ngram")
             .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k))
+
+
+def _string_grams(words: Column, n: int) -> Column:
+    """Array of word n-grams as space-joined strings (empty for < n words)."""
+    k = F.size(words) - (n - 1)
+    return F.when(k > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def _seg_dup_stats(segs: Column) -> tuple[Column, Column, Column]:
+    """(n, dup_frac, dup_char_frac) over a segment array: occurrences
+    beyond the first of each distinct segment count as duplicates, both
+    by segment count and by character mass."""
+    n = F.size(segs).cast("long")
+    distinct = F.array_distinct(segs)
+    nd = F.size(distinct).cast("long")
+    zero = F.lit(0).cast("long")
+    tot = F.aggregate(segs, zero,
+                      lambda a, x: a + F.length(x).cast("long"))
+    dist_chars = F.aggregate(distinct, zero,
+                             lambda a, x: a + F.length(x).cast("long"))
+    dup_frac = F.round(
+        F.when(n > 0, (n - nd).cast("double") / n.cast("double"))
+         .otherwise(F.lit(0.0)), 6)
+    dup_char_frac = F.round(
+        F.when(tot > 0, (tot - dist_chars).cast("double")
+               / tot.cast("double"))
+         .otherwise(F.lit(0.0)), 6)
+    return n, dup_frac, dup_char_frac
+
+
+def _top_gram_cover(sorted_grams: Column) -> Column:
+    """Character mass of the most frequent gram: count × char length,
+    ties on count broken toward the longer gram (then the product is
+    tie-free). One fold over the sorted gram array — O(L) after the
+    O(L log L) sort, zero shuffle."""
+    def _merge(a, x):
+        run = (F.when(a["prev"].isNull() | (a["prev"] != x),
+                      F.lit(1).cast("long"))
+               .otherwise(a["run"] + F.lit(1).cast("long")))
+        ln = F.length(x).cast("long")
+        better = (run > a["bc"]) | ((run == a["bc"]) & (ln > a["bl"]))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(a["bc"]).alias("bc"),
+            F.when(better, ln).otherwise(a["bl"]).alias("bl"))
+
+    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("bc"),
+                    F.lit(0).cast("long").alias("bl"))
+    return F.aggregate(sorted_grams, acc0, _merge,
+                       lambda a: a["bc"] * a["bl"])
+
+
+def _dup_gram_chars(sorted_grams: Column) -> Column:
+    """struct(dup, tot) char mass over gram OCCURRENCES: every
+    occurrence of a gram that appears more than once contributes its
+    char length to the duplicated mass (including the first occurrence,
+    which is charged retroactively when the second arrives)."""
+    def _merge(a, x):
+        run = (F.when(a["prev"].isNull() | (a["prev"] != x),
+                      F.lit(1).cast("long"))
+               .otherwise(a["run"] + F.lit(1).cast("long")))
+        ln = F.length(x).cast("long")
+        add = (F.when(run == 2, ln + ln)
+               .when(run > 2, ln)
+               .otherwise(F.lit(0).cast("long")))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        (a["dup"] + add).alias("dup"),
+                        (a["tot"] + ln).alias("tot"))
+
+    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("dup"),
+                    F.lit(0).cast("long").alias("tot"))
+    return F.aggregate(sorted_grams, acc0, _merge,
+                       lambda a: F.struct(a["dup"].alias("dup"),
+                                          a["tot"].alias("tot")))
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      top_ns: tuple[int, ...] = (2, 3, 4),
+                      dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
+                      ) -> DataFrame:
+    """The full Gopher repetition-filter statistics (Rae et al. 2021,
+    Table A1) as one per-document projection — the signature removal
+    suite for machine-generated / boilerplate web text (reference
+    uniqueness dimension, /root/reference/DataQuality_AI_CaseStudy.md:
+    123-128, generalized from column-level to within-document):
+
+    * dup_para_frac / dup_para_char_frac — paragraph ("\\n\\n" segment)
+      occurrences beyond the first of each distinct paragraph, by count
+      and by character mass (Gopher drops at 0.30 / 0.20).
+    * dup_line_frac / dup_line_char_frac — the same over "\\n" lines
+      (Gopher drops at 0.30 / 0.20).
+    * top_{n}gram_char_frac for n in top_ns — character mass of the
+      single most frequent word n-gram (count × chars of the
+      space-joined gram) over the normalized text length
+      (`length(concat_ws(' ', words))`); Gopher drops 2/3/4-grams above
+      0.20 / 0.18 / 0.16. `top_{n}gram_cover` carries the exact integer
+      numerator.
+    * dup_{n}gram_char_frac for n in dup_ns — fraction of n-gram
+      occurrence character mass belonging to grams seen more than once
+      (all occurrences of a duplicated gram count, first included);
+      Gopher drops 5..10-grams above 0.15 / 0.14 / 0.13 / 0.12 / 0.11 /
+      0.10. `dup_{n}gram_chars` / `ngram_{n}_tot_chars` carry the exact
+      integers.
+
+    Also adds n_paras, n_lines_rep, norm_text_len. Fractions are
+    rounded to 6 dp; every numerator/denominator is an exact BIGINT so
+    the cross-engine contract can pin integers even where a quotient's
+    last ulp might differ.
+
+    Scale design: a pure projection — each statistic is an array fold
+    over per-document segment/gram arrays (O(L log L) per doc for the
+    in-array sorts), zero shuffles, zero joins, embarrassingly parallel
+    at 10^12 documents. The relational formulation (explode → groupBy
+    (doc, gram)) would shuffle every n-gram occurrence in the corpus;
+    the DuckDB oracle uses it at test scale to cross-check the folds.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # Materialize the segment/word arrays ONCE — every fold below
+    # references the column instead of re-splitting the text (the plan
+    # otherwise re-runs split+filter per statistic).
+    words = F.col("_gr_words")
+    norm_len = F.length(F.concat_ws(" ", words)).cast("long")
+
+    n_paras, dup_para_frac, dup_para_char_frac = \
+        _seg_dup_stats(F.col("_gr_paras"))
+    n_lines, dup_line_frac, dup_line_char_frac = \
+        _seg_dup_stats(F.col("_gr_lines"))
+
+    out = (df
+           .withColumn("_gr_words", _words(F.col(text_col)))
+           .withColumn("_gr_paras",
+                       F.filter(F.split(text, "\n\n", -1),
+                                lambda s: s != ""))
+           .withColumn("_gr_lines",
+                       F.filter(F.split(text, "\n", -1),
+                                lambda s: s != ""))
+           .withColumn("n_paras", n_paras)
+           .withColumn("dup_para_frac", dup_para_frac)
+           .withColumn("dup_para_char_frac", dup_para_char_frac)
+           .withColumn("n_lines_rep", n_lines)
+           .withColumn("dup_line_frac", dup_line_frac)
+           .withColumn("dup_line_char_frac", dup_line_char_frac)
+           .withColumn("norm_text_len", norm_len))
+    for n in top_ns:
+        cover = _top_gram_cover(F.sort_array(_string_grams(words, n)))
+        out = (out
+               .withColumn(f"top_{n}gram_cover", cover)
+               .withColumn(
+                   f"top_{n}gram_char_frac",
+                   F.round(F.when(
+                       F.col("norm_text_len") > 0,
+                       F.col(f"top_{n}gram_cover").cast("double")
+                       / F.col("norm_text_len").cast("double"))
+                       .otherwise(F.lit(0.0)), 6)))
+    for n in dup_ns:
+        dg = _dup_gram_chars(F.sort_array(_string_grams(words, n)))
+        out = (out
+               .withColumn(f"_dg{n}", dg)
+               .withColumn(f"dup_{n}gram_chars", F.col(f"_dg{n}")["dup"])
+               .withColumn(f"ngram_{n}_tot_chars", F.col(f"_dg{n}")["tot"])
+               .drop(f"_dg{n}")
+               .withColumn(
+                   f"dup_{n}gram_char_frac",
+                   F.round(F.when(
+                       F.col(f"ngram_{n}_tot_chars") > 0,
+                       F.col(f"dup_{n}gram_chars").cast("double")
+                       / F.col(f"ngram_{n}_tot_chars").cast("double"))
+                       .otherwise(F.lit(0.0)), 6)))
+    return out.drop("_gr_words", "_gr_paras", "_gr_lines")

@@ -673,3 +673,137 @@ def test_exact_percentiles_empty_input(spark, method):
     out = profile.exact_percentiles(
         df, {"x": [(0.5, "x50"), (0.9, "x90")]}, method=method).collect()[0]
     assert out.x50 is None and out.x90 is None
+
+
+# ---------------------------------------------------------------- gopher
+
+
+def _r6(x):
+    """round(x, 6) with Spark semantics: HALF_UP on the shortest decimal
+    repr (BigDecimal.valueOf), not Python's banker's rounding."""
+    import decimal
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+
+def _gopher_pyref(t, top_ns, dup_ns):
+    """Independent pure-Python Gopher repetition stats (Counter-based —
+    no shared code with the Spark array folds)."""
+    from collections import Counter
+
+    t = t or ""
+    paras = [p for p in t.split("\n\n") if p != ""]
+    lines = [l for l in t.split("\n") if l != ""]
+    words = [w for w in t.split() if w != ""]
+    norm = len(" ".join(words))
+
+    def seg(ss):
+        n = len(ss)
+        dist = list(dict.fromkeys(ss))
+        tot = sum(len(s) for s in ss)
+        dc = sum(len(s) for s in dist)
+        return (n,
+                _r6((n - len(dist)) / n) if n else 0.0,
+                _r6((tot - dc) / tot) if tot else 0.0)
+
+    def grams(n):
+        return [" ".join(words[i:i + n])
+                for i in range(len(words) - n + 1)]
+
+    out = {}
+    out["n_paras"], out["dup_para_frac"], out["dup_para_char_frac"] = \
+        seg(paras)
+    (out["n_lines_rep"], out["dup_line_frac"],
+     out["dup_line_char_frac"]) = seg(lines)
+    out["norm_text_len"] = norm
+    for n in top_ns:
+        g = grams(n)
+        cover = 0
+        if g:
+            c = Counter(g)
+            best = max(c.items(), key=lambda kv: (kv[1], len(kv[0])))
+            cover = best[1] * len(best[0])
+        out[f"top_{n}gram_cover"] = cover
+        out[f"top_{n}gram_char_frac"] = (
+            _r6(cover / norm) if norm else 0.0)
+    for n in dup_ns:
+        g = grams(n)
+        c = Counter(g)
+        dup = sum(cnt * len(k) for k, cnt in c.items() if cnt > 1)
+        tot = sum(len(x) for x in g)
+        out[f"dup_{n}gram_chars"] = dup
+        out[f"ngram_{n}_tot_chars"] = tot
+        out[f"dup_{n}gram_char_frac"] = (
+            _r6(dup / tot) if tot else 0.0)
+    return out
+
+
+_GOPHER_EDGE_TEXTS = [
+    "alpha beta gamma\n\nalpha beta gamma\n\ndelta",
+    "a b c d e f g h i j a b c d e f g h i j",
+    "one line\nrepeated line\nrepeated line\nother",
+    "",
+    None,
+    "solo",
+    "x y\n\nx y\n\nx y\n\nz",
+    "spam spam spam spam spam spam spam spam spam spam spam spam",
+    "a\n\n\nb",
+    "  leading and   multiple   spaces here  ",
+    "tie tie bb bb",          # 2-gram count tie → longer gram wins
+]
+
+
+def _assert_gopher_matches(spark, texts, top_ns, dup_ns):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in text_analysis
+           .gopher_repetition(df, "text", top_ns=top_ns,
+                              dup_ns=dup_ns).collect()}
+    for i, t in enumerate(texts):
+        want = _gopher_pyref(t, top_ns, dup_ns)
+        for k, v in want.items():
+            g = got[i][k]
+            if isinstance(v, float):
+                assert abs(g - v) < 1e-9, (i, k, g, v, t)
+            else:
+                assert g == v, (i, k, g, v, t)
+
+
+def test_gopher_repetition_edge_cases(spark):
+    """Every stat equals the Counter-based reference on NULL/empty/
+    multi-separator/tie-break edge cases, including n > n_words."""
+    _assert_gopher_matches(spark, _GOPHER_EDGE_TEXTS,
+                           top_ns=(2, 3), dup_ns=(2, 5, 10))
+
+
+def test_gopher_repetition_corpus(docs, docs_pd, spark):
+    """Full default-parameter suite over the sf0.001 corpus (natural
+    small-vocab repetition, no planted structure)."""
+    res = text_analysis.gopher_repetition(docs, "text").orderBy("doc_id")
+    got = {r["doc_id"]: r.asDict() for r in res.collect()}
+    for _, row in docs_pd.iterrows():
+        want = _gopher_pyref(row["text"], (2, 3, 4), (5, 6, 7, 8, 9, 10))
+        g = got[row["doc_id"]]
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(g[k] - v) < 1e-9, (row["doc_id"], k)
+            else:
+                assert g[k] == v, (row["doc_id"], k)
+
+
+def test_gopher_repetition_property(spark):
+    """Randomized small-alphabet documents (dense collisions) across
+    newline structures — one batched Spark round-trip."""
+    import random
+
+    rng = random.Random(20260818)
+    vocab = ["aa", "b", "ccc", "dd"]
+    texts = []
+    for _ in range(60):
+        n = rng.randrange(0, 12)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        s = ""
+        for tk in toks:
+            s += tk + rng.choice([" ", " ", "\n", "\n\n"])
+        texts.append(s)
+    _assert_gopher_matches(spark, texts, top_ns=(2, 3), dup_ns=(2, 3, 5))
