@@ -1033,6 +1033,37 @@ def q_gopher_repetition(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_FW_DUP_LINE = "duplicated filler line for the char mass accounting rule!"
+
+
+def q_fineweb_quality(spark, sf_dir):
+    """FineWeb line-quality filters (Penedo et al. 2024 §3.2;
+    operators/text_analysis.fineweb_line_stats): punctuation-ending
+    line ratio, short-line ratio, duplicated-line char mass over
+    newline-free text length, and the combined keep flag at the
+    paper's thresholds (0.12 / 0.67 / 0.10). Input: documents
+    restructured (' table ' → newline) with a short punct line planted
+    on doc_id%4 and an identical long line planted twice on doc_id%6.
+    Zero-shuffle projection; integer numerators pinned exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    base = F.replace(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" table "), F.lit("\n"))
+    mtext = F.concat(
+        base,
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\nshort."))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("\n" + _FW_DUP_LINE + "\n" + _FW_DUP_LINE))
+         .otherwise(F.lit("")))
+    return (text_analysis.fineweb_line_stats(
+                docs.withColumn("mtext", mtext), "mtext")
+            .select("doc_id", "n_lines_fw", "n_punct_lines",
+                    "n_short_lines", "dup_line_chars", "text_len_nonl",
+                    "punct_end_frac", "short_line_frac",
+                    "line_dup_char_frac", "keep_fineweb")
+            .orderBy("doc_id"))
+
+
 def _multiline_docs(docs):
     """Deterministic multi-line restructuring of the documents corpus:
     ' table ' → newline, plus two planted copies of each doc's first
@@ -1553,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "c4_line_filter": q_c4_line_filter,
         "gopher_repetition": q_gopher_repetition,
+        "fineweb_quality": q_fineweb_quality,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -2915,6 +2947,62 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
             LEFT JOIN d10 USING (doc_id)
             ORDER BY s.doc_id
+        """,
+
+        # FineWeb line-quality ground truth: list folds over non-blank
+        # lines; keep flag re-derived from the same rounded fractions.
+        "fineweb_quality": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     replace(coalesce(text, ''), ' table ', chr(10))
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || 'short.' ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0
+                             THEN chr(10) || '{_FW_DUP_LINE}'
+                                  || chr(10) || '{_FW_DUP_LINE}'
+                             ELSE '' END AS mtext
+              FROM documents
+            ), b AS (
+              SELECT doc_id, mtext,
+                     list_filter(string_split(mtext, chr(10)),
+                                 s -> trim(s) <> '') AS lines
+              FROM m
+            ), s AS (
+              SELECT doc_id,
+                     len(lines) AS n,
+                     len(list_filter(lines, x ->
+                       right(x, 1) IN ('.', '!', '?', '"', ''''))) AS np,
+                     len(list_filter(lines, x -> length(x) < 30)) AS ns,
+                     coalesce(list_sum(list_transform(lines,
+                       x -> length(x))), 0)
+                     - coalesce(list_sum(list_transform(
+                         list_distinct(lines), x -> length(x))), 0)
+                       AS dupc,
+                     length(replace(mtext, chr(10), '')) AS tl
+              FROM b
+            ), fr AS (
+              SELECT doc_id,
+                     CAST(n AS BIGINT) AS n_lines_fw,
+                     CAST(np AS BIGINT) AS n_punct_lines,
+                     CAST(ns AS BIGINT) AS n_short_lines,
+                     CAST(dupc AS BIGINT) AS dup_line_chars,
+                     CAST(tl AS BIGINT) AS text_len_nonl,
+                     ROUND(CASE WHEN n > 0
+                                THEN np / CAST(n AS DOUBLE)
+                                ELSE 0.0 END, 6) AS punct_end_frac,
+                     ROUND(CASE WHEN n > 0
+                                THEN ns / CAST(n AS DOUBLE)
+                                ELSE 0.0 END, 6) AS short_line_frac,
+                     ROUND(CASE WHEN tl > 0
+                                THEN dupc / CAST(tl AS DOUBLE)
+                                ELSE 0.0 END, 6) AS line_dup_char_frac
+              FROM s
+            )
+            SELECT *,
+                   (punct_end_frac >= 0.12
+                    AND line_dup_char_frac <= 0.10
+                    AND short_line_frac <= 0.67) AS keep_fineweb
+            FROM fr ORDER BY doc_id
         """,
 
         # Lee-et-al substring removal: winner per span hash keeps its

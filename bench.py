@@ -40,7 +40,7 @@ HEADLINE = [
     # span removal) — headline totals are NOT comparable to r03's
     # 28-query line; compare per-query timings instead
     "temperature_mix", "ccnet_buckets", "dsir_scores", "dup_span_removal",
-    "c4_line_filter", "gopher_repetition",
+    "c4_line_filter", "gopher_repetition", "fineweb_quality",
 ]
 
 

@@ -439,6 +439,87 @@ def _dup_gram_chars(sorted_grams: Column) -> Column:
                                           a["tot"].alias("tot")))
 
 
+def fineweb_line_stats(df: DataFrame, text_col: str = "text",
+                       short_chars: int = 30,
+                       terminal_punct: str = ".!?\"'",
+                       min_punct_frac: float = 0.12,
+                       max_dup_char_frac: float = 0.10,
+                       max_short_frac: float = 0.67) -> DataFrame:
+    """FineWeb's line-quality filters (Penedo et al. 2024 §3.2, the
+    three 'new heuristic filters' that drove their biggest quality
+    gain) as one zero-shuffle projection over non-blank lines
+    (trim(line) != '' — SQL TRIM semantics, i.e. blank = spaces only,
+    identical in Spark and the DuckDB oracle; a tab-only line counts
+    as a line):
+
+    * punct_end_frac — fraction of lines whose last character is
+      terminal punctuation (FineWeb drops below 0.12).
+    * short_line_frac — fraction of lines shorter than `short_chars`
+      characters (FineWeb drops above 0.67 at 30 chars).
+    * line_dup_char_frac — character mass of line occurrences beyond
+      the first of each distinct line, over the newline-free text
+      length (FineWeb drops above 0.10).
+    * keep_fineweb — all three thresholds pass (flag-table semantics:
+      never drops rows itself).
+
+    Adds: n_lines_fw, n_punct_lines, n_short_lines, dup_line_chars,
+    text_len_nonl, punct_end_frac, short_line_frac,
+    line_dup_char_frac, keep_fineweb. Fractions rounded to 6 dp;
+    integer numerators/denominators ride along for the cross-engine
+    contract. Scale: pure per-row codegen arithmetic + two array
+    folds — the same cost class as gopher_repetition, zero exchanges.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, "\n", -1),
+                     lambda s: F.trim(s) != "")
+    out = df.withColumn("_fw_lines", lines)
+    lc = F.col("_fw_lines")
+    n = F.size(lc).cast("long")
+    punct = [F.lit(c) for c in terminal_punct]
+    n_punct = F.size(F.filter(
+        lc, lambda x: F.array_contains(F.array(*punct),
+                                       F.substring(x, -1, 1)))) \
+        .cast("long")
+    n_short = F.size(F.filter(
+        lc, lambda x: F.length(x) < short_chars)).cast("long")
+    zero = F.lit(0).cast("long")
+    tot_chars = F.aggregate(lc, zero,
+                            lambda a, x: a + F.length(x).cast("long"))
+    dist_chars = F.aggregate(F.array_distinct(lc), zero,
+                             lambda a, x: a + F.length(x).cast("long"))
+    text_len = F.length(F.replace(text, F.lit("\n"), F.lit(""))) \
+        .cast("long")
+    out = (out
+           .withColumn("n_lines_fw", n)
+           .withColumn("n_punct_lines", n_punct)
+           .withColumn("n_short_lines", n_short)
+           .withColumn("dup_line_chars", tot_chars - dist_chars)
+           .withColumn("text_len_nonl", text_len)
+           .drop("_fw_lines"))
+    nn = F.col("n_lines_fw")
+    punct_frac = F.round(
+        F.when(nn > 0, F.col("n_punct_lines").cast("double")
+               / nn.cast("double")).otherwise(F.lit(0.0)), 6)
+    short_frac = F.round(
+        F.when(nn > 0, F.col("n_short_lines").cast("double")
+               / nn.cast("double")).otherwise(F.lit(0.0)), 6)
+    dup_frac = F.round(
+        F.when(F.col("text_len_nonl") > 0,
+               F.col("dup_line_chars").cast("double")
+               / F.col("text_len_nonl").cast("double"))
+         .otherwise(F.lit(0.0)), 6)
+    return (out
+            .withColumn("punct_end_frac", punct_frac)
+            .withColumn("short_line_frac", short_frac)
+            .withColumn("line_dup_char_frac", dup_frac)
+            .withColumn(
+                "keep_fineweb",
+                (F.col("punct_end_frac") >= F.lit(min_punct_frac))
+                & (F.col("line_dup_char_frac")
+                   <= F.lit(max_dup_char_frac))
+                & (F.col("short_line_frac") <= F.lit(max_short_frac))))
+
+
 def gopher_repetition(df: DataFrame, text_col: str = "text",
                       top_ns: tuple[int, ...] = (2, 3, 4),
                       dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)

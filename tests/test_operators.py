@@ -807,3 +807,76 @@ def test_gopher_repetition_property(spark):
             s += tk + rng.choice([" ", " ", "\n", "\n\n"])
         texts.append(s)
     _assert_gopher_matches(spark, texts, top_ns=(2, 3), dup_ns=(2, 3, 5))
+
+
+# ---------------------------------------------------------------- fineweb
+
+
+def _fineweb_pyref(t, short_chars=30):
+    t = t or ""
+    lines = [l for l in t.split("\n") if l.strip(" ") != ""]
+    n = len(lines)
+    np_ = sum(1 for l in lines if l and l[-1] in ".!?\"'")
+    ns = sum(1 for l in lines if len(l) < short_chars)
+    dist = list(dict.fromkeys(lines))
+    dupc = sum(len(l) for l in lines) - sum(len(l) for l in dist)
+    tl = len(t.replace("\n", ""))
+    pf = _r6(np_ / n) if n else 0.0
+    sf = _r6(ns / n) if n else 0.0
+    df_ = _r6(dupc / tl) if tl else 0.0
+    return dict(n_lines_fw=n, n_punct_lines=np_, n_short_lines=ns,
+                dup_line_chars=dupc, text_len_nonl=tl,
+                punct_end_frac=pf, short_line_frac=sf,
+                line_dup_char_frac=df_,
+                keep_fineweb=(pf >= 0.12 and df_ <= 0.10
+                              and sf <= 0.67))
+
+
+def test_fineweb_line_stats_edge_and_random(spark):
+    """Spark fineweb_line_stats ≡ the pure-Python reference on NULL/
+    blank-line/whitespace-line edges plus randomized small documents."""
+    import random
+
+    texts = [
+        "",
+        None,
+        "   \n \t \n",                      # only blank lines
+        "good line ends here.\nshort.\nno punct line at all here",
+        "dup dup dup!\ndup dup dup!\nother line that is long enough.",
+        "x",                                 # one short no-punct line
+        'quoted line ends in a double quote"',
+        "apostrophe line'",
+    ]
+    rng = random.Random(4)
+    frag = ["tiny.", "a somewhat longer line without punct",
+            "this line definitely ends with punctuation!",
+            "repeat me.", " ", ""]
+    for _ in range(40):
+        texts.append("\n".join(rng.choice(frag)
+                               for _ in range(rng.randrange(0, 8))))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           text_analysis.fineweb_line_stats(df, "text").collect()}
+    for i, t in enumerate(texts):
+        want = _fineweb_pyref(t)
+        for k, v in want.items():
+            g = got[i][k]
+            if isinstance(v, float):
+                assert abs(g - v) < 1e-9, (i, k, g, v, t)
+            else:
+                assert g == v, (i, k, g, v, t)
+
+
+def test_fineweb_line_stats_corpus(docs, docs_pd):
+    """Default thresholds over the sf0.001 corpus."""
+    got = {r["doc_id"]: r.asDict() for r in
+           text_analysis.fineweb_line_stats(docs, "text").collect()}
+    for _, row in docs_pd.iterrows():
+        want = _fineweb_pyref(row["text"])
+        g = got[row["doc_id"]]
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(g[k] - v) < 1e-9, (row["doc_id"], k)
+            else:
+                assert g[k] == v, (row["doc_id"], k)
