@@ -1033,6 +1033,19 @@ def q_gopher_repetition(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 full-scan retrieval (operators/text_analysis.bm25_topk):
+    top-15 documents for the 3-term query (table, spark, query) —
+    Lucene idf, k1=1.2, b=0.75. One slim scan (id, dl, tf…), ONE
+    broadcast stats row (N, avgdl, df), TakeOrderedAndProject ranking;
+    rounded-score ordering with id tie-break keeps the top-k set
+    engine-independent (the corpus plants exact-dup docs → exact score
+    ties)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.bm25_topk(
+        docs, ["table", "spark", "query"], "text", "doc_id", k=15)
+
+
 _FW_DUP_LINE = "duplicated filler line for the char mass accounting rule!"
 
 
@@ -1585,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "gopher_repetition": q_gopher_repetition,
         "fineweb_quality": q_fineweb_quality,
+        "bm25_search": q_bm25_search,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -2947,6 +2961,59 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
             LEFT JOIN d10 USING (doc_id)
             ORDER BY s.doc_id
+        """,
+
+        # BM25 ground truth: same Lucene formula in SQL, score summed
+        # in the same term order (float addition is non-associative),
+        # ordered by the ROUNDED score so near-ties collapse before the
+        # doc_id tie-break picks the same rows in both engines.
+        "bm25_search": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     {_sql_words("lower(coalesce(text, ''))")} AS words
+              FROM documents
+            ), p AS (
+              SELECT doc_id, len(words) AS dl,
+                     len(list_filter(words, x -> x = 'table')) AS tf0,
+                     len(list_filter(words, x -> x = 'spark')) AS tf1,
+                     len(list_filter(words, x -> x = 'query')) AS tf2
+              FROM w
+            ), st0 AS (
+              SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                     SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM p
+            ), st AS (
+              SELECT *, CAST(sum_dl AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE) AS avgdl
+              FROM st0
+            )
+            SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+                   CAST(tf0 AS BIGINT) AS tf_table,
+                   CAST(tf1 AS BIGINT) AS tf_spark,
+                   CAST(tf2 AS BIGINT) AS tf_query,
+                   ROUND(
+                     ln(1.0 + (CAST(n_docs - df0 AS DOUBLE) + 0.5)
+                              / (CAST(df0 AS DOUBLE) + 0.5))
+                       * CAST(tf0 AS DOUBLE) * 2.2
+                       / (CAST(tf0 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                          / avgdl))
+                   + ln(1.0 + (CAST(n_docs - df1 AS DOUBLE) + 0.5)
+                              / (CAST(df1 AS DOUBLE) + 0.5))
+                       * CAST(tf1 AS DOUBLE) * 2.2
+                       / (CAST(tf1 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                          / avgdl))
+                   + ln(1.0 + (CAST(n_docs - df2 AS DOUBLE) + 0.5)
+                              / (CAST(df2 AS DOUBLE) + 0.5))
+                       * CAST(tf2 AS DOUBLE) * 2.2
+                       / (CAST(tf2 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                          / avgdl)), 6) AS bm25
+            FROM p CROSS JOIN st
+            ORDER BY bm25 DESC, doc_id LIMIT 15
         """,
 
         # FineWeb line-quality ground truth: list folds over non-blank

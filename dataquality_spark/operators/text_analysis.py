@@ -439,6 +439,82 @@ def _dup_gram_chars(sorted_grams: Column) -> Column:
                                           a["tot"].alias("tot")))
 
 
+def bm25_topk(df: DataFrame, terms: list[str], text_col: str = "text",
+              id_col: str = "doc_id", k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              lowercase: bool = True) -> DataFrame:
+    """BM25 full-scan retrieval: score every document against a bounded
+    bag of query terms (Robertson/Lucene idf:
+    ln(1 + (N - df + 0.5)/(df + 0.5))) and return the top k by rounded
+    score, ties broken id-ascending.
+
+    Output: (id_col, dl, tf_<term>..., bm25) — k rows; tf columns are
+    exact BIGINTs, bm25 rounded to 6 dp.
+
+    Scale design: the text column is scanned ONCE into a slim
+    projection (id, dl, per-term tf — text survives zero operators);
+    corpus stats (N, avgdl, per-term df) are ONE tree-aggregated row
+    cross-joined back via broadcast; the ranking is
+    TakeOrderedAndProject (k rows per partition to the driver merge —
+    never a global sort). At 10^12 docs this is the honest cold-query
+    cost; a repeated-query workload should materialize an inverted
+    index ((term, doc, tf) posting lists) instead — this operator is
+    the index builder's scoring ground truth.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        text = F.lower(text)
+        terms = [t.lower() for t in terms]
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+    def _eq(term):
+        # bind via closure — a 2-param lambda would receive the array
+        # INDEX as its second argument, clobbering a `t=t` default
+        lit = F.lit(term)
+        return lambda w: w == lit
+
+    proj = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("dl"),
+        *[F.size(F.filter(words, _eq(t)))
+          .cast("long").alias(f"tf_{i}")
+          for i, t in enumerate(terms)])
+    # avgdl from the EXACT integer token total (not F.avg, whose
+    # double partial sums are accumulation-order-dependent) — one
+    # deterministic double division, bit-identical across engines.
+    stats = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))])
+    stats = stats.withColumn(
+        "avgdl", F.col("sum_dl").cast("double")
+        / F.col("n_docs").cast("double"))
+    scored = proj.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(F.lit(1.0)
+                    + ((F.col("n_docs") - F.col(f"df_{i}")).cast("double")
+                       + F.lit(0.5))
+                    / (F.col(f"df_{i}").cast("double") + F.lit(0.5)))
+        norm = tf + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * F.col("dl").cast("double")
+                                 / F.col("avgdl"))
+        score = score + idf * tf * F.lit(k1 + 1.0) / norm
+    out = scored.withColumn("bm25", F.round(score, 6))
+    sel = [F.col(id_col), F.col("dl")]
+    sel += [F.col(f"tf_{i}").alias(f"tf_{t}")
+            for i, t in enumerate(terms)]
+    sel += [F.col("bm25")]
+    return (out.select(*sel)
+            .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
+
+
 def fineweb_line_stats(df: DataFrame, text_col: str = "text",
                        short_chars: int = 30,
                        terminal_punct: str = ".!?\"'",

@@ -880,3 +880,60 @@ def test_fineweb_line_stats_corpus(docs, docs_pd):
                 assert abs(g[k] - v) < 1e-9, (row["doc_id"], k)
             else:
                 assert g[k] == v, (row["doc_id"], k)
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_topk_vs_python(spark, docs, docs_pd):
+    """Spark bm25_topk ≡ a pure-Python BM25 (Lucene idf) on the
+    sf0.001 corpus, including exact-tie ordering via doc_id."""
+    import math
+
+    terms = ["table", "spark", "query"]
+    k1, b, k = 1.2, 0.75, 12
+    rows = [((r["doc_id"]),
+             [w for w in (r["text"] or "").lower().split() if w])
+            for _, r in docs_pd.iterrows()]
+    N = len(rows)
+    avgdl = sum(len(w) for _, w in rows) / N
+    dfs = {t: sum(1 for _, w in rows if t in w) for t in terms}
+    scored = []
+    for doc_id, w in rows:
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            idf = math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(w) / avgdl))
+        scored.append((doc_id, len(w),
+                       [w.count(t) for t in terms], _r6(s)))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    want = scored[:k]
+
+    got = text_analysis.bm25_topk(docs, terms, "text", "doc_id",
+                                  k=k).collect()
+    assert len(got) == k
+    for g, (doc_id, dl, tfs, s) in zip(got, want):
+        assert g["doc_id"] == doc_id
+        assert g["dl"] == dl
+        assert [g["tf_table"], g["tf_spark"], g["tf_query"]] == tfs
+        assert abs(g["bm25"] - s) < 1e-9
+
+
+def test_bm25_topk_validation_and_edges(spark):
+    """Empty/duplicate term lists raise; docs with no words score 0;
+    ties broken id-ascending."""
+    with pytest.raises(ValueError):
+        text_analysis.bm25_topk(None, [], "text")
+    with pytest.raises(ValueError):
+        text_analysis.bm25_topk(None, ["a", "a"], "text")
+    df = spark.createDataFrame(
+        [(1, "hit hit miss"), (2, "hit hit miss"), (3, ""),
+         (4, None), (5, "other words only")],
+        "doc_id long, text string")
+    out = text_analysis.bm25_topk(df, ["hit"], "text", "doc_id",
+                                  k=5).collect()
+    assert [r["doc_id"] for r in out[:2]] == [1, 2]   # tie → id asc
+    assert out[0]["bm25"] == out[1]["bm25"] > 0.0
+    assert all(r["bm25"] == 0.0 for r in out[2:])
