@@ -1046,6 +1046,24 @@ def q_bm25_search(spark, sf_dir):
         docs, ["table", "spark", "query"], "text", "doc_id", k=15)
 
 
+def q_bm25_indexed(spark, sf_dir):
+    """BM25 over a materialized inverted index
+    (operators/text_analysis.bm25_build_postings + bm25_topk_postings):
+    the repeated-query scale path — posting lists (term, doc_id, tf,
+    dl) built once via one explode + map-side-combined hash agg, then
+    the query touches ONLY its 3 terms' postings (term IN pruning →
+    one doc_id pivot agg → broadcast stats → TakeOrderedAndProject).
+    Scores are bit-identical to bm25_search (same fixed-order float
+    accumulation); output is its top-12 restricted to matching docs
+    (zero-match docs never enter an inverted index)."""
+    docs = _t(spark, sf_dir, "documents")
+    postings, doc_stats = text_analysis.bm25_build_postings(
+        docs, "text", "doc_id")
+    return text_analysis.bm25_topk_postings(
+        postings, doc_stats, ["table", "spark", "query"],
+        "doc_id", k=12)
+
+
 _FW_DUP_LINE = "duplicated filler line for the char mass accounting rule!"
 
 
@@ -1599,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "fineweb_quality": q_fineweb_quality,
         "bm25_search": q_bm25_search,
+        "bm25_indexed": q_bm25_indexed,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -1664,6 +1683,54 @@ def _sql_words(text_expr: str) -> str:
 
 def _sql_stop_in(langs_words: list[str]) -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in langs_words)
+
+
+def _bm25_oracle(where: str, k: int) -> str:
+    """BM25 ground truth shared by bm25_search (full scan, where='')
+    and bm25_indexed (matching docs only): same Lucene formula in SQL,
+    score summed in the same term order (float addition is
+    non-associative), ordered by the ROUNDED score so near-ties
+    collapse before the doc_id tie-break picks the same rows in both
+    engines. Terms pinned: table / spark / query; k1=1.2, b=0.75."""
+    contrib = "\n                   + ".join(
+        f"""ln(1.0 + (CAST(n_docs - df{i} AS DOUBLE) + 0.5)
+                              / (CAST(df{i} AS DOUBLE) + 0.5))
+                       * CAST(tf{i} AS DOUBLE) * 2.2
+                       / (CAST(tf{i} AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                          / avgdl))""" for i in range(3))
+    return f"""
+            WITH w AS (
+              SELECT doc_id,
+                     {_sql_words("lower(coalesce(text, ''))")} AS words
+              FROM documents
+            ), p AS (
+              SELECT doc_id, len(words) AS dl,
+                     len(list_filter(words, x -> x = 'table')) AS tf0,
+                     len(list_filter(words, x -> x = 'spark')) AS tf1,
+                     len(list_filter(words, x -> x = 'query')) AS tf2
+              FROM w
+            ), st0 AS (
+              SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                     SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM p
+            ), st AS (
+              SELECT *, CAST(sum_dl AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE) AS avgdl
+              FROM st0
+            )
+            SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+                   CAST(tf0 AS BIGINT) AS tf_table,
+                   CAST(tf1 AS BIGINT) AS tf_spark,
+                   CAST(tf2 AS BIGINT) AS tf_query,
+                   ROUND(
+                     {contrib}, 6) AS bm25
+            FROM p CROSS JOIN st
+            {where}
+            ORDER BY bm25 DESC, doc_id LIMIT {k}
+        """
 
 
 def _langid_vote_sql() -> str:
@@ -2963,58 +3030,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s.doc_id
         """,
 
-        # BM25 ground truth: same Lucene formula in SQL, score summed
-        # in the same term order (float addition is non-associative),
-        # ordered by the ROUNDED score so near-ties collapse before the
-        # doc_id tie-break picks the same rows in both engines.
-        "bm25_search": f"""
-            WITH w AS (
-              SELECT doc_id,
-                     {_sql_words("lower(coalesce(text, ''))")} AS words
-              FROM documents
-            ), p AS (
-              SELECT doc_id, len(words) AS dl,
-                     len(list_filter(words, x -> x = 'table')) AS tf0,
-                     len(list_filter(words, x -> x = 'spark')) AS tf1,
-                     len(list_filter(words, x -> x = 'query')) AS tf2
-              FROM w
-            ), st0 AS (
-              SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
-                     SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-                     SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-                     SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-              FROM p
-            ), st AS (
-              SELECT *, CAST(sum_dl AS DOUBLE)
-                        / CAST(n_docs AS DOUBLE) AS avgdl
-              FROM st0
-            )
-            SELECT doc_id, CAST(dl AS BIGINT) AS dl,
-                   CAST(tf0 AS BIGINT) AS tf_table,
-                   CAST(tf1 AS BIGINT) AS tf_spark,
-                   CAST(tf2 AS BIGINT) AS tf_query,
-                   ROUND(
-                     ln(1.0 + (CAST(n_docs - df0 AS DOUBLE) + 0.5)
-                              / (CAST(df0 AS DOUBLE) + 0.5))
-                       * CAST(tf0 AS DOUBLE) * 2.2
-                       / (CAST(tf0 AS DOUBLE)
-                          + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-                                          / avgdl))
-                   + ln(1.0 + (CAST(n_docs - df1 AS DOUBLE) + 0.5)
-                              / (CAST(df1 AS DOUBLE) + 0.5))
-                       * CAST(tf1 AS DOUBLE) * 2.2
-                       / (CAST(tf1 AS DOUBLE)
-                          + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-                                          / avgdl))
-                   + ln(1.0 + (CAST(n_docs - df2 AS DOUBLE) + 0.5)
-                              / (CAST(df2 AS DOUBLE) + 0.5))
-                       * CAST(tf2 AS DOUBLE) * 2.2
-                       / (CAST(tf2 AS DOUBLE)
-                          + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-                                          / avgdl)), 6) AS bm25
-            FROM p CROSS JOIN st
-            ORDER BY bm25 DESC, doc_id LIMIT 15
-        """,
+        # BM25 ground truth: shared builder _bm25_oracle (full scan
+        # vs index-restricted differ only in the matching-docs filter).
+        "bm25_search": _bm25_oracle("", 15),
+
+        # Indexed BM25: identical scores, restricted to docs matching
+        # >=1 query term (an inverted index never sees zero-match
+        # docs), top-12.
+        "bm25_indexed": _bm25_oracle(
+            "WHERE tf0 + tf1 + tf2 > 0", 12),
 
         # FineWeb line-quality ground truth: list folds over non-blank
         # lines; keep flag re-derived from the same rounded fractions.

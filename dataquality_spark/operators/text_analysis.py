@@ -439,6 +439,31 @@ def _dup_gram_chars(sorted_grams: Column) -> Column:
                                           a["tot"].alias("tot")))
 
 
+def _validate_terms(terms: list[str]) -> None:
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+
+
+def _bm25_score(n_terms: int, k1: float, b: float) -> Column:
+    """BM25 sum over tf_0..tf_{n-1} / df_0..df_{n-1} / dl / avgdl /
+    n_docs columns, accumulated in FIXED term order (float addition is
+    non-associative — both engines must add in the same order)."""
+    score = F.lit(0.0)
+    for i in range(n_terms):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(F.lit(1.0)
+                    + ((F.col("n_docs") - F.col(f"df_{i}")).cast("double")
+                       + F.lit(0.5))
+                    / (F.col(f"df_{i}").cast("double") + F.lit(0.5)))
+        norm = tf + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * F.col("dl").cast("double")
+                                 / F.col("avgdl"))
+        score = score + idf * tf * F.lit(k1 + 1.0) / norm
+    return score
+
+
 def bm25_topk(df: DataFrame, terms: list[str], text_col: str = "text",
               id_col: str = "doc_id", k: int = 10,
               k1: float = 1.2, b: float = 0.75,
@@ -461,10 +486,7 @@ def bm25_topk(df: DataFrame, terms: list[str], text_col: str = "text",
     index ((term, doc, tf) posting lists) instead — this operator is
     the index builder's scoring ground truth.
     """
-    if not terms:
-        raise ValueError("terms must be non-empty")
-    if len(set(terms)) != len(terms):
-        raise ValueError("terms must be distinct")
+    _validate_terms(terms)
     text = F.coalesce(F.col(text_col), F.lit(""))
     if lowercase:
         text = F.lower(text)
@@ -495,18 +517,97 @@ def bm25_topk(df: DataFrame, terms: list[str], text_col: str = "text",
         "avgdl", F.col("sum_dl").cast("double")
         / F.col("n_docs").cast("double"))
     scored = proj.crossJoin(F.broadcast(stats))
-    score = F.lit(0.0)
-    for i in range(len(terms)):
-        tf = F.col(f"tf_{i}").cast("double")
-        idf = F.log(F.lit(1.0)
-                    + ((F.col("n_docs") - F.col(f"df_{i}")).cast("double")
-                       + F.lit(0.5))
-                    / (F.col(f"df_{i}").cast("double") + F.lit(0.5)))
-        norm = tf + F.lit(k1) * (F.lit(1.0 - b)
-                                 + F.lit(b) * F.col("dl").cast("double")
-                                 / F.col("avgdl"))
-        score = score + idf * tf * F.lit(k1 + 1.0) / norm
-    out = scored.withColumn("bm25", F.round(score, 6))
+    out = scored.withColumn(
+        "bm25", F.round(_bm25_score(len(terms), k1, b), 6))
+    sel = [F.col(id_col), F.col("dl")]
+    sel += [F.col(f"tf_{i}").alias(f"tf_{t}")
+            for i, t in enumerate(terms)]
+    sel += [F.col("bm25")]
+    return (out.select(*sel)
+            .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
+
+
+def bm25_build_postings(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", lowercase: bool = True,
+                        term_partitions: int | None = None
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Build the inverted index bm25_topk's docstring promises for
+    repeated-query workloads: posting lists (term, doc_id, tf, dl) plus
+    a one-row corpus-stats frame (n_docs, sum_dl).
+
+    dl is DENORMALIZED into every posting (Lucene stores per-doc norms
+    with the postings for the same reason): the query path then scores
+    matching postings without ever joining back to a doc-length table.
+
+    Scale design: one text scan → explode → groupBy(term, doc_id) with
+    map-side combine (tf partials collapse before the shuffle; shuffle
+    rows ≈ distinct (term, doc) pairs, bytes ≈ 30/pair — the text
+    itself never shuffles). Pass term_partitions to hash-cluster the
+    output by term before writing, so a query's `term IN (...)` prunes
+    to the handful of files holding those terms. Corpus stats are a
+    separate slim aggregate because empty docs (dl=0) never reach the
+    postings yet still count toward n_docs/avgdl.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        text = F.lower(text)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    base = df.select(F.col(id_col), words.alias("words"))
+    postings = (base
+                .select(F.col(id_col),
+                        F.size("words").cast("long").alias("dl"),
+                        F.explode("words").alias("term"))
+                .groupBy("term", id_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+                     F.max("dl").alias("dl")))
+    if term_partitions is not None:
+        postings = postings.repartition(term_partitions, "term")
+    doc_stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.size("words").cast("long")),
+                   F.lit(0).cast("long")).alias("sum_dl"))
+    return postings, doc_stats
+
+
+def bm25_topk_postings(postings: DataFrame, doc_stats: DataFrame,
+                       terms: list[str], id_col: str = "doc_id",
+                       k: int = 10, k1: float = 1.2, b: float = 0.75,
+                       lowercase: bool = True) -> DataFrame:
+    """BM25 retrieval over a materialized inverted index (the
+    repeated-query scale path — bm25_topk rescans all text per query;
+    this touches ONLY the query terms' posting lists).
+
+    Output: identical schema and scores to bm25_topk, restricted to
+    documents matching ≥1 query term (an inverted index never sees
+    zero-match docs; their full-scan score is exactly 0.0).
+
+    Scale design: `term IN (...)` prunes the index scan to the query
+    terms (partition/file pruning when the index was written clustered
+    by term); the ≤|terms| surviving postings per doc pivot into fixed
+    tf_i columns via ONE hash aggregate keyed on doc_id (integer sums —
+    exact regardless of accumulation order); per-term df and the
+    corpus stats broadcast as one row; ranking is
+    TakeOrderedAndProject. The float score re-accumulates in the same
+    fixed term order as bm25_topk, so scores are bit-identical.
+    """
+    _validate_terms(terms)
+    if lowercase:
+        terms = [t.lower() for t in terms]
+    hit = postings.filter(F.col("term").isin(terms))
+    pivoted = hit.groupBy(F.col(id_col)).agg(
+        F.max("dl").alias("dl"),
+        *[F.sum(F.when(F.col("term") == t, F.col("tf"))
+                .otherwise(F.lit(0))).cast("long").alias(f"tf_{i}")
+          for i, t in enumerate(terms)])
+    qstats = pivoted.agg(
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))])
+    stats = (doc_stats.crossJoin(F.broadcast(qstats))
+             .withColumn("avgdl", F.col("sum_dl").cast("double")
+                         / F.col("n_docs").cast("double")))
+    scored = pivoted.crossJoin(F.broadcast(stats))
+    out = scored.withColumn(
+        "bm25", F.round(_bm25_score(len(terms), k1, b), 6))
     sel = [F.col(id_col), F.col("dl")]
     sel += [F.col(f"tf_{i}").alias(f"tf_{t}")
             for i, t in enumerate(terms)]

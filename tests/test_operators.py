@@ -937,3 +937,40 @@ def test_bm25_topk_validation_and_edges(spark):
     assert [r["doc_id"] for r in out[:2]] == [1, 2]   # tie → id asc
     assert out[0]["bm25"] == out[1]["bm25"] > 0.0
     assert all(r["bm25"] == 0.0 for r in out[2:])
+
+
+def test_bm25_postings_match_full_scan(spark, docs):
+    """Indexed BM25 ≡ full-scan BM25 restricted to matching docs:
+    identical (doc_id, dl, tf…, bm25) rows in identical order, on the
+    sf0.001 corpus and with the index pre-clustered by term."""
+    terms = ["table", "spark", "query"]
+    full = text_analysis.bm25_topk(docs, terms, "text", "doc_id",
+                                   k=2000).collect()
+    want = [r.asDict() for r in full
+            if r["tf_table"] + r["tf_spark"] + r["tf_query"] > 0][:12]
+    for tp in (None, 4):
+        postings, stats = text_analysis.bm25_build_postings(
+            docs, "text", "doc_id", term_partitions=tp)
+        got = text_analysis.bm25_topk_postings(
+            postings, stats, terms, "doc_id", k=12).collect()
+        assert [r.asDict() for r in got] == want
+
+
+def test_bm25_postings_stats_count_empty_docs(spark):
+    """Empty/null docs never reach the postings but still count in
+    n_docs/avgdl — indexed scores must equal full-scan scores."""
+    df = spark.createDataFrame(
+        [(1, "hit hit miss"), (2, "hit miss"), (3, ""), (4, None),
+         (5, "other words entirely here now")],
+        "doc_id long, text string")
+    postings, stats = text_analysis.bm25_build_postings(
+        df, "text", "doc_id")
+    st = stats.collect()[0]
+    assert (st["n_docs"], st["sum_dl"]) == (5, 10)
+    got = text_analysis.bm25_topk_postings(
+        postings, stats, ["hit"], "doc_id", k=5).collect()
+    full = {r["doc_id"]: r["bm25"]
+            for r in text_analysis.bm25_topk(
+                df, ["hit"], "text", "doc_id", k=5).collect()}
+    assert [r["doc_id"] for r in got] == [1, 2]   # zero-match excluded
+    assert all(r["bm25"] == full[r["doc_id"]] for r in got)
