@@ -31,9 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dataquality_spark import config as C  # noqa: E402
 from dataquality_spark import pipeline, synth  # noqa: E402
 from dataquality_spark.operators import (bloom, clustering,  # noqa: E402
-                                         curation, dedup, graph, joins,
-                                         multimodal, profile, similarity,
-                                         text_analysis)
+                                         curation, dedup, evaluation,
+                                         graph, joins, multimodal, profile,
+                                         similarity, text_analysis)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1064,6 +1064,71 @@ def q_bm25_indexed(spark, sf_dir):
         "doc_id", k=12)
 
 
+def q_pr_sweep(spark, sf_dir):
+    """Threshold sweep (operators/evaluation.threshold_sweep): the
+    full PR curve for the keep rule quality_score >= t, one row per
+    distinct score, gold label = lang-is-English (quality_score's
+    stopword term is English-based, so the sweep measures exactly the
+    calibration a threshold picker needs). Score discretized to the
+    exact 4-dp lattice via round(q*10000); counts are exact BIGINT
+    window cumsums over the tiny post-agg table; each ratio is one
+    division (f1 = 2tp/(2tp+fp+fn))."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_score(docs).select(
+        F.round(F.col("quality_score") * 10000).cast("long")
+        .alias("score_int"),
+        (F.col("lang") == "en").cast("long").alias("is_en"))
+    return evaluation.threshold_sweep(scored, "score_int", "is_en")
+
+
+def q_keep_f1(spark, sf_dir):
+    """Keep/drop decision grading (operators/evaluation
+    .confusion_matrix): the north-star check itself — F1 of the keep
+    rule quality_score >= 0.5 against the lang='en' gold label as ONE
+    map-side-combined aggregate row (tp/fp/fn/tn exact BIGINTs,
+    accuracy/precision/recall/f1 each one division)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_score(docs).select(
+        (F.col("quality_score") >= 0.5).cast("long").alias("keep_pred"),
+        (F.col("lang") == "en").cast("long").alias("is_en"))
+    return evaluation.confusion_matrix(scored, "keep_pred", "is_en")
+
+
+def q_auc_en(spark, sf_dir):
+    """Exact tie-aware ROC AUC (operators/evaluation.auc_exact) of the
+    quality score against the lang='en' gold label: Mann-Whitney pair
+    counting on the 4-dp score lattice, doubled pair counts carried as
+    DECIMAL(38,0) (BIGINT pair counts overflow near 10^10 balanced
+    docs), AUC = one double division. Same zero-per-doc-shuffle
+    skeleton as pr_sweep."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_score(docs).select(
+        F.round(F.col("quality_score") * 10000).cast("long")
+        .alias("score_int"),
+        (F.col("lang") == "en").cast("long").alias("is_en"))
+    out = evaluation.auc_exact(scored, "score_int", "is_en")
+    # DECIMAL(38,0) pair counts serialize as strings for the compare:
+    # pandas narrows both Spark decimals and DuckDB HUGEINTs to lossy
+    # float64/objects inconsistently; text is the lossless common form.
+    return out.select("n_pos", "n_neg",
+                      F.col("num2").cast("string").alias("num2"),
+                      F.col("den2").cast("string").alias("den2"),
+                      "auc")
+
+
+def q_filter_kappa(spark, sf_dir):
+    """Cohen's kappa (operators/evaluation.cohens_kappa) between two
+    keep rules — quality_score >= 0.5 vs stopword_frac >= 0.15 —
+    beyond-chance agreement in the single-division exact integer form
+    (DECIMAL(38,0) quotient terms), ONE map-side-combined aggregate
+    row."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_score(docs).select(
+        (F.col("quality_score") >= 0.5).cast("long").alias("rule_a"),
+        (F.col("stopword_frac") >= 0.15).cast("long").alias("rule_b"))
+    return evaluation.cohens_kappa(scored, "rule_a", "rule_b")
+
+
 _FW_DUP_LINE = "duplicated filler line for the char mass accounting rule!"
 
 
@@ -1618,6 +1683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fineweb_quality": q_fineweb_quality,
         "bm25_search": q_bm25_search,
         "bm25_indexed": q_bm25_indexed,
+        "pr_sweep": q_pr_sweep,
+        "keep_f1": q_keep_f1,
+        "auc_en": q_auc_en,
+        "filter_kappa": q_filter_kappa,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -1731,6 +1800,39 @@ def _bm25_oracle(where: str, k: int) -> str:
             {where}
             ORDER BY bm25 DESC, doc_id LIMIT {k}
         """
+
+
+def _qscore_lang_cte() -> str:
+    """CTE chain ending in q(doc_id, lang, quality_score) — the exact
+    quality_score twin (already driver-proven) carried with lang, for
+    the evaluation oracles."""
+    en_stop = _sql_stop_in(C.STOPWORDS["en"])
+    return f"""qw AS (
+              SELECT doc_id, lang, coalesce(text, '') AS t,
+                     {_sql_words('text')} AS words
+              FROM documents
+            ), qs AS (
+              SELECT doc_id, lang,
+                     CAST(len(words) AS DOUBLE) AS n,
+                     CAST(length(t) - length(translate(t, '.,;:!?', ''))
+                       AS DOUBLE) AS n_punct,
+                     CAST(len(list_filter(words,
+                       w -> lower(w) IN ({en_stop}))) AS DOUBLE) AS n_stop
+              FROM qw
+            ), q AS (
+              SELECT doc_id, lang,
+                     ROUND(n_stop / (CASE WHEN n > 0 THEN n ELSE 1 END),
+                           4) AS stopword_frac,
+                     CASE WHEN n > 0 THEN ROUND(
+                       LEAST(n / 100.0, 1.0) * 0.4
+                       + LEAST(n_stop / (CASE WHEN n > 0 THEN n ELSE 1 END),
+                               0.4) / 0.4 * 0.3
+                       + (1.0 - LEAST((n_punct / (CASE WHEN n > 0 THEN n
+                                                  ELSE 1 END)) / 0.2, 1.0))
+                         * 0.3, 4)
+                     ELSE 0.0 END AS quality_score
+              FROM qs
+            )"""
 
 
 def _langid_vote_sql() -> str:
@@ -3039,6 +3141,159 @@ def oracle_sql() -> dict[str, str]:
         # docs), top-12.
         "bm25_indexed": _bm25_oracle(
             "WHERE tf0 + tf1 + tf2 > 0", 12),
+
+        # PR-curve threshold sweep ground truth: exact BIGINT window
+        # cumsums over the per-score aggregate; every ratio ONE
+        # integer->double division (f1 = 2tp/(2tp+fp+fn)) so values
+        # are bit-identical; recall NULL iff zero positives.
+        "pr_sweep": f"""
+            WITH {_qscore_lang_cte()},
+            sc AS (
+              SELECT CAST(ROUND(quality_score * 10000) AS BIGINT)
+                       AS threshold,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM q
+            ), per AS (
+              SELECT threshold, COUNT(*) AS cnt, SUM(pos) AS npos
+              FROM sc GROUP BY threshold
+            ), tot AS (
+              SELECT SUM(cnt) AS n_total, SUM(npos) AS total_pos
+              FROM per
+            ), cum AS (
+              SELECT threshold,
+                     SUM(cnt) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_ge,
+                     SUM(npos) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tp
+              FROM per
+            )
+            SELECT threshold,
+                   CAST(n_ge AS BIGINT) AS n_ge,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(n_ge - tp AS BIGINT) AS fp,
+                   CAST(total_pos - tp AS BIGINT) AS fn,
+                   CAST(n_total - n_ge - (total_pos - tp) AS BIGINT)
+                     AS tn,
+                   ROUND(CAST(tp AS DOUBLE) / CAST(n_ge AS DOUBLE), 6)
+                     AS "precision",
+                   CASE WHEN total_pos > 0 THEN
+                     ROUND(CAST(tp AS DOUBLE)
+                           / CAST(total_pos AS DOUBLE), 6)
+                   END AS recall,
+                   ROUND(CAST(2 * tp AS DOUBLE)
+                         / CAST(2 * tp + (n_ge - tp)
+                                + (total_pos - tp) AS DOUBLE), 6) AS f1
+            FROM cum CROSS JOIN tot
+            ORDER BY threshold DESC
+        """,
+
+        # Keep/drop F1 ground truth: one confusion-matrix row for the
+        # keep rule quality_score >= 0.5 vs the lang='en' gold label.
+        "keep_f1": f"""
+            WITH {_qscore_lang_cte()},
+            d AS (
+              SELECT CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END
+                       AS p,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM q
+            ), cm AS (
+              SELECT CAST(coalesce(SUM(p * y), 0) AS BIGINT) AS tp,
+                     CAST(coalesce(SUM(p * (1 - y)), 0) AS BIGINT) AS fp,
+                     CAST(coalesce(SUM((1 - p) * y), 0) AS BIGINT) AS fn,
+                     CAST(coalesce(SUM((1 - p) * (1 - y)), 0) AS BIGINT)
+                       AS tn
+              FROM d
+            )
+            SELECT tp, fp, fn, tn,
+                   CASE WHEN tp + fp + fn + tn > 0 THEN
+                     ROUND(CAST(tp + tn AS DOUBLE)
+                           / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+                   END AS accuracy,
+                   CASE WHEN tp + fp > 0 THEN
+                     ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                   END AS "precision",
+                   CASE WHEN tp + fn > 0 THEN
+                     ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+                   END AS recall,
+                   CASE WHEN 2 * tp + fp + fn > 0 THEN
+                     ROUND(CAST(2 * tp AS DOUBLE)
+                           / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+                   END AS f1
+            FROM cm
+        """,
+
+        # Exact tie-aware AUC ground truth: doubled Mann-Whitney pair
+        # counts as HUGEINT (Spark side: DECIMAL(38,0)), one double
+        # division at the end.
+        "auc_en": f"""
+            WITH {_qscore_lang_cte()},
+            sc AS (
+              SELECT CAST(ROUND(quality_score * 10000) AS BIGINT) AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM q
+            ), per AS (
+              SELECT s, SUM(pos) AS npos,
+                     COUNT(*) - SUM(pos) AS nneg
+              FROM sc GROUP BY s
+            ), t AS (
+              SELECT npos, nneg,
+                     CAST(npos AS HUGEINT)
+                     * (2 * COALESCE(SUM(nneg) OVER (ORDER BY s ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + nneg) AS num2_term
+              FROM per
+            )
+            SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+                   CAST(SUM(nneg) AS BIGINT) AS n_neg,
+                   CAST(CAST(COALESCE(SUM(num2_term), 0) AS HUGEINT)
+                     AS VARCHAR) AS num2,
+                   CAST(CAST(2 * CAST(SUM(npos) AS HUGEINT) * SUM(nneg)
+                     AS HUGEINT) AS VARCHAR) AS den2,
+                   CASE WHEN SUM(npos) > 0 AND SUM(nneg) > 0 THEN
+                     ROUND(CAST(SUM(num2_term) AS DOUBLE)
+                           / CAST(2 * CAST(SUM(npos) AS HUGEINT)
+                                  * SUM(nneg) AS DOUBLE), 6)
+                   END AS auc
+            FROM t
+        """,
+
+        # Cohen's kappa ground truth: single-division exact integer
+        # form, HUGEINT quotient terms.
+        "filter_kappa": f"""
+            WITH {_qscore_lang_cte()},
+            d AS (
+              SELECT CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END
+                       AS a,
+                     CASE WHEN stopword_frac >= 0.15 THEN 1 ELSE 0 END
+                       AS b
+              FROM q
+            ), cm AS (
+              SELECT COUNT(*) AS n,
+                     COALESCE(SUM(a * b + (1 - a) * (1 - b)), 0)
+                       AS agree,
+                     COALESCE(SUM(a), 0) AS a1,
+                     COALESCE(SUM(b), 0) AS b1
+              FROM d
+            ), k AS (
+              SELECT n, agree, a1, b1,
+                     CAST(a1 AS HUGEINT) * b1
+                       + CAST(n - a1 AS HUGEINT) * (n - b1) AS chance
+              FROM cm
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(agree AS BIGINT) AS agree,
+                   CAST(a1 AS BIGINT) AS a1,
+                   CAST(b1 AS BIGINT) AS b1,
+                   CASE WHEN CAST(n AS HUGEINT) * n - chance <> 0 THEN
+                     ROUND(CAST(CAST(n AS HUGEINT) * agree - chance
+                                AS DOUBLE)
+                           / CAST(CAST(n AS HUGEINT) * n - chance
+                                  AS DOUBLE), 6)
+                   END AS kappa
+            FROM k
+        """,
 
         # FineWeb line-quality ground truth: list folds over non-blank
         # lines; keep flag re-derived from the same rounded fractions.

@@ -41,7 +41,7 @@ HEADLINE = [
     # 28-query line; compare per-query timings instead
     "temperature_mix", "ccnet_buckets", "dsir_scores", "dup_span_removal",
     "c4_line_filter", "gopher_repetition", "fineweb_quality",
-    "bm25_search",
+    "bm25_search", "bm25_indexed", "pr_sweep",
 ]
 
 
