@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import config as C
+from ..caching import track_persist as _track_persist
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single punct marks.
 BPEISH_REGEX = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -478,13 +479,20 @@ def bm25_topk(df: DataFrame, terms: list[str], text_col: str = "text",
 
     Scale design: the text column is scanned ONCE into a slim
     projection (id, dl, per-term tf — text survives zero operators);
-    corpus stats (N, avgdl, per-term df) are ONE tree-aggregated row
-    cross-joined back via broadcast; the ranking is
-    TakeOrderedAndProject (k rows per partition to the driver merge —
-    never a global sort). At 10^12 docs this is the honest cold-query
-    cost; a repeated-query workload should materialize an inverted
-    index ((term, doc, tf) posting lists) instead — this operator is
-    the index builder's scoring ground truth.
+    the projection is tracked-persisted (~8 B × (2+|terms|) per doc —
+    ~5% of typical web-text bytes) because BOTH the scoring branch and
+    the stats aggregate consume it: without the persist Catalyst
+    re-derives each branch from the parquet scan and the corpus text
+    is read twice (observed in the physical plan). Corpus stats
+    (N, avgdl, per-term df) are ONE tree-aggregated row cross-joined
+    back via broadcast; the ranking is TakeOrderedAndProject (k rows
+    per partition to the driver merge — never a global sort). Callers
+    release the cache via `dataquality_spark.caching.unpersist_all()`
+    like the dedup/decontaminate passes. At 10^12 docs this is the
+    honest cold-query cost; a repeated-query workload should
+    materialize an inverted index ((term, doc, tf) posting lists)
+    instead — this operator is the index builder's scoring ground
+    truth.
     """
     _validate_terms(terms)
     text = F.coalesce(F.col(text_col), F.lit(""))
@@ -499,12 +507,12 @@ def bm25_topk(df: DataFrame, terms: list[str], text_col: str = "text",
         lit = F.lit(term)
         return lambda w: w == lit
 
-    proj = df.select(
+    proj = _track_persist(df.select(
         F.col(id_col),
         F.size(words).cast("long").alias("dl"),
         *[F.size(F.filter(words, _eq(t)))
           .cast("long").alias(f"tf_{i}")
-          for i, t in enumerate(terms)])
+          for i, t in enumerate(terms)]))
     # avgdl from the EXACT integer token total (not F.avg, whose
     # double partial sums are accumulation-order-dependent) — one
     # deterministic double division, bit-identical across engines.

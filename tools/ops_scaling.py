@@ -75,7 +75,10 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 out = docs.withColumn("_r", F.explode(F.sequence(
     F.lit(0), F.lit({replicate - 1})))).withColumn(
-    "doc_id", F.col("doc_id") + F.col("_r") * F.lit(10_000_000)).drop("_r")
+    "doc_id",
+    # BIGINT arithmetic: INT _r * INT 10M overflows at replicate >= 215
+    F.col("doc_id") + F.col("_r").cast("long") * F.lit(10_000_000)
+    ).drop("_r")
 out.repartition(64).write.mode("overwrite").parquet(
     {out_dir!r} + "/documents.parquet")
 print(out.count())
