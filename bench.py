@@ -42,6 +42,7 @@ HEADLINE = [
     "temperature_mix", "ccnet_buckets", "dsir_scores", "dup_span_removal",
     "c4_line_filter", "gopher_repetition", "fineweb_quality",
     "bm25_search", "bm25_indexed", "pr_sweep",
+    "doc_chunks", "train_shards",
 ]
 
 

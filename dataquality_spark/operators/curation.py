@@ -845,3 +845,95 @@ def pack_sequences(df: DataFrame, token_col: str, id_col: str,
             .withColumn("spans_boundary",
                         (F.col("seq_offset") + F.col(token_col)
                          > F.lit(capacity))))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 512,
+                    overlap: int = 64, joiner: str = " ") -> DataFrame:
+    """Sliding-window sequence chunking (context-window prep for
+    training / embedding / RAG ingestion): split each document's
+    whitespace tokens into windows of `chunk_tokens` with `overlap`
+    tokens shared between consecutive windows.
+
+    Window i covers token positions [i*stride, i*stride + chunk_tokens)
+    with stride = chunk_tokens - overlap; a window beyond the first is
+    emitted only if it contributes >= 1 NEW token (the canonical
+    "skip windows fully contained in the previous one" rule), so the
+    last index is (n - overlap - 1) div stride for n > overlap, else 0.
+    Empty/NULL documents emit zero chunks. Output: (id_col, chunk_id,
+    chunk_tokens, chunk_text) — chunk_text rebuilds the window joined
+    by `joiner`, chunk_tokens is the window's actual token count (the
+    final window is usually short).
+
+    Scale design: ZERO shuffles — one text scan materializes the token
+    array once per doc, Generate explode(sequence(0, i_max)) fans out
+    the window indices, and every output row is a pure slice/array_join
+    projection (whole-stage codegen end to end). At 10^12 docs the op
+    is embarrassingly parallel and output-bound; the ~overlap/stride
+    byte amplification is the documented price of windowing.
+    """
+    if overlap < 0 or chunk_tokens <= overlap:
+        raise ValueError(
+            f"need chunk_tokens > overlap >= 0, got "
+            f"chunk_tokens={chunk_tokens} overlap={overlap}")
+    stride = chunk_tokens - overlap
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != "")
+    base = (df.withColumn("_ck_words", words)
+              .withColumn("_ck_n", F.size("_ck_words"))
+              .filter(F.col("_ck_n") > 0))
+    # integer floor-division via floor(double): token counts are far
+    # below 2^53, so the double quotient is exact in both engines
+    i_max = F.when(
+        F.col("_ck_n") > overlap,
+        F.floor((F.col("_ck_n") - F.lit(overlap) - 1) / F.lit(stride))
+    ).otherwise(F.lit(0)).cast("int")
+    out = base.withColumn("chunk_id", F.explode(F.sequence(F.lit(0),
+                                                           i_max)))
+    sl = F.slice(F.col("_ck_words"),
+                 F.col("chunk_id") * F.lit(stride) + F.lit(1),
+                 F.lit(chunk_tokens))
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(sl).cast("long").alias("chunk_tokens"),
+        F.array_join(sl, joiner).alias("chunk_text"))
+
+
+def shard_assign(df: DataFrame, key_col: str, n_shards: int = 1024,
+                 salt: int = 0, method: str = "xxhash64") -> DataFrame:
+    """Deterministic training-shuffle shard assignment: adds
+    (shard, pos) per row — shard = hash(key, salt) mod n_shards, pos =
+    0-based rank within the shard by (hash, key). Writing the corpus
+    ordered by (shard, pos) is the reproducible global shuffle a
+    training run reads back (WebDataset/TFRecord-style shards): the
+    permutation depends only on (key, salt) — never on cluster size,
+    input partitioning, or task retries — and a new salt is a fresh
+    epoch-level reshuffle.
+
+    Scale design: ONE exchange keyed on the shard id, then a per-shard
+    sort — n_shards independent sort groups (pick n_shards ~
+    corpus_bytes / target_shard_bytes so each group sorts a few GB on
+    one task); the hash ordering INSIDE the shard is what de-clusters
+    crawl locality: adjacent URLs land in different shards AND far
+    apart within any one shard. method='lcg' is the oracle-checkable
+    twin of the xxhash64 production path (hash_bucket's contract).
+    """
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if method == "lcg":
+        # full 31-bit LCG value (buckets = modulus => identity bucket)
+        pri = hash_bucket(F.col(key_col), _LCG_M, salt, "lcg")
+    else:
+        pri = F.xxhash64(F.col(key_col), F.lit(salt))
+    out = (df.withColumn("_sh_pri", pri)
+             .withColumn("shard",
+                         F.pmod(F.col("_sh_pri"), F.lit(n_shards))
+                         .cast("long")))
+    w = Window.partitionBy("shard").orderBy("_sh_pri", key_col)
+    return (out.withColumn(
+                "pos", (F.row_number().over(w) - 1).cast("long"))
+            .drop("_sh_pri"))

@@ -45,7 +45,14 @@ training-data pipeline runs between filtering and tokenization:
 10. DSIR importance scoring (--dsir-target PATH [--dsir-buckets N]):
     joins log p_target/p_raw hashed-n-gram importance scores
     (curation.dsir_importance) — chain with --quantile-buckets
-    --quantile-score dsir_score to keep the most target-like docs.
+    --quantile-score dsir_score to keep the most target-like docs;
+11. sliding-window chunking (--chunk-tokens N [--chunk-overlap K]):
+    REPLACES the grain with context-window rows
+    (curation.chunk_documents) after every doc-level step;
+12. training-shuffle shards (--shards N): deterministic shard/pos
+    assignment on the final grain (curation.shard_assign, salt+4) —
+    write ordered by (shard, pos) to materialize the reproducible
+    global shuffle a training run reads back.
 
 Every step is a DataFrame transform (broadcast joins + narrow
 projections; document text never shuffles — see BENCH/PLANS.md), so the
@@ -216,6 +223,23 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--dsir-buckets", type=int, default=10_000,
                     help="hashed feature-space size for --dsir-target "
                          "(0 = exact gram strings)")
+    ap.add_argument("--chunk-tokens", type=int, default=None,
+                    metavar="N",
+                    help="REPLACE the output grain with sliding token "
+                         "windows of N tokens (curation.chunk_documents"
+                         "): emits (id, chunk_id, chunk_tokens, "
+                         "chunk_text, chunk_key) rows — applied after "
+                         "every doc-level step")
+    ap.add_argument("--chunk-overlap", type=int, default=0,
+                    help="overlap tokens between consecutive windows "
+                         "for --chunk-tokens")
+    ap.add_argument("--shards", type=int, default=None, metavar="N",
+                    help="deterministic training-shuffle shard "
+                         "assignment (curation.shard_assign, salt+4): "
+                         "adds shard/pos on the final grain (chunk_key "
+                         "when --chunk-tokens is on, else --id-col); "
+                         "write ordered by (shard, pos) to materialize "
+                         "the shuffle")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--master", default=None)
@@ -372,6 +396,25 @@ def _run(argv: list[str] | None = None) -> dict:
             k=args.quantile_buckets, mode=args.quantile_mode)
         steps.append("quantile_buckets")
 
+    shard_key = id_col
+    if args.chunk_tokens is not None:
+        # grain change: one row per sliding window; chunk_key is the
+        # synthesized unique shard/sort key for the new grain (docs
+        # with >2^20 windows would collide — that is >10^8 tokens/doc)
+        df = (curation.chunk_documents(df, text_col, id_col,
+                                       chunk_tokens=args.chunk_tokens,
+                                       overlap=args.chunk_overlap)
+              .withColumn("chunk_key",
+                          F.col(id_col) * F.lit(1 << 20)
+                          + F.col("chunk_id")))
+        shard_key = "chunk_key"
+        steps.append("chunk")
+
+    if args.shards is not None:
+        df = curation.shard_assign(df, shard_key, n_shards=args.shards,
+                                   salt=args.salt + 4)
+        steps.append("shards")
+
     df.write.mode("overwrite").parquet(args.output)
     from dataquality_spark.caching import unpersist_all
     unpersist_all()  # release the decontamination shingle cache
@@ -381,9 +424,11 @@ def _run(argv: list[str] | None = None) -> dict:
     stats = {"n_docs_in": n_in, "n_docs_out": n_out,
              "steps": steps,
              "elapsed_sec": round(time.monotonic() - t0, 3)}
-    if args.eval and not args.drop_contaminated:
+    if args.eval and not args.drop_contaminated \
+            and args.chunk_tokens is None:
+        # chunking replaces the grain — doc-level flag columns are gone
         stats["n_contaminated"] = out.where("contaminated").count()
-    if args.split:
+    if args.split and args.chunk_tokens is None:
         stats["split_counts"] = {
             r["split"]: r["n"] for r in
             out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))

@@ -995,3 +995,114 @@ class TestTemperatureSampleProperty:
         want = {d for d, g in rows
                 if (((d % M) * A + C + salt) % M) % B < thr[g]}
         assert got == want
+
+
+class TestChunkDocuments:
+    def test_window_lattice(self, spark):
+        # N=5, K=2, stride=3: n=12 -> i_max=(12-3)//3=3 -> 4 chunks
+        words = [f"w{i}" for i in range(12)]
+        out = curation.chunk_documents(
+            _docs(spark, [(1, " ".join(words))]),
+            chunk_tokens=5, overlap=2)
+        rows = sorted(out.collect(), key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+        assert rows[0]["chunk_text"] == "w0 w1 w2 w3 w4"
+        assert rows[1]["chunk_text"] == "w3 w4 w5 w6 w7"
+        assert rows[3]["chunk_text"] == "w9 w10 w11"   # short tail
+        assert [r["chunk_tokens"] for r in rows] == [5, 5, 5, 3]
+
+    def test_no_window_without_new_token(self, spark):
+        # n = N + K: the would-be window at stride covers only overlap
+        # +K tokens... n=7, N=5, K=2, stride=3: i_max=(7-3)//3=1 -> 2
+        # chunks; n=5 -> 1 chunk; n=6 -> (6-3)//3=1 -> 2nd chunk has
+        # tokens 3..5 (one new). n=2 (<=K) -> single chunk.
+        for n, want in [(5, 1), (6, 2), (7, 2), (2, 1)]:
+            out = curation.chunk_documents(
+                _docs(spark, [(1, " ".join(["x"] * n))]),
+                chunk_tokens=5, overlap=2)
+            assert out.count() == want, n
+
+    def test_empty_and_null_emit_nothing(self, spark):
+        out = curation.chunk_documents(
+            _docs(spark, [(1, ""), (2, None), (3, "   ")]),
+            chunk_tokens=5, overlap=2)
+        assert out.count() == 0
+
+    def test_zero_overlap_partitions_exactly(self, spark):
+        # overlap=0: chunks tile the token stream — re-joining them
+        # reproduces the whitespace-normalized document byte-for-byte
+        words = [f"tok{i}" for i in range(23)]
+        out = curation.chunk_documents(
+            _docs(spark, [(1, "  " + "  ".join(words) + " ")]),
+            chunk_tokens=4, overlap=0)
+        rows = sorted(out.collect(), key=lambda r: r["chunk_id"])
+        assert " ".join(r["chunk_text"] for r in rows) == " ".join(words)
+        assert sum(r["chunk_tokens"] for r in rows) == 23
+
+    def test_param_validation(self, spark):
+        import pytest
+        df = _docs(spark, [(1, "a b c")])
+        with pytest.raises(ValueError):
+            curation.chunk_documents(df, chunk_tokens=4, overlap=4)
+        with pytest.raises(ValueError):
+            curation.chunk_documents(df, chunk_tokens=4, overlap=-1)
+
+
+class TestShardAssign:
+    def _corpus(self, spark, n=200):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"))
+
+    def test_shape_and_density(self, spark):
+        out = curation.shard_assign(self._corpus(spark), "doc_id",
+                                    n_shards=8, salt=1)
+        rows = out.collect()
+        assert len(rows) == 200
+        assert {r["shard"] for r in rows} <= set(range(8))
+        # pos is a dense 0-based rank within each shard
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(len(ps))), shard
+
+    def test_partitioning_invariance(self, spark):
+        base = self._corpus(spark)
+        a = curation.shard_assign(base.repartition(13), "doc_id",
+                                  n_shards=8, salt=1)
+        b = curation.shard_assign(base.coalesce(1), "doc_id",
+                                  n_shards=8, salt=1)
+        ka = {(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()}
+        kb = {(r["doc_id"], r["shard"], r["pos"]) for r in b.collect()}
+        assert ka == kb
+
+    def test_salt_reshuffles(self, spark):
+        base = self._corpus(spark)
+        a = {(r["doc_id"], r["shard"], r["pos"])
+             for r in curation.shard_assign(base, "doc_id", 8, salt=1)
+             .collect()}
+        b = {(r["doc_id"], r["shard"], r["pos"])
+             for r in curation.shard_assign(base, "doc_id", 8, salt=2)
+             .collect()}
+        assert a != b
+
+    def test_lcg_matches_pure_python(self, spark):
+        out = curation.shard_assign(self._corpus(spark, 50), "doc_id",
+                                    n_shards=4, salt=7, method="lcg")
+        got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+        pri = {i: ((i % 2147483648) * 1103515245 + 12345 + 7)
+               % 2147483648 for i in range(50)}
+        by_shard = {}
+        for i in sorted(range(50), key=lambda i: (pri[i], i)):
+            s = pri[i] % 4
+            by_shard.setdefault(s, []).append(i)
+        want = {i: (s, ps.index(i))
+                for s, ps in by_shard.items() for i in ps}
+        assert got == want
+
+    def test_validation(self, spark):
+        import pytest
+        with pytest.raises(ValueError):
+            curation.shard_assign(self._corpus(spark), "doc_id",
+                                  n_shards=0)

@@ -537,3 +537,34 @@ def test_curate_job_c4_lines(spark, tmp_path):
     assert out.text.iloc[0] == ("This is a fine sentence.\n"
                                 "Another proper sentence!\n"
                                 "A third good one?")
+
+
+def test_curate_job_chunk_then_shards(spark, tmp_path):
+    """--chunk-tokens replaces the grain with window rows (chunk_key
+    synthesized) and --shards assigns the training shuffle on that
+    grain: dense 0-based pos per shard, every chunk covered."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": [" ".join(f"w{i}_{j}" for j in range(10))
+                 for i in range(20)],   # 10 tokens/doc
+    })
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--chunk-tokens", "4", "--chunk-overlap", "0",
+                        "--shards", "4"])
+    assert stats["steps"] == ["chunk", "shards"]
+    out = spark.read.parquet(outp).toPandas()
+    # 10 tokens, N=4, stride 4 → i_max=(10-1)//4=2 → 3 chunks/doc
+    assert len(out) == 60 and stats["n_docs_out"] == 60
+    assert set(out.columns) >= {"doc_id", "chunk_id", "chunk_tokens",
+                                "chunk_text", "chunk_key", "shard",
+                                "pos"}
+    assert out["shard"].between(0, 3).all()
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    assert out["chunk_key"].is_unique
