@@ -1129,6 +1129,54 @@ def q_filter_kappa(spark, sf_dir):
     return evaluation.cohens_kappa(scored, "rule_a", "rule_b")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window sequence chunking
+    (operators/curation.chunk_documents): 24-token windows with a
+    6-token overlap (stride 18) over the documents table — the
+    context-window prep step for training/embedding/RAG ingestion.
+    Window i slices tokens [i*18, i*18+24); windows beyond the first
+    must contribute >= 1 new token; chunk_text rebuilds the window
+    joined by single spaces (byte-exact vs the oracle's list_slice +
+    array_to_string). ZERO shuffles: one text scan -> token array
+    once -> explode(sequence) -> slice/join projections; the contract
+    query adds only the output orderBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.chunk_documents(docs, "text", "doc_id",
+                                     chunk_tokens=24, overlap=6)
+            .select("doc_id", "chunk_id", "chunk_tokens", "chunk_text")
+            .orderBy("doc_id", "chunk_id"))
+
+
+def q_train_shards(spark, sf_dir):
+    """Deterministic training-shuffle shard assignment
+    (operators/curation.shard_assign): shard = lcg(doc_id, salt=7)
+    mod 8, pos = 0-based rank within the shard by (hash, id) — the
+    reproducible global shuffle a training run reads back, invariant
+    to cluster size / partitioning / retries (verified by the
+    repartition test); a new salt is an epoch reshuffle. ONE exchange
+    keyed on shard + per-shard sort; the lcg method is the
+    oracle-checkable twin of the xxhash64 production path."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.shard_assign(docs, "doc_id", n_shards=8, salt=7,
+                                  method="lcg")
+            .select("doc_id", "shard", "pos")
+            .orderBy("shard", "pos"))
+
+
+def q_source_report(spark, sf_dir):
+    """Per-domain corpus report (operators/profile.group_quality_report
+    — the RefinedWeb/C4 'inspect quality by source before filtering'
+    step): per source — doc count, distinct-text count (md5), dup
+    fraction, quality-score lattice sum (exact BIGINT), mean score and
+    keep rate (score >= 0.5 compared ON the 4-dp lattice). One
+    map-side-combined (source, md5) aggregate -> one source aggregate;
+    text reaches no exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_score(docs)
+    return (profile.group_quality_report(scored, "source")
+            .orderBy("source"))
+
+
 _FW_DUP_LINE = "duplicated filler line for the char mass accounting rule!"
 
 
@@ -1687,6 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_f1": q_keep_f1,
         "auc_en": q_auc_en,
         "filter_kappa": q_filter_kappa,
+        "doc_chunks": q_doc_chunks,
+        "train_shards": q_train_shards,
+        "source_report": q_source_report,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -3293,6 +3344,90 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE), 6)
                    END AS kappa
             FROM k
+        """,
+
+        # Per-source report ground truth: the driver-proven
+        # quality-score CTE joined back for source/text, md5 distinct
+        # texts, lattice-integer sums, keep cut on the lattice.
+        "source_report": f"""
+            WITH {_qscore_lang_cte()},
+            d AS (
+              SELECT q.doc_id, q.quality_score, documents.source,
+                     coalesce(documents.text, '') AS t
+              FROM q JOIN documents USING (doc_id)
+            ), pt AS (
+              SELECT source, md5(t) AS th,
+                     COUNT(*) AS n,
+                     SUM(CAST(ROUND(quality_score * 10000) AS BIGINT))
+                       AS ssum,
+                     SUM(CASE WHEN CAST(ROUND(quality_score * 10000)
+                                        AS BIGINT) >= 5000
+                              THEN 1 ELSE 0 END) AS kept
+              FROM d GROUP BY source, th
+            )
+            SELECT source,
+                   CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+                   ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6)
+                     AS dup_frac,
+                   CAST(SUM(ssum) AS BIGINT) AS score_sum_i,
+                   ROUND(CAST(SUM(ssum) AS DOUBLE) / (SUM(n) * 10000),
+                         6) AS mean_score,
+                   ROUND(CAST(SUM(kept) AS DOUBLE) / SUM(n), 6)
+                     AS keep_rate
+            FROM pt GROUP BY source ORDER BY source
+        """,
+
+        # Sliding-window chunking ground truth: same window lattice
+        # ((n - overlap - 1) // stride), rebuilt text via list_slice +
+        # array_to_string — byte-identical join semantics.
+        "doc_chunks": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), n AS (
+              SELECT doc_id, words, len(words) AS n
+              FROM w WHERE len(words) > 0
+            ), ix AS (
+              SELECT doc_id, words, n,
+                     CASE WHEN n > 6 THEN (n - 7) // 18 ELSE 0 END
+                       AS i_max
+              FROM n
+            ), e AS (
+              SELECT doc_id, words, n,
+                     unnest(generate_series(0, i_max)) AS chunk_id
+              FROM ix
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(words, chunk_id * 18 + 1,
+                                       least(chunk_id * 18 + 24, n)))
+                        AS BIGINT) AS chunk_tokens,
+                   array_to_string(
+                     list_slice(words, chunk_id * 18 + 1,
+                                least(chunk_id * 18 + 24, n)), ' ')
+                     AS chunk_text
+            FROM e ORDER BY doc_id, chunk_id
+        """,
+
+        # Training-shard shuffle ground truth: the same glibc LCG over
+        # the id's low 31 bits, rank replayed as a window function.
+        "train_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     ((doc_id % 2147483648) * 1103515245 + 12345 + 7)
+                       % 2147483648 AS pri
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(pri % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY pri % 8
+                                           ORDER BY pri, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM h ORDER BY shard, pos
         """,
 
         # FineWeb line-quality ground truth: list folds over non-blank

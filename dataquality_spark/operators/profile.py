@@ -556,3 +556,55 @@ def drift_monthly(df: DataFrame, ts_col: str, value_col: str,
                .when(F.abs(F.col("pct_change")) > medium_pct, "Medium Drift")
                .otherwise("Stable")))
     return out.orderBy("month")
+
+
+def group_quality_report(df: DataFrame, group_col: str,
+                         score_col: str = "quality_score",
+                         text_col: str = "text",
+                         keep_threshold: float = 0.5,
+                         scale: int = 10_000) -> DataFrame:
+    """Per-domain corpus report (the RefinedWeb/C4 "inspect quality by
+    source/host before filtering" step): for each group —
+
+    * n_docs, n_unique_texts (distinct md5 of the text; NULL counted
+      as ''), dup_frac = 1 - unique/docs;
+    * score_sum_i — the score summed on its integer lattice
+      (round(score*scale) as BIGINT, order-free exact);
+    * mean_score — ONE double division of the lattice sum;
+    * keep_rate — fraction with score >= keep_threshold, compared ON
+      THE LATTICE (score_i >= threshold*scale) so the cut is exact
+      cross-engine.
+
+    Scale design: one map-side-combined hash aggregate keyed on the
+    group; the distinct-text count is a first (group, md5) aggregate
+    whose shuffle rows are slim 48-byte pairs collapsing to distinct
+    texts per group — document text itself reaches no exchange. At
+    10^12 docs the output is |domains| rows — the table a curation
+    run eyeballs before choosing blocklists and thresholds.
+    """
+    thr_i = int(round(keep_threshold * scale))
+    score_i = F.round(F.col(score_col) * scale).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        score_i.alias("_score_i"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_th"))
+    per_text = base.groupBy("grp", "_th").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_score_i").alias("score_sum_i"),
+        F.sum((F.col("_score_i") >= thr_i).cast("long")).alias("kept"))
+    out = per_text.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+        F.sum("score_sum_i").cast("long").alias("score_sum_i"),
+        F.sum("kept").cast("long").alias("_kept"))
+    return (out.select(
+        F.col("grp").alias(group_col),
+        "n_docs", "n_unique_texts",
+        F.round(1.0 - F.col("n_unique_texts").cast("double")
+                / F.col("n_docs").cast("double"), 6).alias("dup_frac"),
+        "score_sum_i",
+        F.round(F.col("score_sum_i").cast("double")
+                / (F.col("n_docs").cast("double") * scale), 6)
+        .alias("mean_score"),
+        F.round(F.col("_kept").cast("double")
+                / F.col("n_docs").cast("double"), 6).alias("keep_rate")))

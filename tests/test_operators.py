@@ -974,3 +974,29 @@ def test_bm25_postings_stats_count_empty_docs(spark):
                 df, ["hit"], "text", "doc_id", k=5).collect()}
     assert [r["doc_id"] for r in got] == [1, 2]   # zero-match excluded
     assert all(r["bm25"] == full[r["doc_id"]] for r in got)
+
+
+class TestGroupQualityReport:
+    def test_handcrafted_counts(self, spark):
+        # two sources; 'a' has an exact-dup pair and mixed scores
+        rows = [
+            (1, "a", "dup text", 0.8),
+            (2, "a", "dup text", 0.8),     # same text, same score
+            (3, "a", "solo", 0.2),
+            (4, "b", None, 0.5),           # NULL text counts as ''
+            (5, "b", "", 0.4),             # '' collides with NULL md5
+        ]
+        df = spark.createDataFrame(
+            rows, ["doc_id", "source", "text", "quality_score"])
+        got = {r["source"]: r for r in
+               profile.group_quality_report(df, "source").collect()}
+        a, b = got["a"], got["b"]
+        assert (a["n_docs"], a["n_unique_texts"]) == (3, 2)
+        assert a["dup_frac"] == round(1 - 2 / 3, 6)
+        assert a["score_sum_i"] == 8000 + 8000 + 2000
+        assert a["mean_score"] == round(18000 / 30000, 6)
+        assert a["keep_rate"] == round(2 / 3, 6)
+        # NULL and '' hash identically -> one unique text in b
+        assert (b["n_docs"], b["n_unique_texts"]) == (2, 1)
+        # keep cut is ON the lattice: 0.5 -> 5000 >= 5000 kept
+        assert b["keep_rate"] == 0.5
