@@ -1106,3 +1106,45 @@ class TestShardAssign:
         with pytest.raises(ValueError):
             curation.shard_assign(self._corpus(spark), "doc_id",
                                   n_shards=0)
+
+
+_chunk_doc = st.lists(
+    st.sampled_from(["tok", "a", "xx", "", " ", "\t"]),
+    min_size=0, max_size=40).map(" ".join)
+
+
+class TestChunkDocumentsProperty:
+    """Spark chunk_documents ≡ a pure-Python sliding-window reference
+    for arbitrary token counts / window sizes / overlaps."""
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(_chunk_doc, min_size=1, max_size=8),
+           chunk_tokens=st.integers(1, 9),
+           overlap=st.integers(0, 8))
+    def test_matches_python_reference(self, spark, docs, chunk_tokens,
+                                      overlap):
+        from hypothesis import assume
+        assume(chunk_tokens > overlap)
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in curation.chunk_documents(
+                df, "text", "doc_id", chunk_tokens=chunk_tokens,
+                overlap=overlap).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_id] = (
+                r.chunk_tokens, r.chunk_text)
+        stride = chunk_tokens - overlap
+        for doc_id, text in rows:
+            toks = [w for w in (text or "").split() if w]
+            n = len(toks)
+            if n == 0:
+                assert doc_id not in got, (doc_id, text)
+                continue
+            i_max = (n - overlap - 1) // stride if n > overlap else 0
+            want = {}
+            for i in range(i_max + 1):
+                window = toks[i * stride:i * stride + chunk_tokens]
+                want[i] = (len(window), " ".join(window))
+            assert got[doc_id] == want, (doc_id, text, chunk_tokens,
+                                         overlap)
