@@ -1163,6 +1163,24 @@ def q_train_shards(spark, sf_dir):
             .orderBy("shard", "pos"))
 
 
+def q_jaccard_join(spark, sf_dir):
+    """EXACT token-set similarity self-join via prefix filtering
+    (operators/dedup.jaccard_join_exact — Bayardo et al. WWW'07
+    All-Pairs): every document pair with distinct-token Jaccard >=
+    0.95, no false negatives (the exact counterpart of minhash_neardup;
+    the planted exact-dup docs give J=1.0 pairs). Candidates come
+    only from rarest-first prefixes of length n - ceil(t*n) + 1 plus
+    the length filter; threshold comparisons live on a BIGINT lattice
+    (inter*10000 >= T*union); at t=0.95 the rarest-first prefix is
+    ~5% of each doc's tokens. Oracle = brute-force all-pairs
+    list_intersect over the same token sets — the filter stack must
+    reproduce it EXACTLY."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.jaccard_join_exact(docs, "text", "doc_id",
+                                     threshold=0.95)
+            .orderBy("id_1", "id_2"))
+
+
 def q_source_report(spark, sf_dir):
     """Per-domain corpus report (operators/profile.group_quality_report
     — the RefinedWeb/C4 'inspect quality by source before filtering'
@@ -1738,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "train_shards": q_train_shards,
         "source_report": q_source_report,
+        "jaccard_join": q_jaccard_join,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -3344,6 +3363,38 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE), 6)
                    END AS kappa
             FROM k
+        """,
+
+        # Exact-Jaccard-join ground truth: brute-force all-pairs over
+        # the same distinct token sets — the prefix/length filter
+        # stack must reproduce it with zero misses.
+        "jaccard_join": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '\\s+'),
+                       x -> x <> '')) AS toks
+              FROM documents
+            ), ne AS (
+              SELECT doc_id, toks FROM t WHERE len(toks) > 0
+            ), p AS (
+              SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                     CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                       AS inter,
+                     CAST(len(a.toks) AS BIGINT) AS n_tokens_1,
+                     CAST(len(b.toks) AS BIGINT) AS n_tokens_2
+              FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            )
+            SELECT id_1, id_2, n_tokens_1, n_tokens_2, inter,
+                   n_tokens_1 + n_tokens_2 - inter AS uni,
+                   ROUND(CAST(inter AS DOUBLE)
+                         / (n_tokens_1 + n_tokens_2 - inter), 6)
+                     AS jaccard
+            FROM p
+            WHERE inter * 10000
+                  >= 9500 * (n_tokens_1 + n_tokens_2 - inter)
+            ORDER BY id_1, id_2
         """,
 
         # Per-source report ground truth: the driver-proven

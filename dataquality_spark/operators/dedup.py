@@ -761,3 +761,104 @@ def embedding_neardup_pairs(df: DataFrame, emb_col: str, id_col: str,
                                               F.col("emb_b")))
             .filter(F.col("cosine") >= cosine_threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def jaccard_join_exact(df: DataFrame, text_col: str, id_col: str,
+                       threshold: float = 0.5,
+                       lowercase: bool = True,
+                       scale: int = 10_000) -> DataFrame:
+    """EXACT token-set similarity self-join via prefix filtering
+    (Bayardo/Ma/Srikant WWW'07 All-Pairs; Chaudhuri et al. SSJoin) —
+    the exact counterpart of the MinHash-LSH path: every unordered
+    pair of documents whose distinct-token Jaccard is >= threshold,
+    with no false negatives and no probabilistic miss rate.
+
+    Filter correctness: under ANY global token order, J(A,B) >= t
+    implies |A∩B| >= ceil(t·|A|), so A and B must share a token
+    inside each one's first |X| − ceil(t·|X|) + 1 tokens — pairs are
+    generated ONLY from those prefixes. The global order used is
+    (document frequency ASC, token ASC): rarest-first prefixes
+    minimize candidates (the WWW'07 heuristic). The threshold lives
+    on an integer lattice (T = round(t·scale)); both the prefix
+    length (ceil via (T·n + scale−1) div scale) and the final
+    verify (inter·scale >= T·union) are pure BIGINT comparisons —
+    bit-identical in any ANSI engine.
+
+    Output: (id_1, id_2, n_tokens_1, n_tokens_2, inter, uni, jaccard)
+    with id_1 < id_2, jaccard rounded to 6 dp.
+
+    Scale design: tokens shuffle ONCE to compute document
+    frequencies (slim (token, count) agg with map-side combine);
+    the rank join and the prefix self-join move only prefix tokens
+    (~(1−t)·|d| per doc); candidate verification joins the
+    candidate PAIRS (not the corpus) back to the per-doc token
+    arrays and computes array_intersect in codegen. The length
+    filter (t·|A| <= |B| <= |A|/t) prunes candidates before the
+    array join. Worst case remains quadratic for a token shared by
+    k docs in both prefixes (k² candidate rows) — the same hot-key
+    caveat as every published exact algorithm; monitor with the
+    df table this operator already computes.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    T = int(round(threshold * scale))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        text = F.lower(text)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+        .alias("_toks"))
+    toks = toks.filter(F.size("_toks") > 0)
+    toks = _track_persist(toks)
+
+    from pyspark.sql import Window
+
+    tok = toks.select("_id", F.explode("_toks").alias("_t"))
+    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # any TOTAL order serves the prefix guarantee — use the
+    # (df, token) tuple itself, so no global rank materializes (a
+    # global row_number would single-partition-sort the vocabulary)
+    ranked = (tok.join(dfreq, "_t")
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy("_id")).cast("long"))
+              .withColumn("_pos", F.row_number().over(
+                  Window.partitionBy("_id")
+                  .orderBy(F.asc("_df"), F.asc("_t"))).cast("long")))
+    ceil_tn = F.floor((F.lit(T) * F.col("_n") + (scale - 1))
+                      / F.lit(scale)).cast("long")
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("_n") - ceil_tn + 1).select(
+        "_t", "_id", "_n")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a._t") == F.col("b._t"))
+                   & (F.col("a._id") < F.col("b._id")))
+            # length filter: T·nA <= scale·nB (nA >= nB side symmetric)
+            .filter((F.lit(T) * F.col("a._n")
+                     <= F.lit(scale) * F.col("b._n"))
+                    & (F.lit(T) * F.col("b._n")
+                       <= F.lit(scale) * F.col("a._n")))
+            .select(F.col("a._id").alias("id_1"),
+                    F.col("b._id").alias("id_2"))
+            .distinct())
+
+    t1 = toks.select(F.col("_id").alias("id_1"),
+                     F.col("_toks").alias("_toks1"))
+    t2 = toks.select(F.col("_id").alias("id_2"),
+                     F.col("_toks").alias("_toks2"))
+    verified = (cand.join(t1, "id_1").join(t2, "id_2")
+                .withColumn("inter",
+                            F.size(F.array_intersect("_toks1", "_toks2"))
+                            .cast("long"))
+                .withColumn("n_tokens_1", F.size("_toks1").cast("long"))
+                .withColumn("n_tokens_2", F.size("_toks2").cast("long"))
+                .withColumn("uni", (F.col("n_tokens_1")
+                                    + F.col("n_tokens_2")
+                                    - F.col("inter")).cast("long"))
+                .filter(F.col("inter") * scale >= F.lit(T) * F.col("uni")))
+    return verified.select(
+        "id_1", "id_2", "n_tokens_1", "n_tokens_2", "inter", "uni",
+        F.round(F.col("inter").cast("double")
+                / F.col("uni").cast("double"), 6).alias("jaccard"))

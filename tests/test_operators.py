@@ -1000,3 +1000,50 @@ class TestGroupQualityReport:
         assert (b["n_docs"], b["n_unique_texts"]) == (2, 1)
         # keep cut is ON the lattice: 0.5 -> 5000 >= 5000 kept
         assert b["keep_rate"] == 0.5
+
+
+class TestJaccardJoinExact:
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import random
+
+        from dataquality_spark.caching import unpersist_all
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 10))))
+                for i in range(50)]
+        rows += [(90, "a b c d"), (91, "a b c d"), (92, "a b c x"),
+                 (93, None), (94, "   ")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for thr in (0.4, 0.6, 1.0):
+            got = {(r.id_1, r.id_2): (r.inter, r.uni, r.jaccard)
+                   for r in dedup.jaccard_join_exact(
+                       df, "text", "doc_id", thr).collect()}
+            unpersist_all()
+            T = round(thr * 10000)
+            sets = {i: set((t or "").lower().split()) - {""}
+                    for i, t in rows}
+            want = {}
+            for i, j in itertools.combinations(sorted(sets), 2):
+                A, B = sets[i], sets[j]
+                if not A or not B:
+                    continue
+                inter, uni = len(A & B), len(A | B)
+                if inter * 10000 >= T * uni:
+                    want[(i, j)] = (inter, uni, round(inter / uni, 6))
+            assert got == want, thr
+
+    def test_exact_dup_is_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y z"), (2, "z y x"), (3, "x y q")],
+            "doc_id long, text string")
+        got = dedup.jaccard_join_exact(df, "text", "doc_id", 1.0).collect()
+        assert [(r.id_1, r.id_2, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+    def test_threshold_validation(self, spark):
+        import pytest
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        for bad in (0.0, -0.1, 1.5):
+            with pytest.raises(ValueError):
+                dedup.jaccard_join_exact(df, "text", "doc_id", bad)
