@@ -828,9 +828,13 @@ def jaccard_join_exact(df: DataFrame, text_col: str, id_col: str,
                   .orderBy(F.asc("_df"), F.asc("_t"))).cast("long")))
     ceil_tn = F.floor((F.lit(T) * F.col("_n") + (scale - 1))
                       / F.lit(scale)).cast("long")
-    prefix = ranked.filter(
+    # tracked persist: BOTH sides of the candidate self-join read the
+    # prefix — without the cache each side re-runs the whole
+    # explode → df-agg → per-doc window chain (observed to ERASE the
+    # multi-core speedup). The cache is tiny: ~(1−t)·|d| rows/doc.
+    prefix = _track_persist(ranked.filter(
         F.col("_pos") <= F.col("_n") - ceil_tn + 1).select(
-        "_t", "_id", "_n")
+        "_t", "_id", "_n"))
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (a.join(b, (F.col("a._t") == F.col("b._t"))
