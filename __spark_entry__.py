@@ -1163,6 +1163,22 @@ def q_train_shards(spark, sf_dir):
             .orderBy("shard", "pos"))
 
 
+def q_reliability(spark, sf_dir):
+    """Reliability diagram (operators/evaluation.reliability_bins):
+    calibration of quality_score against the lang='en' gold label in
+    10 equal-width bins — per bin: exact count, lattice score sum,
+    positive count, mean score / empirical positive rate (one
+    division each) and the signed calibration gap. Bin edges live on
+    the integer lattice (si*bins div scale), ONE map-side-combined
+    aggregate, shuffle rows = bins."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_score(docs).select(
+        "quality_score",
+        (F.col("lang") == "en").cast("long").alias("is_en"))
+    return evaluation.reliability_bins(scored, "quality_score",
+                                       "is_en", bins=10)
+
+
 def q_jaccard_join(spark, sf_dir):
     """EXACT token-set similarity self-join via prefix filtering
     (operators/dedup.jaccard_join_exact — Bayardo et al. WWW'07
@@ -1757,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shards": q_train_shards,
         "source_report": q_source_report,
         "jaccard_join": q_jaccard_join,
+        "reliability_en": q_reliability,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -3363,6 +3380,38 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE), 6)
                    END AS kappa
             FROM k
+        """,
+
+        # Reliability-diagram ground truth: same lattice binning
+        # (si*10 // 10000, top bin folded), integer sums, one
+        # division per ratio; gap = the same two-double subtraction.
+        "reliability_en": f"""
+            WITH {_qscore_lang_cte()},
+            s AS (
+              SELECT CAST(ROUND(quality_score * 10000) AS BIGINT)
+                       AS si,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM q WHERE quality_score IS NOT NULL
+            ), bn AS (
+              SELECT LEAST(9, si * 10 // 10000) AS bin, si, y FROM s
+            ), agg AS (
+              SELECT bin, COUNT(*) AS n,
+                     SUM(si) AS score_sum_i, SUM(y) AS n_pos
+              FROM bn GROUP BY bin
+            )
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(score_sum_i AS BIGINT) AS score_sum_i,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   ROUND(CAST(score_sum_i AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 10000), 6)
+                     AS mean_score,
+                   ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS pos_rate,
+                   ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                         - CAST(score_sum_i AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * 10000), 6) AS gap
+            FROM agg ORDER BY bin
         """,
 
         # Exact-Jaccard-join ground truth: brute-force all-pairs over

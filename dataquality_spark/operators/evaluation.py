@@ -233,3 +233,50 @@ def confusion_matrix(df: DataFrame, pred_col: str, label_col: str,
                       2 * F.col("tp") + F.col("fp") + F.col("fn"),
                       round_dp))
         .alias("f1"))
+
+
+def reliability_bins(df: DataFrame, score_col: str, label_col: str,
+                     bins: int = 10, scale: int = 10_000,
+                     round_dp: int = 6) -> DataFrame:
+    """Reliability diagram (classifier calibration check): bucket the
+    score's integer lattice (round(score·scale)) into `bins`
+    equal-width bins over [0, 1] and report, per non-empty bin —
+    n (exact BIGINT), mean_score (lattice sum ÷ n, one division),
+    pos_rate (label mean, one division), and gap = the signed
+    calibration error pos_rate − mean_score. A well-calibrated score
+    has gap ≈ 0 in every bin; a threshold picker reads this table
+    next to the PR sweep.
+
+    Binning is pure integer math — bin = min(bins−1,
+    score_i·bins div scale) — so the bucket edges are bit-identical
+    in any ANSI engine (score exactly 1.0 folds into the top bin,
+    the standard convention). NULL scores are excluded (they carry
+    no calibration information; the sweep and AUC count them
+    separately). Scale design: ONE map-side-combined hash aggregate
+    keyed on the bin — shuffle rows = bins, not documents.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    si = F.round(F.col(score_col) * scale).cast("long")
+    b = F.least(F.lit(bins - 1),
+                F.floor(si * bins / F.lit(scale)).cast("long"))
+    y = F.coalesce(F.col(label_col).cast("long"), F.lit(0))
+    agg = (df.filter(F.col(score_col).isNotNull())
+           .select(b.alias("bin"), si.alias("_si"), y.alias("_y"))
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_si").cast("long").alias("score_sum_i"),
+                F.sum("_y").cast("long").alias("n_pos")))
+    mean_score = F.round(F.col("score_sum_i").cast("double")
+                         / (F.col("n").cast("double") * scale), round_dp)
+    pos_rate = F.round(F.col("n_pos").cast("double")
+                       / F.col("n").cast("double"), round_dp)
+    return (agg.select(
+        "bin", "n", "score_sum_i", "n_pos",
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        F.round(F.col("n_pos").cast("double") / F.col("n").cast("double")
+                - F.col("score_sum_i").cast("double")
+                / (F.col("n").cast("double") * scale), round_dp)
+        .alias("gap"))
+        .orderBy("bin"))

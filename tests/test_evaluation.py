@@ -124,3 +124,31 @@ def test_confusion_matrix_counts_and_edges(spark):
     empty = evaluation.confusion_matrix(
         df.filter("false"), "p", "y").collect()[0]
     assert tuple(empty) == (0, 0, 0, 0, None, None, None, None)
+
+
+class TestReliabilityBins:
+    def test_handcrafted(self, spark):
+        rows = [
+            (0.05, 1), (0.05, 0),          # bin 0: mean .05, rate .5
+            (0.95, 1), (1.0, 1),           # bin 9 (1.0 folds into top)
+            (0.55, 0),                     # bin 5
+            (None, 1),                     # excluded
+        ]
+        df = spark.createDataFrame(rows, "score double, y long")
+        got = {r.bin: r for r in evaluation.reliability_bins(
+            df, "score", "y", bins=10).collect()}
+        assert set(got) == {0, 5, 9}
+        b0 = got[0]
+        assert (b0.n, b0.n_pos, b0.score_sum_i) == (2, 1, 1000)
+        assert b0.mean_score == 0.05 and b0.pos_rate == 0.5
+        assert b0.gap == round(0.5 - 0.05, 6)
+        b9 = got[9]
+        assert (b9.n, b9.n_pos) == (2, 2)
+        assert b9.mean_score == round(19500 / 20000, 6)
+        assert got[5].pos_rate == 0.0
+
+    def test_bins_validation(self, spark):
+        import pytest
+        df = spark.createDataFrame([(0.5, 1)], "score double, y long")
+        with pytest.raises(ValueError):
+            evaluation.reliability_bins(df, "score", "y", bins=0)
