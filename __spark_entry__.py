@@ -1163,6 +1163,21 @@ def q_train_shards(spark, sf_dir):
             .orderBy("shard", "pos"))
 
 
+def q_source_exemplars(spark, sf_dir):
+    """Per-domain exemplars (operators/profile.group_topk): the top-3
+    documents of every source by quality score — the read-the-best-
+    docs-per-domain review step next to source_report. Total order on
+    the 4-dp lattice (score_i DESC, doc_id ASC tie-break; NULL score
+    ranks last as -1), ONE group-keyed exchange + per-group sort,
+    only (source, id, score_i) rows shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_score(docs).select(
+        "source", "doc_id", "quality_score")
+    return (profile.group_topk(scored, "source", "quality_score",
+                               "doc_id", k=3)
+            .orderBy("source", "rnk"))
+
+
 def q_reliability(spark, sf_dir):
     """Reliability diagram (operators/evaluation.reliability_bins):
     calibration of quality_score against the lang='en' gold label in
@@ -1774,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_report": q_source_report,
         "jaccard_join": q_jaccard_join,
         "reliability_en": q_reliability,
+        "source_exemplars": q_source_exemplars,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -3380,6 +3396,29 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE), 6)
                    END AS kappa
             FROM k
+        """,
+
+        # Per-domain exemplar ground truth: same lattice total order
+        # replayed as a window rank.
+        "source_exemplars": f"""
+            WITH {_qscore_lang_cte()},
+            d AS (
+              SELECT q.doc_id, q.quality_score, documents.source
+              FROM q JOIN documents USING (doc_id)
+            ), r AS (
+              SELECT source, doc_id,
+                     COALESCE(CAST(ROUND(quality_score * 10000)
+                                   AS BIGINT), -1) AS score_i
+              FROM d
+            ), k AS (
+              SELECT source, doc_id, score_i,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY score_i DESC, doc_id) AS BIGINT) AS rnk
+              FROM r
+            )
+            SELECT source, rnk, doc_id, score_i
+            FROM k WHERE rnk <= 3 ORDER BY source, rnk
         """,
 
         # Reliability-diagram ground truth: same lattice binning

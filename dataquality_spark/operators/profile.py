@@ -608,3 +608,37 @@ def group_quality_report(df: DataFrame, group_col: str,
         .alias("mean_score"),
         F.round(F.col("_kept").cast("double")
                 / F.col("n_docs").cast("double"), 6).alias("keep_rate")))
+
+
+def group_topk(df: DataFrame, group_col: str, score_col: str,
+               id_col: str, k: int = 3, ascending: bool = False,
+               scale: int = 10_000) -> DataFrame:
+    """Per-group exemplars: the top (or bottom) k rows of every group
+    by score — the "read the best/worst documents per domain" step a
+    curation reviewer runs next to group_quality_report before
+    committing thresholds.
+
+    Ordering is total and engine-exact: the score on its integer
+    lattice (round(score·scale) as BIGINT, NULL score ranks last)
+    descending (or ascending), then id_col ascending as the
+    tie-break. Output: (group_col, rnk 1..k, id_col, score_i).
+
+    Scale design: ONE exchange keyed on the group + per-group sort —
+    the same shape as shard_assign; with |domains| groups the sorts
+    parallelize and no global order is ever materialized. Only
+    (group, id, score_i) rows shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    si = F.round(F.col(score_col) * scale).cast("long")
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(id_col),
+                     F.coalesce(si, F.lit(-1)).alias("score_i"))
+    order = [F.asc("score_i") if ascending else F.desc("score_i"),
+             F.asc(id_col)]
+    w = Window.partitionBy("grp").orderBy(*order)
+    return (base.withColumn("rnk",
+                            F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("grp").alias(group_col), "rnk",
+                    F.col(id_col), "score_i"))

@@ -1047,3 +1047,32 @@ class TestJaccardJoinExact:
         for bad in (0.0, -0.1, 1.5):
             with pytest.raises(ValueError):
                 dedup.jaccard_join_exact(df, "text", "doc_id", bad)
+
+
+class TestGroupTopk:
+    def test_order_ties_and_nulls(self, spark):
+        rows = [
+            ("a", 1, 0.9), ("a", 2, 0.9),   # tie -> lower id first
+            ("a", 3, 0.5), ("a", 4, None),  # NULL ranks last (-1)
+            ("b", 5, 0.1),
+        ]
+        df = spark.createDataFrame(rows, "source string, doc_id long, s double")
+        got = [(r.source, r.rnk, r.doc_id, r.score_i)
+               for r in profile.group_topk(df, "source", "s", "doc_id",
+                                           k=3)
+               .orderBy("source", "rnk").collect()]
+        assert got == [("a", 1, 1, 9000), ("a", 2, 2, 9000),
+                       ("a", 3, 3, 5000), ("b", 1, 5, 1000)]
+        bottom = [(r.source, r.rnk, r.doc_id)
+                  for r in profile.group_topk(df, "source", "s",
+                                              "doc_id", k=1,
+                                              ascending=True)
+                  .orderBy("source").collect()]
+        assert bottom == [("a", 1, 4), ("b", 1, 5)]   # NULL is lowest
+
+    def test_k_validation(self, spark):
+        import pytest
+        df = spark.createDataFrame([("a", 1, 0.5)],
+                                   "source string, doc_id long, s double")
+        with pytest.raises(ValueError):
+            profile.group_topk(df, "source", "s", "doc_id", k=0)
