@@ -169,3 +169,62 @@ def test_host_quality_state_accumulates_across_batches(spark, stream_dirs):
     m = final.join(gt, lsuffix="_s", rsuffix="_b")
     assert (m.n_docs_s == m.n_docs_b).all()
     assert (m.n_kept_s == m.n_kept_b).all()
+
+
+def test_streaming_source_report_matches_batch(spark, stream_dirs):
+    """Incremental per-domain quality report: streaming complete-mode
+    aggregation over two availableNow batches equals the batch
+    group_quality_report over the union — the round-4 domain report
+    is streaming-safe because every statistic is an algebraic
+    aggregate (counts, lattice sums, distinct-hash counts)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataquality_spark.operators import profile
+
+    docs = pd.DataFrame({
+        "doc_id": range(200),
+        "source": [f"s{i % 4}" for i in range(200)],
+        "text": [f"doc body {i % 37}" for i in range(200)],  # dups
+        "quality_score": [round((i % 11) / 10, 4) for i in range(200)],
+    })
+    _write_batch(stream_dirs["in"], docs.iloc[:90], "b0")
+    _write_batch(stream_dirs["in"], docs.iloc[90:], "b1")
+
+    schema = ("doc_id long, source string, text string, "
+              "quality_score double")
+    stream = spark.readStream.schema(schema).parquet(stream_dirs["in"])
+    # the same slim projection the batch operator builds; streaming
+    # forbids exact count_distinct, so the distinct-text side runs as
+    # its own query through dropDuplicates state (the production
+    # shape: dedup state + algebraic aggregate)
+    base = stream.select(
+        "source",
+        F.round(F.col("quality_score") * 10000).cast("long")
+        .alias("si"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("th"))
+    agg = (base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("si").cast("long").alias("score_sum_i"),
+        F.sum((F.col("si") >= 5000).cast("long")).alias("kept")))
+    q1 = (agg.writeStream.format("memory").queryName("src_report")
+          .outputMode("complete").trigger(availableNow=True).start())
+    uniq = (base.select("source", "th").dropDuplicates()
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_unique")))
+    q2 = (uniq.writeStream.format("memory").queryName("src_uniq")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    uq = {r["source"]: r["n_unique"]
+          for r in spark.sql("select * from src_uniq").collect()}
+    got = {r["source"]: (r["n_docs"], uq[r["source"]],
+                         r["score_sum_i"], r["kept"])
+           for r in spark.sql("select * from src_report").collect()}
+    want = {r["source"]: (r["n_docs"], r["n_unique_texts"],
+                          r["score_sum_i"],
+                          int(round(r["keep_rate"] * r["n_docs"])))
+            for r in profile.group_quality_report(
+                spark.createDataFrame(docs), "source").collect()}
+    assert got == want
