@@ -1163,6 +1163,25 @@ def q_train_shards(spark, sf_dir):
             .orderBy("shard", "pos"))
 
 
+def q_report_merge(spark, sf_dir):
+    """Incremental profiling (operators/profile.merge_group_reports):
+    profile the corpus in two independent halves (doc_id parity =
+    two 'runs'), persist only the per-domain report rows, then merge
+    them algebraically — counts and lattice sums add, ratios are
+    recomputed from the merged integers, distinct-text counts become
+    an honesty-renamed upper bound (cross-shard dups need the hashes
+    — exact_dedup_cross's job). The 100-TB profile path: shards never
+    re-read. Oracle replays the same two-level rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_score(docs)
+    h1 = profile.group_quality_report(
+        scored.filter(F.col("doc_id") % 2 == 0), "source")
+    h2 = profile.group_quality_report(
+        scored.filter(F.col("doc_id") % 2 == 1), "source")
+    return (profile.merge_group_reports(h1.unionByName(h2), "source")
+            .orderBy("source"))
+
+
 def q_source_exemplars(spark, sf_dir):
     """Per-domain exemplars (operators/profile.group_topk): the top-3
     documents of every source by quality score — the read-the-best-
@@ -1790,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "reliability_en": q_reliability,
         "source_exemplars": q_source_exemplars,
+        "report_merge": q_report_merge,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -3396,6 +3416,46 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE), 6)
                    END AS kappa
             FROM k
+        """,
+
+        # Incremental-merge ground truth: the same two-level rollup
+        # (per-half per-text -> per-half -> merged), ratios recomputed
+        # from merged integers, distinct counts summed as the bound.
+        "report_merge": f"""
+            WITH {_qscore_lang_cte()},
+            d AS (
+              SELECT q.doc_id, q.quality_score, documents.source,
+                     coalesce(documents.text, '') AS t
+              FROM q JOIN documents USING (doc_id)
+            ), pt AS (
+              SELECT source, doc_id % 2 AS half, md5(t) AS th,
+                     COUNT(*) AS n,
+                     SUM(CAST(ROUND(quality_score * 10000) AS BIGINT))
+                       AS ssum,
+                     SUM(CASE WHEN CAST(ROUND(quality_score * 10000)
+                                        AS BIGINT) >= 5000
+                              THEN 1 ELSE 0 END) AS kept
+              FROM d GROUP BY source, half, th
+            ), shard AS (
+              SELECT source, half, SUM(n) AS n_docs,
+                     COUNT(*) AS n_uniq, SUM(ssum) AS ssum,
+                     SUM(kept) AS kept
+              FROM pt GROUP BY source, half
+            ), m AS (
+              SELECT source, SUM(n_docs) AS n_docs,
+                     SUM(n_uniq) AS ub, SUM(ssum) AS ssum,
+                     SUM(kept) AS kept
+              FROM shard GROUP BY source
+            )
+            SELECT source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(ub AS BIGINT) AS n_unique_texts_ub,
+                   CAST(ssum AS BIGINT) AS score_sum_i,
+                   ROUND(CAST(ssum AS DOUBLE) / (n_docs * 10000), 6)
+                     AS mean_score,
+                   ROUND(CAST(kept AS DOUBLE) / n_docs, 6)
+                     AS keep_rate
+            FROM m ORDER BY source
         """,
 
         # Per-domain exemplar ground truth: same lattice total order

@@ -642,3 +642,47 @@ def group_topk(df: DataFrame, group_col: str, score_col: str,
             .filter(F.col("rnk") <= k)
             .select(F.col("grp").alias(group_col), "rnk",
                     F.col(id_col), "score_i"))
+
+
+def merge_group_reports(reports: DataFrame, group_col: str,
+                        scale: int = 10_000,
+                        keep_threshold: float = 0.5) -> DataFrame:
+    """Re-aggregate saved per-shard/per-run `group_quality_report`
+    outputs into one corpus-level report — the incremental path: a
+    100 TB corpus profiles shard-by-shard (or run-by-run), persists
+    the tiny per-domain rows, and merges them here without ever
+    touching the documents again.
+
+    Exactly mergeable columns (counts and the lattice score sum) are
+    summed; the ratios are recomputed from the merged integers, so
+    the result equals a single-pass report over the union — EXCEPT
+    n_unique_texts/dup_frac, which are upper-bounded by the sum of
+    per-shard distincts (a text duplicated ACROSS shards counts once
+    per shard; exact cross-shard distincts require the hashes, which
+    is `exact_dedup_cross`'s job). The keep count is reconstructed
+    from keep_rate·n_docs (exact — it was computed as kept/n_docs).
+
+    Scale design: input is |domains|·|shards| slim rows; one hash
+    aggregate. Output schema matches group_quality_report plus
+    `n_unique_texts_ub` honesty-renamed for the bound.
+    """
+    kept = F.round(F.col("keep_rate")
+                   * F.col("n_docs").cast("double")).cast("long")
+    agg = (reports
+           .select(F.col(group_col).alias("grp"),
+                   "n_docs", "n_unique_texts", "score_sum_i",
+                   kept.alias("_kept"))
+           .groupBy("grp")
+           .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_unique_texts").cast("long")
+                .alias("n_unique_texts_ub"),
+                F.sum("score_sum_i").cast("long").alias("score_sum_i"),
+                F.sum("_kept").cast("long").alias("_kept")))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs", "n_unique_texts_ub", "score_sum_i",
+        F.round(F.col("score_sum_i").cast("double")
+                / (F.col("n_docs").cast("double") * scale), 6)
+        .alias("mean_score"),
+        F.round(F.col("_kept").cast("double")
+                / F.col("n_docs").cast("double"), 6).alias("keep_rate"))

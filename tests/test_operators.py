@@ -1076,3 +1076,30 @@ class TestGroupTopk:
                                    "source string, doc_id long, s double")
         with pytest.raises(ValueError):
             profile.group_topk(df, "source", "s", "doc_id", k=0)
+
+
+class TestMergeGroupReports:
+    def test_merge_equals_single_pass_on_mergeable_cols(self, spark):
+        rows = [(i, f"s{i % 3}", f"text {i % 7}",
+                 round((i % 9) / 10, 4)) for i in range(90)]
+        df = spark.createDataFrame(
+            rows, ["doc_id", "source", "text", "quality_score"])
+        h1 = profile.group_quality_report(
+            df.filter(F.col("doc_id") % 2 == 0), "source")
+        h2 = profile.group_quality_report(
+            df.filter(F.col("doc_id") % 2 == 1), "source")
+        merged = {r["source"]: r for r in profile.merge_group_reports(
+            h1.unionByName(h2), "source").collect()}
+        full = {r["source"]: r for r in profile.group_quality_report(
+            df, "source").collect()}
+        assert set(merged) == set(full)
+        for s in full:
+            # counts, lattice sums, and recomputed ratios are EXACT
+            assert merged[s]["n_docs"] == full[s]["n_docs"]
+            assert merged[s]["score_sum_i"] == full[s]["score_sum_i"]
+            assert merged[s]["mean_score"] == full[s]["mean_score"]
+            assert merged[s]["keep_rate"] == full[s]["keep_rate"]
+            # distinct texts: per-shard sum is an upper bound (texts
+            # recur across halves here by construction)
+            assert (merged[s]["n_unique_texts_ub"]
+                    >= full[s]["n_unique_texts"])
