@@ -1163,6 +1163,18 @@ def q_train_shards(spark, sf_dir):
             .orderBy("shard", "pos"))
 
 
+def q_length_hist(spark, sf_dir):
+    """Corpus length distribution
+    (operators/text_analysis.length_histogram): power-of-two token
+    buckets (bucket = bit length of the count via length(bin(n)) —
+    `bin` has identical semantics in Spark and DuckDB, so the edges
+    are engine-exact with zero floating log2), per bucket doc count /
+    token sum / min / max. ONE map-side-combined aggregate; shuffle
+    rows = occupied buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.length_histogram(docs)
+
+
 def q_report_merge(spark, sf_dir):
     """Incremental profiling (operators/profile.merge_group_reports):
     profile the corpus in two independent halves (doc_id parity =
@@ -1810,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_en": q_reliability,
         "source_exemplars": q_source_exemplars,
         "report_merge": q_report_merge,
+        "length_hist": q_length_hist,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -3416,6 +3429,28 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE), 6)
                    END AS kappa
             FROM k
+        """,
+
+        # Length-histogram ground truth: same bit-length bucketing
+        # (bin() exists in both engines), integer aggregates only.
+        "length_hist": """
+            WITH w AS (
+              SELECT CAST(len(list_filter(
+                       string_split_regex(coalesce(text, ''), '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS n
+              FROM documents
+            ), b AS (
+              SELECT CASE WHEN n = 0 THEN 0
+                          ELSE CAST(length(bin(n)) AS BIGINT) END
+                       AS bucket, n
+              FROM w
+            )
+            SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS token_sum,
+                   CAST(MIN(n) AS BIGINT) AS min_tokens,
+                   CAST(MAX(n) AS BIGINT) AS max_tokens
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
 
         # Incremental-merge ground truth: the same two-level rollup

@@ -798,3 +798,31 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
                        / F.col(f"ngram_{n}_tot_chars").cast("double"))
                        .otherwise(F.lit(0.0)), 6)))
     return out.drop("_gr_words", "_gr_paras", "_gr_lines")
+
+
+def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus length distribution in power-of-two buckets — the
+    standard first plot of any corpus report (and the input to
+    choosing chunk/packing sizes): bucket b holds documents with
+    2^(b-1) <= n_tokens < 2^b (bucket 0 = empty docs), with per-bucket
+    doc count, token sum, and min/max tokens.
+
+    The bucket is the token count's BIT LENGTH via length(bin(n)) —
+    `bin` (integer -> base-2 string) exists with identical semantics
+    in Spark and DuckDB, so the bucket edges are engine-exact without
+    any floating log2. ONE map-side-combined aggregate; shuffle rows =
+    number of occupied buckets (<= 64).
+    """
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != "")
+    n = F.size(words).cast("long")
+    b = F.when(n == 0, F.lit(0)).otherwise(
+        F.length(F.bin(n))).cast("long")
+    return (df.select(b.alias("bucket"), n.alias("_n"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_n").cast("long").alias("token_sum"),
+                 F.min("_n").cast("long").alias("min_tokens"),
+                 F.max("_n").cast("long").alias("max_tokens"))
+            .orderBy("bucket"))

@@ -1103,3 +1103,18 @@ class TestMergeGroupReports:
             # recur across halves here by construction)
             assert (merged[s]["n_unique_texts_ub"]
                     >= full[s]["n_unique_texts"])
+
+
+class TestLengthHistogram:
+    def test_bit_buckets(self, spark):
+        rows = [(1, ""), (2, None), (3, "a"), (4, "a b"),
+                (5, "a b c"), (6, "a b c d"),
+                (7, " ".join(["x"] * 17))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.bucket: (r.n_docs, r.token_sum, r.min_tokens,
+                          r.max_tokens)
+               for r in text_analysis.length_histogram(df).collect()}
+        # bucket b: 2^(b-1) <= n < 2^b; bucket 0 = empty docs
+        assert got == {0: (2, 0, 0, 0), 1: (1, 1, 1, 1),
+                       2: (2, 5, 2, 3), 3: (1, 4, 4, 4),
+                       5: (1, 17, 17, 17)}
