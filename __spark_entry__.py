@@ -1175,6 +1175,31 @@ def q_length_hist(spark, sf_dir):
     return text_analysis.length_histogram(docs)
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode/whitespace normalization (operators/curation.
+    normalize_text): NFC + CRLF + NBSP + control-strip + whitespace
+    collapse + trim over deterministically-dirtied documents text —
+    a decomposed 'Cafe'+U+0301 prefix (NFC must compose to é), an NBSP
+    on doc_id%3, tab/space runs, CRLF blank-line runs, and C0/DEL
+    controls planted identically in both engines. Byte-exact contract:
+    the oracle replays nfc_normalize + the same RE2 rule chain in
+    DuckDB. ONE ArrowEvalPython over the text column, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    mess = F.concat(
+        F.lit("Cafe\u0301"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\u00A0"))
+         .otherwise(F.lit(" ")),
+        F.lit(" \t"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\r\n\r\n\r\n \x07tail\x7f  "))
+    out = curation.normalize_text(docs.withColumn("mess", mess), "mess")
+    return (out.select(
+                "doc_id", "text_norm",
+                F.length("mess").cast("long").alias("n_chars_raw"),
+                F.length("text_norm").cast("long").alias("n_chars_norm"))
+            .orderBy("doc_id"))
+
+
 def q_report_merge(spark, sf_dir):
     """Incremental profiling (operators/profile.merge_group_reports):
     profile the corpus in two independent halves (doc_id parity =
@@ -1874,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "host_extract": q_host_extract,
         "url_canonicalize": q_url_canonicalize,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -4492,6 +4518,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM customer c
               WHERE c.c_custkey % 10 <> 0
                 AND c.c_custkey = o.o_custkey)
+        """,
+
+        # normalize_text: same dirtied input (decomposed e+U+0301, NBSP
+        # on doc_id%3, tab/space runs, CRLF runs, C0/DEL controls) and
+        # the same ordered RE2 rule chain after nfc_normalize — DuckDB's
+        # regex engine is RE2, same as the Arrow kernels the operator
+        # uses, so replacement semantics are identical. Raw SQL string:
+        # '\r' below is backslash-r FOR RE2, not a SQL escape.
+        "normalize_text": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     'Cafe' || chr(769) ||
+                     CASE WHEN doc_id % 3 = 0 THEN chr(160)
+                          ELSE ' ' END ||
+                     ' ' || chr(9) || coalesce(text, '') ||
+                     chr(13)||chr(10)||chr(13)||chr(10)||chr(13)||chr(10)
+                     || ' ' || chr(7) || 'tail' || chr(127) || '  '
+                       AS mess
+              FROM documents
+            ), n AS (
+              SELECT doc_id, mess,
+                     trim(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                         nfc_normalize(mess),
+                         '\r\n?', chr(10), 'g'),
+                         '[\x{00A0}\x{2007}\x{202F}]', ' ', 'g'),
+                         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                         '[ \t]+', ' ', 'g'),
+                         ' ?\n ?', chr(10), 'g'),
+                         '\n{3,}', chr(10)||chr(10), 'g'),
+                       ' ' || chr(9) || chr(10)) AS text_norm
+              FROM m
+            )
+            SELECT doc_id, text_norm,
+                   CAST(length(mess) AS BIGINT) AS n_chars_raw,
+                   CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+            FROM n
+            ORDER BY doc_id
         """,
     }
     return sqls

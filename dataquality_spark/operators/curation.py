@@ -42,6 +42,8 @@ Scale design (the point at 100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -937,3 +939,81 @@ def shard_assign(df: DataFrame, key_col: str, n_shards: int = 1024,
     return (out.withColumn(
                 "pos", (F.row_number().over(w) - 1).cast("long"))
             .drop("_sh_pri"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode / whitespace text normalization (ftfy-lite cleaning pass)
+# ---------------------------------------------------------------------------
+
+# Ordered RE2 rules applied after NFC. RE2 on BOTH sides of the contract
+# (Arrow's replace_substring_regex here, DuckDB's regexp_replace in the
+# oracle), with explicit character classes — never '\s', whose meaning
+# differs between regex engines. Order matters and is load-bearing:
+# CR/LF first (so the control-strip class need not handle \r), controls
+# before whitespace collapse (a stripped control must not glue two
+# spaces into a preserved run), space collapse before newline-padding
+# (so ' ?\n ?' only ever sees a single bordering space).
+NORM_RULES: list[tuple[str, str]] = [
+    (r"\r\n?", "\n"),                             # CRLF / lone CR -> LF
+    (r"[\x{00A0}\x{2007}\x{202F}]", " "),         # non-breaking spaces
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),    # C0/DEL except \t \n
+    (r"[ \t]+", " "),                             # space/tab runs
+    (r" ?\n ?", "\n"),                            # pad around newlines
+    (r"\n{3,}", "\n\n"),                          # >=3 blank lines -> 1
+]
+NORM_TRIM = " \t\n"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm", nfc: bool = True) -> DataFrame:
+    """Unicode + whitespace normalization for raw webtext: NFC
+    composition, CRLF/CR -> LF, non-breaking spaces -> space, C0/DEL
+    control stripping (tabs and newlines survive as layout), space/tab
+    run collapse, newline de-padding, blank-line-run capping, and edge
+    trim — the cleanup pass (ftfy-lite / CCNet's pre-tokenization
+    hygiene) that runs between HTML text extraction and quality
+    scoring, so that langid/perplexity/dedup never disagree about two
+    byte-representations of the same rendered text.
+
+    Execution shape: ONE Arrow crossing (an ArrowEvalPython over the
+    text column only), inside which every rule is a vectorized RE2
+    kernel (pyarrow.compute.replace_substring_regex — C++, no per-row
+    Python). NFC itself falls back to unicodedata.normalize (a C call)
+    because this build's pyarrow utf8_normalize is a no-op — but only
+    for rows an Arrow-side prescreen proves non-ASCII (NFC is the
+    identity on ASCII), so the per-element C loop touches the
+    non-ASCII minority only. Map-only: zero shuffles, text crosses to
+    Python exactly once, and at 100 TB the column-pruned scan reads
+    only `text`. NULL propagates (kernels are null-aware).
+
+    Cross-engine exact: the oracle replays nfc_normalize + the same
+    RE2 chain in DuckDB; Python's unicodedata and DuckDB's utf8proc
+    agree on NFC (pinned for composition, singletons, and identity
+    cases by tests), and both regex engines are RE2 with identical
+    leftmost-nonoverlapping global replacement.
+    """
+    @F.pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(s, type=pa.string())
+        if nfc:
+            # Arrow-side prescreen: NFC is the identity on pure-ASCII
+            # strings, so only rows with a non-ASCII byte pay the
+            # unicodedata call.
+            import unicodedata
+            needs = pc.match_substring_regex(arr, r"[^\x00-\x7F]")
+            if pc.any(needs).as_py():
+                idx = [i for i, f in enumerate(needs.to_pylist()) if f]
+                vals = arr.to_pylist()
+                for i in idx:
+                    vals[i] = unicodedata.normalize("NFC", vals[i])
+                arr = pa.array(vals, type=pa.string())
+        for pat, rep in NORM_RULES:
+            arr = pc.replace_substring_regex(arr, pattern=pat,
+                                             replacement=rep)
+        arr = pc.utf8_trim(arr, characters=NORM_TRIM)
+        return arr.to_pandas()
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

@@ -1148,3 +1148,105 @@ class TestChunkDocumentsProperty:
                 want[i] = (len(window), " ".join(window))
             assert got[doc_id] == want, (doc_id, text, chunk_tokens,
                                          overlap)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text (unicode + whitespace normalization)
+# ---------------------------------------------------------------------------
+
+import re as _re_norm  # noqa: E402
+import unicodedata as _ud  # noqa: E402
+
+# Pure-Python reference: same ordered rules, Python `re` (semantics
+# coincide with RE2 for these patterns — character classes and greedy
+# quantifiers only, leftmost non-overlapping global replacement) and
+# unicodedata NFC (what the operator itself uses; cross-engine NFC
+# equivalence vs DuckDB's utf8proc is pinned by the normalize_text
+# contract query and the fixed cases below).
+_REF_RULES = [
+    (_re_norm.compile(
+        p.replace(r"\x{00A0}", " ")
+         .replace(r"\x{2007}", " ")
+         .replace(r"\x{202F}", " ")), r)
+    for p, r in curation.NORM_RULES]
+
+
+def _ref_normalize(t):
+    if t is None:
+        return None
+    t = _ud.normalize("NFC", t)
+    for pat, rep in _REF_RULES:
+        t = pat.sub(rep, t)
+    return t.strip(" \t\n")
+
+
+class TestNormalizeText:
+    def _run(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string")
+        out = curation.normalize_text(df)
+        return [r.text_norm
+                for r in out.orderBy("id").select("text_norm").collect()]
+
+    def test_fixed_cases(self, spark):
+        cases = [
+            # NFC composition: decomposed e + U+0301 -> é
+            ("Café au lait", "Café au lait"),
+            # singleton composition (Ohm sign -> Greek Omega)
+            ("Ω ohm", "Ω ohm"),
+            # CRLF + lone CR -> LF
+            ("a\r\nb\rc", "a\nb\nc"),
+            # NBSP family -> space, then collapsed
+            ("a  b c d", "a b c d"),
+            # C0/DEL stripped, \t and \n survive as layout
+            ("x\x07y\x00z\x7fw", "xyzw"),
+            ("x\ty", "x y"),
+            # space/tab runs collapse; newline de-padding
+            ("a  \t b \n   c", "a b\nc"),
+            # blank-line runs cap at one blank line
+            ("p1\n\n\n\n\np2", "p1\n\np2"),
+            # edge trim of spaces/tabs/newlines
+            ("\n\n  hi  \t\n", "hi"),
+            # ASCII fast path is the identity
+            ("plain ascii text", "plain ascii text"),
+            ("", ""),
+        ]
+        got = self._run(spark, [t for t, _ in cases])
+        for (src, want), g in zip(cases, got):
+            assert g == want, (src, want, g)
+
+    def test_null_propagates(self, spark):
+        assert self._run(spark, [None, "a"]) == [None, "a"]
+
+    def test_idempotent(self, spark):
+        texts = ["Café  x\r\n\r\n\r\ny\x07 ", "a b", " \t\n "]
+        once = self._run(spark, texts)
+        twice = self._run(spark, once)
+        assert once == twice
+
+    def test_matches_python_reference_fixed(self, spark):
+        texts = ["Café  \t mixed\r\n\r\n\r\n \x07tail\x7f  ",
+                 "Ω   \x01\x1f",
+                 "a\rb\r\nc\nd\n\n\n\ne",
+                 "", " ", "\t\n\r"]
+        assert self._run(spark, texts) == [_ref_normalize(t) for t in texts]
+
+
+_norm_alphabet = st.sampled_from(
+    list("ab .!") + ["\t", "\n", "\r", "\x07", "\x00", "\x7f",
+                     " ", " ", " ", "́", "e",
+                     "é", "Ω", "Ω"])
+
+
+class TestNormalizeTextProperty:
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=st.lists(
+        st.one_of(st.none(), st.text(_norm_alphabet, max_size=40)),
+        min_size=1, max_size=12))
+    def test_matches_python_reference(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string")
+        got = [r.text_norm for r in curation.normalize_text(df)
+               .orderBy("id").select("text_norm").collect()]
+        assert got == [_ref_normalize(t) for t in texts]
