@@ -1200,6 +1200,29 @@ def q_normalize_text(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_containment_join(spark, sf_dir):
+    """Exact containment join (operators/dedup.containment_join_exact):
+    every (excerpt, document) pair with |A∩B|/|A| >= 0.9 over distinct
+    tokens — the quote/excerpt-detection shape. Excerpts = the first
+    15 tokens of every doc_id%20 document (id offset +1000000), so
+    each excerpt is fully contained in its parent plus however many
+    other docs of this deliberately self-similar corpus cover its
+    token set. Oracle = brute-force cross join: the prefix filter
+    stack must reproduce it exactly (zero false negatives)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda w: w != "")
+    quotes = (docs.filter(F.col("doc_id") % 20 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.array_join(F.slice(toks, 1, 15), " ")
+                      .alias("text")))
+    return (dedup.containment_join_exact(
+                quotes, docs.select("doc_id", "text"),
+                "text", "doc_id", threshold=0.9)
+            .orderBy("id_a", "id_b"))
+
+
 def q_report_merge(spark, sf_dir):
     """Incremental profiling (operators/profile.merge_group_reports):
     profile the corpus in two independent halves (doc_id parity =
@@ -1900,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_extract": q_host_extract,
         "url_canonicalize": q_url_canonicalize,
         "normalize_text": q_normalize_text,
+        "containment_join": q_containment_join,
     }
 
 
@@ -4557,6 +4581,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text_norm) AS BIGINT) AS n_chars_norm
             FROM n
             ORDER BY doc_id
+        """,
+
+        # containment_join: brute-force ground truth — every
+        # (excerpt, document) pair checked directly; the Spark side's
+        # prefix-filter candidate generation must reproduce this set
+        # exactly (the zero-false-negatives claim under test).
+        "containment_join": """
+            WITH q AS (
+              SELECT doc_id + 1000000 AS id,
+                     array_to_string(list_slice(list_filter(
+                       string_split_regex(coalesce(text, ''), '\\s+'),
+                       w -> w <> ''), 1, 15), ' ') AS text
+              FROM documents WHERE doc_id % 20 = 0
+            ), qt AS (
+              SELECT id, list_distinct(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '\\s+'),
+                       w -> w <> '')) AS tk
+              FROM q
+            ), dt AS (
+              SELECT doc_id AS id, list_distinct(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '\\s+'),
+                       w -> w <> '')) AS tk
+              FROM documents
+            ), p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(len(a.tk) AS BIGINT) AS n_tokens_a,
+                     CAST(len(b.tk) AS BIGINT) AS n_tokens_b,
+                     CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT)
+                       AS inter
+              FROM qt a JOIN dt b ON a.id <> b.id
+              WHERE len(a.tk) > 0 AND len(b.tk) > 0
+            )
+            SELECT id_a, id_b, n_tokens_a, n_tokens_b, inter,
+                   ROUND(CAST(inter AS DOUBLE) / n_tokens_a, 6)
+                     AS containment
+            FROM p
+            WHERE inter * 10000 >= 9000 * n_tokens_a
+            ORDER BY id_a, id_b
         """,
     }
     return sqls

@@ -866,3 +866,113 @@ def jaccard_join_exact(df: DataFrame, text_col: str, id_col: str,
         "id_1", "id_2", "n_tokens_1", "n_tokens_2", "inter", "uni",
         F.round(F.col("inter").cast("double")
                 / F.col("uni").cast("double"), 6).alias("jaccard"))
+
+
+def containment_join_exact(contained: DataFrame, corpus: DataFrame,
+                           text_col: str, id_col: str,
+                           threshold: float = 0.9,
+                           lowercase: bool = True,
+                           scale: int = 10_000) -> DataFrame:
+    """EXACT token-set containment join — every ORDERED pair (A, B)
+    with A from `contained`, B from `corpus`, A.id != B.id, and
+    C(A,B) = |A∩B| / |A| >= threshold over distinct whitespace
+    tokens: the asymmetric counterpart of jaccard_join_exact for
+    quote/excerpt/subset detection, where a short text living inside
+    a long document scores near 1.0 even though its Jaccard is tiny
+    (the near-dup passes deliberately miss it). Pass the same frame
+    twice for the self-join form.
+
+    Filter correctness (zero false negatives): C(A,B) >= t implies
+    |A∩B| >= ceil(t·|A|), so under ANY global token order A and B
+    must share a token inside A's first |A| − ceil(t·|A|) + 1
+    tokens. Only the CONTAINED side has a usable prefix — B's prefix
+    length would depend on |A| — so candidates are generated by
+    joining A-prefix tokens against the corpus's FULL posting list,
+    and the rarest-first order (corpus document frequency ASC, token
+    ASC — the WWW'07 heuristic, no global rank materialized; tokens
+    absent from the corpus get df 0 and sort first, which is
+    optimal: their posting lists are empty) is what keeps those
+    posting lists short. Length filter: |A∩B| <= |B| forces
+    scale·|B| >= T·|A|. The threshold lives on an integer lattice
+    (T = round(t·scale)); prefix ceil and the final verify
+    (inter·scale >= T·|A|) are pure BIGINT comparisons.
+
+    Output: (id_a, id_b, n_tokens_a, n_tokens_b, inter, containment)
+    — id_a is the contained text.
+
+    Scale design: one corpus token shuffle for document frequencies
+    (map-side combine); the candidate join moves A-prefix rows
+    (~(1−t)·|d| per contained doc) against posting lists of A's
+    RAREST tokens only; verification joins candidate PAIRS back to
+    the persisted per-side token arrays and computes array_intersect
+    in codegen. Both token-array tables are tracked-persisted (the
+    jaccard_join lesson: an unpersisted join side feeding two
+    consumers is independently recomputed under AQE and erases
+    multi-core speedup). Hot-token worst case is the posting-list
+    join — the df table this operator computes is the monitor. In
+    the decontamination shape (small `contained` set), the prefix
+    table is tiny and broadcasts.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    T = int(round(threshold * scale))
+
+    def _tok(frame):
+        text = F.coalesce(F.col(text_col), F.lit(""))
+        if lowercase:
+            text = F.lower(text)
+        out = frame.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+            .alias("_toks"))
+        return _track_persist(out.filter(F.size("_toks") > 0))
+
+    toks_a, toks_b = _tok(contained), _tok(corpus)
+
+    from pyspark.sql import Window
+
+    tok_b = toks_b.select("_id", F.explode("_toks").alias("_t"),
+                          F.size("_toks").cast("long").alias("_n"))
+    dfreq = tok_b.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    tok_a = toks_a.select("_id", F.explode("_toks").alias("_t"),
+                          F.size("_toks").cast("long").alias("_n"))
+    ranked = (tok_a.join(dfreq, "_t", "left")
+              .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
+              .withColumn("_pos", F.row_number().over(
+                  Window.partitionBy("_id")
+                  .orderBy(F.asc("_df"), F.asc("_t"))).cast("long")))
+    ceil_tn = F.floor((F.lit(T) * F.col("_n") + (scale - 1))
+                      / F.lit(scale)).cast("long")
+    prefix = _track_persist(ranked.filter(
+        F.col("_pos") <= F.col("_n") - ceil_tn + 1).select(
+        "_t", "_id", "_n"))
+    # full corpus posting list — the B side
+    full = tok_b.select("_t", F.col("_id").alias("id_b"),
+                        F.col("_n").alias("_nb"))
+
+    cand = (prefix.join(full, "_t")
+            .filter((F.col("_id") != F.col("id_b"))
+                    # |B| lower bound: scale·nB >= T·nA
+                    & (F.lit(scale) * F.col("_nb")
+                       >= F.lit(T) * F.col("_n")))
+            .select(F.col("_id").alias("id_a"), "id_b")
+            .distinct())
+
+    ta = toks_a.select(F.col("_id").alias("id_a"),
+                       F.col("_toks").alias("_toks_a"))
+    tb = toks_b.select(F.col("_id").alias("id_b"),
+                       F.col("_toks").alias("_toks_b"))
+    verified = (cand.join(ta, "id_a").join(tb, "id_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("_toks_a", "_toks_b"))
+                            .cast("long"))
+                .withColumn("n_tokens_a", F.size("_toks_a").cast("long"))
+                .withColumn("n_tokens_b", F.size("_toks_b").cast("long"))
+                .filter(F.col("inter") * scale
+                        >= F.lit(T) * F.col("n_tokens_a")))
+    return verified.select(
+        "id_a", "id_b", "n_tokens_a", "n_tokens_b", "inter",
+        F.round(F.col("inter").cast("double")
+                / F.col("n_tokens_a").cast("double"), 6)
+        .alias("containment"))

@@ -1118,3 +1118,78 @@ class TestLengthHistogram:
         assert got == {0: (2, 0, 0, 0), 1: (1, 1, 1, 1),
                        2: (2, 5, 2, 3), 3: (1, 4, 4, 4),
                        5: (1, 17, 17, 17)}
+
+
+class TestContainmentJoinExact:
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from dataquality_spark.caching import unpersist_all
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(25)]
+        corpus = [(i, " ".join(rng.choice(vocab)
+                               for _ in range(rng.randint(0, 12))))
+                  for i in range(40)]
+        corpus += [(90, "a b c d e f g h"), (93, None), (94, "  ")]
+        # excerpts: subsets of doc 90, plus a token absent from the
+        # corpus (df 0 -> sorts first in the prefix, empty postings)
+        quotes = [(100, "a b c d"), (101, "a b c zz_missing"),
+                  (102, None), (103, "")]
+        qdf = spark.createDataFrame(quotes, "doc_id long, text string")
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        for thr in (0.5, 0.75, 1.0):
+            got = {(r.id_a, r.id_b): (r.inter, r.containment)
+                   for r in dedup.containment_join_exact(
+                       qdf, cdf, "text", "doc_id", thr).collect()}
+            unpersist_all()
+            T = round(thr * 10000)
+            qs = {i: set((t or "").lower().split()) - {""}
+                  for i, t in quotes}
+            cs = {i: set((t or "").lower().split()) - {""}
+                  for i, t in corpus}
+            want = {}
+            for qi, A in qs.items():
+                if not A:
+                    continue
+                for ci, B in cs.items():
+                    if not B or qi == ci:
+                        continue
+                    inter = len(A & B)
+                    if inter * 10000 >= T * len(A):
+                        want[(qi, ci)] = (inter,
+                                          round(inter / len(A), 6))
+            assert got == want, thr
+
+    def test_asymmetry_short_in_long(self, spark):
+        # the case Jaccard misses: a 3-token quote inside a 12-token
+        # doc has J = 0.25 but containment 1.0
+        cdf = spark.createDataFrame(
+            [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12")],
+            "doc_id long, text string")
+        qdf = spark.createDataFrame(
+            [(2, "t3 t7 t11")], "doc_id long, text string")
+        got = dedup.containment_join_exact(
+            qdf, cdf, "text", "doc_id", 1.0).collect()
+        assert [(r.id_a, r.id_b, r.containment)
+                for r in got] == [(2, 1, 1.0)]
+        assert not dedup.jaccard_join_exact(
+            spark.createDataFrame(
+                [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),
+                 (2, "t3 t7 t11")], "doc_id long, text string"),
+            "text", "doc_id", 0.5).collect()
+
+    def test_self_join_form_excludes_identity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y z"), (2, "z y x"), (3, "p q")],
+            "doc_id long, text string")
+        got = sorted((r.id_a, r.id_b)
+                     for r in dedup.containment_join_exact(
+                         df, df, "text", "doc_id", 1.0).collect())
+        assert got == [(1, 2), (2, 1)]
+
+    def test_threshold_validation(self, spark):
+        import pytest
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        for bad in (0.0, -0.1, 1.5):
+            with pytest.raises(ValueError):
+                dedup.containment_join_exact(df, df, "text", "doc_id", bad)
