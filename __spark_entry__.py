@@ -1223,6 +1223,37 @@ def q_containment_join(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+# Planted script snippets, shared verbatim by the Spark query and the
+# DuckDB oracle (same Python str objects — no escape-syntax drift).
+_SCRIPT_SNIPS = {
+    1: " привет мир",
+    2: " 日本語テキスト",
+    3: " مرحبا 123",
+}
+_SCRIPT_GREEK = " αβγ"
+
+
+def q_script_profile(spark, sf_dir):
+    """Writing-system profile (operators/text_analysis.script_profile):
+    per-doc codepoint counts for Latin/Cyrillic/Greek/CJK/Arabic +
+    digits and the dominant script — Cyrillic/CJK/Arabic snippets
+    planted on doc_id%4 and Greek on doc_id%7 so every branch of the
+    CASE chain is exercised. Pure codegen projection (regexp_replace
+    length deltas): zero UDFs, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    mess = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1, F.lit(_SCRIPT_SNIPS[1]))
+         .when(F.col("doc_id") % 4 == 2, F.lit(_SCRIPT_SNIPS[2]))
+         .when(F.col("doc_id") % 4 == 3, F.lit(_SCRIPT_SNIPS[3]))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_SCRIPT_GREEK))
+         .otherwise(F.lit("")))
+    return (text_analysis.script_profile(
+                docs.withColumn("mess", mess), "mess", "doc_id")
+            .orderBy("doc_id"))
+
+
 def q_report_merge(spark, sf_dir):
     """Incremental profiling (operators/profile.merge_group_reports):
     profile the corpus in two independent halves (doc_id parity =
@@ -1924,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "normalize_text": q_normalize_text,
         "containment_join": q_containment_join,
+        "script_profile": q_script_profile,
     }
 
 
@@ -4622,5 +4654,65 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 10000 >= 9000 * n_tokens_a
             ORDER BY id_a, id_b
         """,
+
+        # script_profile: same planted snippets (injected verbatim from
+        # the SAME Python strings the Spark query uses), same
+        # codepoint-range classes — '\x{...}' classes are identical in
+        # Java regex and RE2, and both engines' length() counts
+        # codepoints. CASE chain mirrors the operator's declaration
+        # order so ties break identically.
+        "script_profile": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                     CASE doc_id % 4
+                          WHEN 1 THEN '__S1__'
+                          WHEN 2 THEN '__S2__'
+                          WHEN 3 THEN '__S3__'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 7 = 0 THEN '__SG__'
+                          ELSE '' END AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id, length(t) AS n,
+                length(t) - length(regexp_replace(t,
+                  '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS nl,
+                length(t) - length(regexp_replace(t,
+                  '[\x{0400}-\x{04FF}]', '', 'g')) AS ncy,
+                length(t) - length(regexp_replace(t,
+                  '[\x{0370}-\x{03FF}]', '', 'g')) AS ngr,
+                length(t) - length(regexp_replace(t,
+                  '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS ncj,
+                length(t) - length(regexp_replace(t,
+                  '[\x{0600}-\x{06FF}]', '', 'g')) AS nar,
+                length(t) - length(regexp_replace(t,
+                  '[0-9]', '', 'g')) AS nd
+              FROM m
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_chars,
+                   CAST(nl AS BIGINT) AS n_latin,
+                   CAST(ncy AS BIGINT) AS n_cyrillic,
+                   CAST(ngr AS BIGINT) AS n_greek,
+                   CAST(ncj AS BIGINT) AS n_cjk,
+                   CAST(nar AS BIGINT) AS n_arabic,
+                   CAST(nd AS BIGINT) AS n_digit,
+                   CASE WHEN greatest(nl, ncy, ngr, ncj, nar) = 0
+                             THEN 'none'
+                        WHEN nl = greatest(nl, ncy, ngr, ncj, nar)
+                             THEN 'latin'
+                        WHEN ncy = greatest(nl, ncy, ngr, ncj, nar)
+                             THEN 'cyrillic'
+                        WHEN ngr = greatest(nl, ncy, ngr, ncj, nar)
+                             THEN 'greek'
+                        WHEN ncj = greatest(nl, ncy, ngr, ncj, nar)
+                             THEN 'cjk'
+                        ELSE 'arabic' END AS main_script
+            FROM c
+            ORDER BY doc_id
+        """.replace("__S1__", _SCRIPT_SNIPS[1])
+           .replace("__S2__", _SCRIPT_SNIPS[2])
+           .replace("__S3__", _SCRIPT_SNIPS[3])
+           .replace("__SG__", _SCRIPT_GREEK),
     }
     return sqls

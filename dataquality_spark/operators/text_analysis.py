@@ -826,3 +826,57 @@ def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
                  F.min("_n").cast("long").alias("min_tokens"),
                  F.max("_n").cast("long").alias("max_tokens"))
             .orderBy("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Script (writing-system) profile — CCNet-style script detection
+# ---------------------------------------------------------------------------
+
+# Explicit BMP codepoint ranges — `\x{...}` character classes have
+# identical semantics in Java regex (Spark) and RE2 (DuckDB), and both
+# engines' length() counts codepoints, so every count below is
+# engine-exact. Deliberately coarse: the use is routing/filtering
+# (CCNet drops pages whose dominant script disagrees with the langid
+# call), not linguistics.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("cjk", r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+]
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document writing-system profile: codepoint counts for the
+    major scripts (Latin, Cyrillic, Greek, CJK, Arabic) plus digits,
+    and the dominant script — the CCNet-style signal for dropping
+    pages whose script contradicts the language-ID call (a 'ru' page
+    that is 90% Latin is mislabeled or boilerplate) and for routing
+    script-specific tokenizers.
+
+    Each count is length(text) − length(regexp_replace(text, class,
+    '')) — a pure whole-stage-codegen projection: zero UDFs, zero
+    shuffles, zero joins; at 100 TB this fuses into any scan that
+    already reads the text column. The dominant script is a CASE
+    chain over the letter-script counts in declaration order (ties
+    break toward the earlier entry, deterministically); documents
+    with no letter codepoints report 'none'.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    counts = {
+        name: (n - F.length(F.regexp_replace(t, cls, ""))).cast("long")
+        for name, cls in SCRIPT_RANGES}
+    n_digit = (n - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("long")
+    m = F.greatest(*counts.values())
+    main = F.when(m == 0, F.lit("none"))
+    for name, _ in SCRIPT_RANGES:
+        main = main.when(counts[name] == m, F.lit(name))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_RANGES],
+        n_digit.alias("n_digit"),
+        main.alias("main_script"))

@@ -1193,3 +1193,37 @@ class TestContainmentJoinExact:
         for bad in (0.0, -0.1, 1.5):
             with pytest.raises(ValueError):
                 dedup.containment_join_exact(df, df, "text", "doc_id", bad)
+
+
+class TestScriptProfile:
+    def test_counts_and_dominant(self, spark):
+        rows = [
+            (1, "hello world"),                     # pure latin
+            (2, "\u043f\u0440\u0438\u0432\u0435\u0442"),  # привет
+            (3, "\u65e5\u672c \u30c6\u30ad"),   # kanji + katakana
+            (4, "\u0645\u0631\u062d\u0628\u0627 42"),      # arabic + digits
+            (5, "\u03b1\u03b2\u03b3 abc"),       # greek tie-break vs latin
+            (6, "123 !!!"),                          # no letters at all
+            (7, None),
+            (8, "caf\u00e9 \u0144"),              # latin-extended é ń
+        ]
+        rows = [(i, t.encode().decode('unicode_escape').encode('latin-1')
+                    .decode('utf-8') if t else t) for i, t in rows]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.asDict()
+               for r in text_analysis.script_profile(df).collect()}
+        assert got[1]["n_latin"] == 10 and got[1]["main_script"] == "latin"
+        assert got[2]["n_cyrillic"] == 6
+        assert got[2]["main_script"] == "cyrillic"
+        assert got[3]["n_cjk"] == 4 and got[3]["main_script"] == "cjk"
+        assert (got[4]["n_arabic"], got[4]["n_digit"]) == (5, 2)
+        assert got[4]["main_script"] == "arabic"
+        # 3 greek vs 3 latin: tie breaks toward the earlier declaration
+        assert got[5]["n_greek"] == 3 and got[5]["n_latin"] == 3
+        assert got[5]["main_script"] == "latin"
+        assert got[6]["main_script"] == "none"
+        assert got[6]["n_digit"] == 3
+        # NULL text counts as empty
+        assert got[7]["n_chars"] == 0 and got[7]["main_script"] == "none"
+        # latin-extended block belongs to latin
+        assert got[8]["n_latin"] == 5 and got[8]["main_script"] == "latin"
