@@ -1223,6 +1223,29 @@ def q_containment_join(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate removal (operators/curation.
+    remove_boilerplate_lines): lines repeating in >=3 distinct docs
+    within a source are stripped from ALL of them — documents
+    restructured to multi-line form (' table ' -> newline), a planted
+    per-source footer on EVERY doc (df = docs-per-source, always
+    flagged) and a planted per-doc unique line (never flagged);
+    natural cross-doc dup lines flag too, replayed identically by the
+    oracle. Text crosses zero exchanges: mining shuffles slim
+    (source, md5, id, pos) rows, rebuild is an indexed array filter."""
+    docs = _t(spark, sf_dir, "documents")
+    src = F.coalesce(F.col("source"), F.lit(""))
+    mtext = F.concat(
+        F.replace(F.coalesce(F.col("text"), F.lit("")),
+                  F.lit(" table "), F.lit("\n")),
+        F.lit("\n(c) footer "), src,
+        F.lit("\nuid-"), F.col("doc_id").cast("string"))
+    return (curation.remove_boilerplate_lines(
+                docs.withColumn("mtext", mtext).withColumn("g", src),
+                "mtext", "doc_id", "g", min_docs=3)
+            .orderBy("doc_id"))
+
+
 # Planted script snippets, shared verbatim by the Spark query and the
 # DuckDB oracle (same Python str objects — no escape-syntax drift).
 _SCRIPT_SNIPS = {
@@ -1956,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "containment_join": q_containment_join,
         "script_profile": q_script_profile,
+        "boilerplate_lines": q_boilerplate,
     }
 
 
@@ -4714,5 +4738,43 @@ def oracle_sql() -> dict[str, str]:
            .replace("__S2__", _SCRIPT_SNIPS[2])
            .replace("__S3__", _SCRIPT_SNIPS[3])
            .replace("__SG__", _SCRIPT_GREEK),
+
+        # boilerplate_lines: full replay — same multi-line
+        # restructuring + planted footer/uid lines, same md5-of-trimmed
+        # matching key, same >=3-distinct-docs-per-source flag rule,
+        # same indexed-filter rebuild (DuckDB list positions are
+        # 1-based, Spark's posexplode 0-based — each side is internally
+        # consistent and positions never appear in the output).
+        "boilerplate_lines": """
+            WITH m AS (
+              SELECT doc_id, coalesce(source, '') AS g,
+                     replace(coalesce(text, ''), ' table ', chr(10))
+                     || chr(10) || '(c) footer ' || coalesce(source, '')
+                     || chr(10) || 'uid-' || CAST(doc_id AS VARCHAR)
+                       AS t
+              FROM documents
+            ), b AS (
+              SELECT doc_id, g, string_split(t, chr(10)) AS ls FROM m
+            ), l AS (
+              SELECT doc_id, g, u.s.p AS p, md5(trim(u.s.x)) AS key
+              FROM b, unnest(list_transform(ls,
+                     (x, i) -> struct_pack(p := i, x := x))) AS u(s)
+              WHERE trim(u.s.x) <> ''
+            ), f AS (
+              SELECT g, key FROM l
+              GROUP BY g, key HAVING count(DISTINCT doc_id) >= 3
+            ), h AS (
+              SELECT l.doc_id, list_sort(list(DISTINCT l.p)) AS dp
+              FROM l JOIN f USING (g, key) GROUP BY l.doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(coalesce(len(dp), 0) AS BIGINT) AS n_boiler,
+                   coalesce(array_to_string(list_filter(ls, (x, i) ->
+                     NOT list_contains(coalesce(dp, []), i)), chr(10)),
+                     '') AS text_clean
+            FROM b LEFT JOIN h USING (doc_id)
+            ORDER BY doc_id
+        """,
     }
     return sqls

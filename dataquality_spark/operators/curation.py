@@ -1017,3 +1017,75 @@ def normalize_text(df: DataFrame, text_col: str = "text",
         return arr.to_pandas()
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line removal (per-domain nav/footer strip)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             group_col: str | None = None,
+                             min_docs: int = 3) -> DataFrame:
+    """Remove lines that repeat across >= min_docs DISTINCT documents
+    (within `group_col` — typically the host/domain — when given):
+    the RefinedWeb/CCNet boilerplate pass that strips navigation
+    menus, cookie banners, and footers, which survive BOTH intra-doc
+    repetition removal (dedupe_lines: the footer appears once per
+    doc) and keep-first paragraph dedup (dedupe_paragraphs keeps it
+    in ONE doc; boilerplate must leave in ALL docs).
+
+    Matching key = md5 of the space-trimmed line; blank lines are
+    never counted or removed (they are layout, not boilerplate).
+    Line identity is per group: the same footer text under two hosts
+    is two independent keys, so a small host never inherits a big
+    host's flags.
+
+    Output: (id, n_lines, n_boiler, text_clean) — text_clean rebuilt
+    with the flagged positions dropped, remaining lines byte-intact
+    in original order.
+
+    Scale design: the mining side projects text to SLIM
+    (id, group, pos, md5) rows immediately after the split — the
+    tracked persist holds hashes, never line text — then one
+    map-side-combined (group, key, id)-distinct count flags keys and
+    one join back yields per-doc drop-position arrays ONLY for docs
+    that contain boilerplate. The rebuild reads the original text
+    column a second time (two columnar text READS, like the
+    dedup-flags branch — at ingest, materialize the line-key table
+    the way with_dup_fingerprint materializes text_crc32 to make
+    this one read) and drops flagged positions with an indexed
+    array filter in codegen: text crosses ZERO exchanges end to end;
+    everything that shuffles is (group, 16-B hash, id, pos).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    grp = (F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+           if group_col else F.lit(""))
+    ln = df.select(F.col(id_col).alias("_id"), grp.alias("_g"),
+                   F.posexplode(lines).alias("_pos", "_line"))
+    ln = _track_persist(
+        ln.filter(F.trim(F.col("_line")) != "")
+          .select("_id", "_g", "_pos",
+                  F.md5(F.trim(F.col("_line"))).alias("_key")))
+    flags = (ln.groupBy("_g", "_key")
+             .agg(F.count_distinct(F.col("_id")).alias("_df"))
+             .filter(F.col("_df") >= min_docs)
+             .select("_g", "_key"))
+    hits = (ln.join(flags, ["_g", "_key"])
+            .groupBy("_id")
+            .agg(F.sort_array(F.collect_set("_pos")).alias("_drop")))
+    base = df.select(F.col(id_col).alias("_id"), lines.alias("_lines"))
+    out = (base.join(hits, "_id", "left")
+           .withColumn("_drop", F.coalesce(
+               F.col("_drop"), F.array().cast("array<int>"))))
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: ~F.array_contains(F.col("_drop"), i))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_drop").cast("long").alias("n_boiler"),
+        F.array_join(kept, "\n").alias("text_clean"))

@@ -1250,3 +1250,69 @@ class TestNormalizeTextProperty:
         got = [r.text_norm for r in curation.normalize_text(df)
                .orderBy("id").select("text_norm").collect()]
         assert got == [_ref_normalize(t) for t in texts]
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate_lines (cross-document nav/footer strip)
+# ---------------------------------------------------------------------------
+
+
+class TestRemoveBoilerplateLines:
+    ROWS = [
+        (1, "h1", "unique one\nFOOTER\nbody a"),
+        (2, "h1", "FOOTER\nbody b"),
+        (3, "h1", "body c\nFOOTER"),
+        (4, "h2", "FOOTER\nother host"),   # same text, different group
+        (5, "h1", None),
+        (6, "h1", "  \nFOOTER\n"),          # blank lines preserved
+    ]
+
+    def _run(self, spark, min_docs=3):
+        df = spark.createDataFrame(self.ROWS,
+                                   "doc_id long, g string, text string")
+        return {r.doc_id: r for r in curation.remove_boilerplate_lines(
+            df, "text", "doc_id", "g", min_docs).collect()}
+
+    def test_footer_stripped_group_isolated(self, spark):
+        got = self._run(spark)
+        # FOOTER appears in 4 distinct h1 docs -> stripped from ALL
+        assert got[1].text_clean == "unique one\nbody a"
+        assert got[2].text_clean == "body b"
+        assert got[3].text_clean == "body c"
+        assert [got[i].n_boiler for i in (1, 2, 3, 6)] == [1, 1, 1, 1]
+        # identical text under h2 is one doc there -> untouched
+        assert got[4].text_clean == "FOOTER\nother host"
+        assert got[4].n_boiler == 0
+
+    def test_blank_lines_never_flagged(self, spark):
+        got = self._run(spark)
+        # blanks survive even though '' repeats across docs
+        assert got[6].text_clean == "  \n"
+        assert got[5].n_lines == 1 and got[5].text_clean == ""
+
+    def test_threshold(self, spark):
+        # min_docs above the footer's df -> nothing stripped
+        got = self._run(spark, min_docs=5)
+        assert all(r.n_boiler == 0 for r in got.values())
+        import pytest
+        with pytest.raises(ValueError):
+            self._run(spark, min_docs=1)
+
+    def test_trim_matching_position_fidelity(self, spark):
+        # '  FOOTER ' matches 'FOOTER' (trimmed key) but untouched
+        # lines keep their original bytes
+        rows = [(1, "g", "  FOOTER \nkeep  me"),
+                (2, "g", "FOOTER\nx"), (3, "g", "FOOTER\ny")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, g string, text string")
+        got = {r.doc_id: r for r in curation.remove_boilerplate_lines(
+            df, "text", "doc_id", "g", 3).collect()}
+        assert got[1].text_clean == "keep  me"
+        assert got[1].n_boiler == 1
+
+    def test_global_mode_without_group(self, spark):
+        rows = [(i, f"line{i}\nCOMMON") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in curation.remove_boilerplate_lines(
+            df, "text", "doc_id", None, 3).collect()}
+        assert all(got[i].text_clean == f"line{i}" for i in range(4))
