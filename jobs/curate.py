@@ -223,6 +223,15 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--dsir-buckets", type=int, default=10_000,
                     help="hashed feature-space size for --dsir-target "
                          "(0 = exact gram strings)")
+    ap.add_argument("--boilerplate-min-docs", type=int, default=None,
+                    metavar="K",
+                    help="strip lines repeating in >= K distinct docs "
+                         "within --boilerplate-group (curation."
+                         "remove_boilerplate_lines); runs before "
+                         "--c4-lines")
+    ap.add_argument("--boilerplate-group", default=None, metavar="COL",
+                    help="group column for boilerplate identity "
+                         "(default: corpus-global)")
     ap.add_argument("--chunk-tokens", type=int, default=None,
                     metavar="N",
                     help="REPLACE the output grain with sliding token "
@@ -331,6 +340,16 @@ def _run(argv: list[str] | None = None) -> dict:
             steps.append("decontaminate:drop")
         else:
             steps.append("decontaminate:flag")
+
+    if args.boilerplate_min_docs is not None:
+        df = (curation.remove_boilerplate_lines(
+                  df, text_col, id_col,
+                  group_col=args.boilerplate_group,
+                  min_docs=args.boilerplate_min_docs)
+              .join(df.drop(text_col), id_col)
+              .withColumn(text_col, F.col("text_clean"))
+              .drop("text_clean", "n_lines", "n_boiler"))
+        steps.append("boilerplate_lines")
 
     if args.c4_lines:
         df = (curation.c4_line_filter(df, text_col)

@@ -568,3 +568,31 @@ def test_curate_job_chunk_then_shards(spark, tmp_path):
     for _, grp in out.groupby("shard"):
         assert sorted(grp["pos"]) == list(range(len(grp)))
     assert out["chunk_key"].is_unique
+
+
+def test_curate_job_boilerplate(spark, tmp_path):
+    """--boilerplate-min-docs strips the repeated footer from every
+    doc, preserves other columns, and precedes --c4-lines."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "host": ["h1"] * 4 + ["h2"] * 2,
+        "text": [f"unique {i}\nCOOKIE BANNER" for i in range(6)],
+    })
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(docs).write.parquet(inp)
+
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--boilerplate-min-docs", "3",
+                        "--boilerplate-group", "host"])
+    assert stats["steps"] == ["boilerplate_lines"]
+    out = spark.read.parquet(outp).toPandas().set_index("doc_id")
+    # banner stripped where host df >= 3, kept for the 2-doc host
+    for i in range(4):
+        assert out.loc[i, "text"] == f"unique {i}"
+    for i in (4, 5):
+        assert out.loc[i, "text"] == f"unique {i}\nCOOKIE BANNER"
+    assert set(out.columns) >= {"host", "text"}
