@@ -1223,6 +1223,39 @@ def q_containment_join(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_normalized_dedup(spark, sf_dir):
+    """Composition: normalize_text feeding exact dedup — the
+    whitespace/CRLF-variant duplicates raw hashing misses. Every
+    doc_id%10 document gets a planted variant (id +2000000: doubled
+    spaces, leading pad, CRLF tail) whose RAW text is distinct but
+    whose normalized text is identical; the aggregate counts both
+    hash spaces plus the docs sitting in normalized-dup groups.
+    DuckDB replays the full normalization chain."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (docs.filter(F.col("doc_id") % 10 == 0)
+                .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                        F.concat(
+                            F.lit("  "),
+                            F.replace(F.coalesce(F.col("text"),
+                                                 F.lit("")),
+                                      F.lit(" "), F.lit("  ")),
+                            F.lit(" \r\n")).alias("text")))
+    un = docs.unionByName(variants)
+    norm = curation.normalize_text(un)
+    grp = (norm.groupBy("text_norm")
+           .agg(F.count(F.lit(1)).alias("_n")))
+    return (norm.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("text").cast("long")
+                .alias("n_distinct_raw"),
+                F.countDistinct("text_norm").cast("long")
+                .alias("n_distinct_norm"))
+            .crossJoin(grp.agg(
+                F.sum(F.when(F.col("_n") > 1, F.col("_n"))
+                      .otherwise(F.lit(0))).cast("long")
+                .alias("n_docs_in_norm_dup_groups"))))
+
+
 def q_boilerplate(spark, sf_dir):
     """Cross-document boilerplate removal (operators/curation.
     remove_boilerplate_lines): lines repeating in >=3 distinct docs
@@ -1980,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": q_containment_join,
         "script_profile": q_script_profile,
         "boilerplate_lines": q_boilerplate,
+        "normalized_dedup": q_normalized_dedup,
     }
 
 
@@ -4775,6 +4809,43 @@ def oracle_sql() -> dict[str, str]:
                      '') AS text_clean
             FROM b LEFT JOIN h USING (doc_id)
             ORDER BY doc_id
+        """,
+
+        # normalized_dedup: replay variants + the full normalization
+        # chain, then count raw-vs-normalized hash spaces.
+        "normalized_dedup": r"""
+            WITH un AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     '  ' || replace(coalesce(text, ''), ' ', '  ')
+                     || ' ' || chr(13) || chr(10)
+              FROM documents WHERE doc_id % 10 = 0
+            ), n AS (
+              SELECT doc_id, text,
+                     trim(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                         nfc_normalize(text),
+                         '\r\n?', chr(10), 'g'),
+                         '[\x{00A0}\x{2007}\x{202F}]', ' ', 'g'),
+                         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                         '[ \t]+', ' ', 'g'),
+                         ' ?\n ?', chr(10), 'g'),
+                         '\n{3,}', chr(10)||chr(10), 'g'),
+                       ' ' || chr(9) || chr(10)) AS text_norm
+              FROM un
+            ), g AS (
+              SELECT text_norm, count(*) AS _n FROM n GROUP BY text_norm
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_docs,
+                   (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM n)
+                     AS n_distinct_raw,
+                   (SELECT CAST(count(DISTINCT text_norm) AS BIGINT)
+                    FROM n) AS n_distinct_norm,
+                   (SELECT CAST(coalesce(sum(CASE WHEN _n > 1 THEN _n
+                                              ELSE 0 END), 0) AS BIGINT)
+                    FROM g) AS n_docs_in_norm_dup_groups
         """,
     }
     return sqls
