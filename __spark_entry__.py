@@ -34,6 +34,7 @@ from dataquality_spark.operators import (bloom, clustering,  # noqa: E402
                                          curation, dedup, evaluation,
                                          graph, joins, multimodal, profile,
                                          similarity, text_analysis)
+from dataquality_spark.sources import warc  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1175,6 +1176,44 @@ def q_length_hist(spark, sf_dir):
     return text_analysis.length_histogram(docs)
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """WARC/WET source roundtrip (sources/warc.py): documents →
+    member-gzipped WET part files (one per task, the Common Crawl
+    layout — each record its own gzip member) → binaryFile read +
+    Content-Length-framed parse → per-doc identity. Output: doc_id
+    recovered from the record's WARC-Target-URI, the roundtripped
+    WARC-Date as unix seconds, char count and md5 of the roundtripped
+    text. The oracle computes the same THREE fields from the parquet
+    directly, so any corruption in either direction (framing, gzip
+    members, UTF-8 encode/decode, date formatting) hash-mismatches.
+    Scale shape: the writer is a zero-shuffle mapInPandas over the
+    existing partitioning; reader parallelism is one task per file
+    (the CC norm — tens of thousands of ~1 GB files)."""
+    import hashlib as _h
+    import shutil
+    import tempfile
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        F.concat(F.lit("http://"), F.col("source"),
+                 F.lit(".example/doc/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1577836800) + F.col("doc_id"))
+         .alias("warc_ts"),
+        "text")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "dq_wet_rt_" +
+        _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    warc.write_wet(staged.repartition(4, "url"), out_dir).collect()
+    back = warc.read_wet(spark, out_dir)
+    return (back.select(
+                F.regexp_extract("url", r"/doc/(\d+)$", 1)
+                 .cast("long").alias("doc_id"),
+                F.unix_timestamp("warc_ts").cast("long").alias("ts_sec"),
+                F.length("text").cast("long").alias("n_chars"),
+                F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+            .orderBy("doc_id"))
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode/whitespace normalization (operators/curation.
     normalize_text): NFC + CRLF + NBSP + control-strip + whitespace
@@ -1901,19 +1940,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness harness samples the FIRST
     # 50 dict entries only. Round 3 front-loaded the 26 entries that had
     # never had a driver row; this round ROTATES the window again so the
-    # 26 queries the r03 artifact pushed past position 50 (whose green
+    # queries the r03 artifact pushed past position 50 (whose green
     # rows date from r01/r02, pre-vectorization code) get fresh rows on
-    # current-generation code. Union of CORRECTNESS_r03 + r04 then covers
-    # all queries on post-vectorization code.
+    # current-generation code, alongside every operator added in round 4.
+    # Five pure-SQL r01/r02-green queries (corpus_top_ngrams,
+    # repeat_upsample, char_entropy, vocab_coverage, split_sample — no
+    # Python/vectorized path, so their old rows still describe current
+    # code) yield their slots to the five newest round-4 operators
+    # (normalize_text, containment_join, script_profile,
+    # boilerplate_lines, normalized_dedup), which have never had a
+    # driver row. Union of CORRECTNESS_r03 + r04 + the committed local
+    # full-surface run (BENCH/contract_local_r04.txt) covers all
+    # queries on post-vectorization code.
     return {
         # --- r01/r02-green only; rotated into the window for fresh rows ---
-        "corpus_top_ngrams": q_corpus_top_ngrams,
-        "repeat_upsample": q_repeat_upsample,
         "approx_distinct": q_approx_distinct,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "langid_vote": q_langid_vote,
-        "fingerprints": q_fingerprints,
         "winnow": q_winnow,
         "fingerprint_roll": q_fingerprint_roll,
         "fingerprint_roll_md5": q_fingerprint_roll_md5,
@@ -1928,12 +1972,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_md5": q_simhash_neardup_md5,
         "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
-        "char_entropy": q_char_entropy,
-        "vocab_coverage": q_vocab_coverage,
         "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
-        "split_sample": q_split_sample,
         # --- new in round 4 (never driver-checked) ---
+        "normalize_text": q_normalize_text,
+        "containment_join": q_containment_join,
+        "script_profile": q_script_profile,
+        "boilerplate_lines": q_boilerplate,
+        "normalized_dedup": q_normalized_dedup,
+        "wet_roundtrip": q_wet_roundtrip,
         "webtext_audit_rules": q_webtext_audit_rules,
         "kmeans_fit_sample": q_kmeans_fit_sample,
         "token_budget": q_token_budget,
@@ -2009,11 +2056,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "host_extract": q_host_extract,
         "url_canonicalize": q_url_canonicalize,
-        "normalize_text": q_normalize_text,
-        "containment_join": q_containment_join,
-        "script_profile": q_script_profile,
-        "boilerplate_lines": q_boilerplate,
-        "normalized_dedup": q_normalized_dedup,
+        # --- r01/r02-green, no vectorized path; rotated out to make room ---
+        "fingerprints": q_fingerprints,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
+        "repeat_upsample": q_repeat_upsample,
+        "char_entropy": q_char_entropy,
+        "vocab_coverage": q_vocab_coverage,
+        "split_sample": q_split_sample,
     }
 
 
@@ -3569,6 +3618,19 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE), 6)
                    END AS kappa
             FROM k
+        """,
+
+        # WET roundtrip ground truth: the oracle never sees the WARC
+        # files — it states what a lossless write→read must reproduce
+        # per doc (derived timestamp, char count, md5 of the text).
+        # Null text is written as an empty conversion record, so the
+        # oracle coalesces to ''.
+        "wet_roundtrip": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(1577836800 + doc_id AS BIGINT) AS ts_sec,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                   md5(coalesce(text, '')) AS text_md5
+            FROM documents
         """,
 
         # Length-histogram ground truth: same bit-length bucketing

@@ -43,7 +43,7 @@ HEADLINE = [
     "c4_line_filter", "gopher_repetition", "fineweb_quality",
     "bm25_search", "bm25_indexed", "pr_sweep",
     "doc_chunks", "train_shards",
-    "normalize_text", "script_profile",
+    "normalize_text", "script_profile", "wet_roundtrip",
 ]
 
 
