@@ -913,6 +913,30 @@ def q_temperature_mix(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_doremi_mix(spark, sf_dir):
+    """Explicit-mixture construction (Xie et al. 2023, DoReMi —
+    operators/curation.weighted_mix): given optimizer-learned domain
+    weights, realize the largest corpus that satisfies the target
+    proportions exactly — T = min_g(n_g·W' div w_g') (the bottleneck
+    domain runs out first), capped here at target_total=40, every
+    other domain downsampled to hold the ratios. Six weighted sources
+    spanning 16× weight spread; unweighted sources drop. Exactness:
+    integer weight lattice + DECIMAL(38,0) integral division end to
+    end (T never leaves the lattice — BIGINT could overflow for a
+    tiny weight over a 10^12-row corpus), LCG keep rule, so the kept
+    set is bit-identical to the DuckDB twin. Scale shape: slim
+    groupBy(source) count → broadcast weights join → scalar min →
+    broadcast threshold table probed map-side; text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    w = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.0625,
+         "src17": 0.03125, "src19": 0.03125}
+    return (curation.weighted_mix(docs, "source", "doc_id", w,
+                                  target_total=40, salt=13, method="lcg")
+            .select("doc_id", "source",
+                    F.col("bucket").cast("long").alias("bucket"))
+            .orderBy("doc_id"))
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet selection step (Wenzek et al. 2020,
     operators/curation.quantile_buckets): per-language score-quantile
@@ -1203,7 +1227,10 @@ def q_wet_roundtrip(spark, sf_dir):
         tempfile.gettempdir(), "dq_wet_rt_" +
         _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
     shutil.rmtree(out_dir, ignore_errors=True)
-    warc.write_wet(staged.repartition(4, "url"), out_dir).collect()
+    # writer parallelism follows the cluster (one part file per task);
+    # the result SET is partitioning-invariant, only file count moves
+    n_parts = max(4, spark.sparkContext.defaultParallelism)
+    warc.write_wet(staged.repartition(n_parts, "url"), out_dir).collect()
     back = warc.read_wet(spark, out_dir)
     return (back.select(
                 F.regexp_extract("url", r"/doc/(\d+)$", 1)
@@ -1958,7 +1985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "langid_vote": q_langid_vote,
-        "winnow": q_winnow,
         "fingerprint_roll": q_fingerprint_roll,
         "fingerprint_roll_md5": q_fingerprint_roll_md5,
         "exact_dedup": q_exact_dedup,
@@ -1985,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fit_sample": q_kmeans_fit_sample,
         "token_budget": q_token_budget,
         "temperature_mix": q_temperature_mix,
+        "doremi_mix": q_doremi_mix,
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_scores": q_dsir_scores,
         "dup_span_removal": q_dup_span_removal,
@@ -2058,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         # --- r01/r02-green, no vectorized path; rotated out to make room ---
         "fingerprints": q_fingerprints,
+        "winnow": q_winnow,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "repeat_upsample": q_repeat_upsample,
         "char_entropy": q_char_entropy,
@@ -3273,6 +3301,44 @@ def oracle_sql() -> dict[str, str]:
         # Temperature mixing: p_g ∝ n_g^0.5 realized as an integer
         # threshold — sqrt is IEEE-exact in both engines; everything
         # after the weight lattice is integer (HUGEINT // ↔ Spark div).
+        # DoReMi-style explicit mixture: lattice weights (×10^6) over
+        # six sources, T = min(n·W' // w') capped at 40, per-source
+        # LCG threshold — HUGEINT replicates Spark's DECIMAL(38,0) div.
+        "doremi_mix": """
+            WITH wt(source, w_g) AS (
+              VALUES ('src0',  CAST(500000 AS HUGEINT)),
+                     ('src1',  CAST(250000 AS HUGEINT)),
+                     ('src2',  CAST(125000 AS HUGEINT)),
+                     ('src3',  CAST(62500  AS HUGEINT)),
+                     ('src17', CAST(31250  AS HUGEINT)),
+                     ('src19', CAST(31250  AS HUGEINT))
+            ), n AS (
+              SELECT source, CAST(COUNT(*) AS HUGEINT) AS n_g
+              FROM documents GROUP BY source
+            ), j AS (
+              SELECT n.source, n_g, w_g FROM n JOIN wt USING (source)
+            ), tot AS (
+              SELECT SUM(w_g) AS wsum FROM j
+            ), tcap AS (
+              SELECT LEAST(MIN((n_g * wsum) // w_g),
+                           CAST(40 AS HUGEINT)) AS t
+              FROM j CROSS JOIN tot
+            ), thr AS (
+              SELECT source,
+                     (t * w_g * 1000000) // (wsum * n_g) AS thr
+              FROM j CROSS JOIN tot CROSS JOIN tcap
+            ), b AS (
+              SELECT doc_id, source,
+                     (((doc_id % 2147483648) * 1103515245 + 12345 + 13)
+                       % 2147483648) % 1000000 AS bucket
+              FROM documents
+            )
+            SELECT b.doc_id, b.source, CAST(bucket AS BIGINT) AS bucket
+            FROM b JOIN thr USING (source)
+            WHERE bucket < thr
+            ORDER BY doc_id
+        """,
+
         "temperature_mix": """
             WITH n AS (
               SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang

@@ -39,7 +39,8 @@ HEADLINE = [
     # round-4 additions (temperature/CCNet/DSIR selection + Lee-et-al
     # span removal) — headline totals are NOT comparable to r03's
     # 28-query line; compare per-query timings instead
-    "temperature_mix", "ccnet_buckets", "dsir_scores", "dup_span_removal",
+    "temperature_mix", "doremi_mix", "ccnet_buckets", "dsir_scores",
+    "dup_span_removal",
     "c4_line_filter", "gopher_repetition", "fineweb_quality",
     "bm25_search", "bm25_indexed", "pr_sweep",
     "doc_chunks", "train_shards",

@@ -1089,3 +1089,89 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
         F.size("_lines").cast("long").alias("n_lines"),
         F.size("_drop").cast("long").alias("n_boiler"),
         F.array_join(kept, "\n").alias("text_clean"))
+
+
+def weighted_mix(df: DataFrame, group_col: str, key_col: str,
+                 weights: dict[str, float], target_total: int | None = None,
+                 salt: int = 0, method: str = "xxhash64",
+                 buckets: int = 1_000_000,
+                 weight_scale: int = 1_000_000) -> DataFrame:
+    """Apply an EXPLICIT target mixture over groups (DoReMi-learned
+    domain weights, or a hand-set recipe) as deterministic per-group
+    downsampling.
+
+    Where `temperature_sample` DERIVES the mixture from corpus sizes
+    (p_g ∝ n_g^α), this operator takes the proportions as given —
+    the output of a mixture optimizer (Xie et al. 2023, DoReMi) or a
+    data card — and realizes the LARGEST corpus that satisfies them
+    exactly: T = min_g floor(n_g · W / w_g) (the bottleneck group runs
+    out first; every other group is downsampled to keep the ratios),
+    optionally capped by `target_total`. Groups absent from `weights`
+    (or with weight 0) are dropped; weighted groups absent from the
+    corpus simply contribute no rows and do not constrain T.
+
+    Cross-engine exactness: weights land on an integer lattice
+    (w_g' = floor(w_g · weight_scale)); T and the per-group keep
+    threshold `bucket < (T·w_g'·buckets) div (W'·n_g)` are evaluated
+    in DECIMAL(38,0) integer division (`div` — see temperature_sample
+    on why floor(a/b) is wrong), so a SQL oracle reproduces the kept
+    set bit-for-bit. Keep rule primitive = hash_bucket, stable across
+    runs, partitionings, and task retries.
+
+    Scale design: one slim groupBy(group) count (bytes ∝ #groups), a
+    broadcast weights table, one scalar min for T, and a broadcast
+    threshold table applied as a pure map-side filter — document text
+    never shuffles.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {group: weight} dict")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be >= 0: {weights}")
+    if target_total is not None and target_total <= 0:
+        raise ValueError(f"target_total must be positive: {target_total}")
+    spark = df.sparkSession
+    lat = [(str(g), int(w * weight_scale)) for g, w in weights.items()
+           if int(w * weight_scale) > 0]
+    if not lat:
+        raise ValueError("all weights rounded to 0 on the lattice; "
+                         "raise weight_scale")
+    wtab = spark.createDataFrame(lat, "`_g` string, `_w` long")
+    counts = (df.groupBy(F.col(group_col).cast("string").alias("_g"))
+              .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+              .join(F.broadcast(wtab), "_g"))
+    dec = "decimal(38,0)"
+    # tracked persist: feeds the W' sum, the T min, and the threshold
+    # projection — three subtrees that would each replay the corpus
+    # groupBy otherwise.
+    counts = _track_persist(counts)
+    wsum = counts.agg(F.sum("_w").cast("long").alias("_wsum"))
+    with_tot = counts.crossJoin(F.broadcast(wsum))
+    # T_g = n_g·W' div w_g' — the total the mixture could reach if g
+    # were the bottleneck; T = min over groups (cap by target_total).
+    # _T stays on the DECIMAL(38,0) lattice end to end — casting to
+    # BIGINT could overflow for a tiny weight over a 10^12-row corpus
+    # (T = n·W' div w' can exceed 2^63 while every downstream product
+    # still fits decimal38).
+    tmax = (with_tot
+            .select(F.expr(f"(CAST(_n AS {dec}) * CAST(_wsum AS {dec})"
+                           f" div CAST(_w AS {dec}))").alias("_t"))
+            .agg(F.min("_t").alias("_T")))
+    if target_total is not None:
+        tmax = tmax.select(
+            F.least(F.col("_T"),
+                    F.lit(int(target_total)).cast(dec)).alias("_T"))
+    num = (F.col("_T").cast(dec) * F.col("_w").cast(dec)
+           * F.lit(int(buckets)).cast(dec))
+    den = F.col("_wsum").cast(dec) * F.col("_n").cast(dec)
+    thr = (with_tot.crossJoin(F.broadcast(tmax))
+           .withColumn("_num", num)
+           .withColumn("_den", den)
+           .withColumn("_thr", F.expr("CAST((_num div _den) AS BIGINT)"))
+           .select("_g", "_thr"))
+    b = hash_bucket(F.col(key_col), buckets, salt, method)
+    return (df.join(F.broadcast(thr),
+                    F.col(group_col).cast("string").eqNullSafe(F.col("_g")),
+                    "inner")
+            .withColumn("bucket", b)
+            .where(F.col("bucket") < F.col("_thr"))
+            .drop("_g", "_thr"))

@@ -38,6 +38,10 @@ training-data pipeline runs between filtering and tokenization:
    [--temperature-alpha 0.5]): per---budget-group downsampling rate
    ∝ n^alpha/n toward an expected N kept docs
    (curation.temperature_sample), salted independently of all above;
+8b. explicit DoReMi-style mixture (--mix-weights 'g1=0.5,g2=0.3'
+   [--mix-total N]): keep the largest corpus holding exactly the given
+   per---budget-group proportions (curation.weighted_mix), the
+   bottleneck group setting the total; salted independently;
 9. CCNet-style score-quantile bucketing (--quantile-buckets K
    [--quantile-score COL] [--quantile-mode thresholds|ntile]): adds a
    qbucket column per --budget-group (curation.quantile_buckets) —
@@ -201,6 +205,14 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--temperature-alpha", type=float, default=0.5,
                     help="mixing temperature exponent alpha "
                          "(0=equal groups, 1=plain global downsample)")
+    ap.add_argument("--mix-weights", default=None, metavar="SPEC",
+                    help="explicit DoReMi-style mixture over "
+                         "--budget-group: 'g1=0.5,g2=0.3,g3=0.2' — "
+                         "keep the largest corpus holding exactly these "
+                         "proportions (curation.weighted_mix, salted at "
+                         "salt+5); groups absent from the spec drop")
+    ap.add_argument("--mix-total", type=int, default=None, metavar="N",
+                    help="cap the --mix-weights total at N docs")
     ap.add_argument("--quantile-buckets", type=int, default=None,
                     metavar="K",
                     help="CCNet-style per---budget-group score-quantile "
@@ -400,6 +412,18 @@ def _run(argv: list[str] | None = None) -> dict:
             df, args.budget_group, id_col, args.temperature_total,
             alpha=args.temperature_alpha, salt=args.salt + 3)
         steps.append("temperature_mix")
+
+    if args.mix_weights:
+        try:
+            w = {k.strip(): float(v) for k, v in
+                 (kv.split("=", 1) for kv in args.mix_weights.split(","))}
+        except ValueError as exc:
+            raise SystemExit(
+                f"--mix-weights must be 'g1=0.5,g2=0.3,...': {exc}")
+        df = curation.weighted_mix(
+            df, args.budget_group, id_col, w,
+            target_total=args.mix_total, salt=args.salt + 5)
+        steps.append("weighted_mix")
 
     if args.dsir_target:
         tgt = spark.read.parquet(args.dsir_target)

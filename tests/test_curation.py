@@ -1,6 +1,7 @@
 """Curation operators: decontamination, deterministic splits/sampling,
 repeated-line removal (operators/curation.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataquality_spark.operators import curation
@@ -1316,3 +1317,85 @@ class TestRemoveBoilerplateLines:
         got = {r.doc_id: r for r in curation.remove_boilerplate_lines(
             df, "text", "doc_id", None, 3).collect()}
         assert all(got[i].text_clean == f"line{i}" for i in range(4))
+
+
+class TestWeightedMix:
+    """weighted_mix: explicit DoReMi-style proportions realized as the
+    largest exactly-proportioned corpus — bit-identical to a pure-
+    Python lattice reference; unweighted groups drop; target_total
+    caps; mixture ratios hold."""
+
+    _M, _A, _C = 2147483648, 1103515245, 12345
+
+    def _ref_keep(self, rows, weights, target=None, salt=0,
+                  buckets=1_000_000, scale=1_000_000):
+        n = {}
+        for doc_id, g in rows:
+            n[g] = n.get(g, 0) + 1
+        w = {g: int(wv * scale) for g, wv in weights.items()
+             if int(wv * scale) > 0}
+        present = {g: w[g] for g in w if g in n}
+        W = sum(present.values())
+        t = min((n[g] * W) // present[g] for g in present)
+        if target is not None:
+            t = min(t, target)
+        thr = {g: (t * present[g] * buckets) // (W * n[g])
+               for g in present}
+        def bucket(k):
+            return (((k % self._M) * self._A + self._C + salt)
+                    % self._M) % buckets
+        return {d for d, g in rows if g in thr and bucket(d) < thr[g]}
+
+    def test_matches_reference_and_drops_unweighted(self, spark):
+        rows = [(i, ["a", "a", "a", "a", "b", "b", "c", "zz"][i % 8])
+                for i in range(800)]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        w = {"a": 0.6, "b": 0.3, "c": 0.1}
+        out = curation.weighted_mix(df, "g", "doc_id", w, salt=5,
+                                    method="lcg")
+        got = {r.doc_id for r in out.collect()}
+        assert got == self._ref_keep(rows, w, salt=5)
+        assert not any(g == "zz" for _, g in rows if _ in got)
+
+    def test_bottleneck_group_sets_total(self, spark):
+        # c is the bottleneck: weight 0.5 but only 20 rows available →
+        # T = 20·W/w_c = 40-equivalent; a and b are downsampled to hold
+        # the 25/25/50 ratio even though they have 10x the rows.
+        rows = ([(i, "a") for i in range(200)]
+                + [(200 + i, "b") for i in range(200)]
+                + [(400 + i, "c") for i in range(20)])
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        w = {"a": 0.25, "b": 0.25, "c": 0.5}
+        out = curation.weighted_mix(df, "g", "doc_id", w, salt=1,
+                                    method="lcg")
+        got = {r.doc_id for r in out.collect()}
+        assert got == self._ref_keep(rows, w, salt=1)
+        kept = out.groupBy("g").count().collect()
+        share = {r.g: r["count"] for r in kept}
+        # c keeps everything (bucket < buckets·(T·w/W)/n_c = full rate)
+        assert share.get("c", 0) == 20
+        # a and b each land near 10 (= 20·0.25/0.5), far below their 200
+        assert share.get("a", 0) < 30 and share.get("b", 0) < 30
+
+    def test_target_total_caps(self, spark):
+        rows = [(i, "a" if i % 2 else "b") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        w = {"a": 0.5, "b": 0.5}
+        capped = curation.weighted_mix(df, "g", "doc_id", w,
+                                       target_total=50, salt=2,
+                                       method="lcg")
+        got = {r.doc_id for r in capped.collect()}
+        assert got == self._ref_keep(rows, w, target=50, salt=2)
+        assert len(got) < 100  # far below the uncapped T = 400
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, g string")
+        with pytest.raises(ValueError):
+            curation.weighted_mix(df, "g", "doc_id", {})
+        with pytest.raises(ValueError):
+            curation.weighted_mix(df, "g", "doc_id", {"a": -0.1})
+        with pytest.raises(ValueError):
+            curation.weighted_mix(df, "g", "doc_id", {"a": 1.0},
+                                  target_total=0)
+        with pytest.raises(ValueError):
+            curation.weighted_mix(df, "g", "doc_id", {"a": 1e-9})

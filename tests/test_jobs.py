@@ -413,6 +413,41 @@ def test_curate_job_token_budget(spark, tmp_path):
     assert stats["n_docs_out"] == 20
 
 
+def test_curate_job_mix_weights(spark, tmp_path):
+    """--mix-weights holds explicit proportions: the bottleneck group
+    sets the total, unweighted groups drop, --mix-total caps."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(440),
+        "lang": (["en"] * 300 + ["de"] * 100 + ["fr"] * 20
+                 + ["zz"] * 20),
+        "n_chars": [100] * 440,
+        "text": [f"doc {i}" for i in range(440)],
+    })
+    inp, outp = str(tmp_path / "in_m"), str(tmp_path / "out_m")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--mix-weights", "en=0.5,de=0.3,fr=0.2"])
+    assert stats["steps"] == ["weighted_mix"]
+    per = spark.read.parquet(outp).toPandas().groupby("lang").size()
+    # fr is the bottleneck (20 docs at weight 0.2 → T = 100): en ~50,
+    # de ~30, fr keeps all 20, zz (unweighted) drops entirely
+    assert per.get("zz", 0) == 0
+    assert per.get("fr", 0) == 20
+    assert 35 <= per.get("en", 0) <= 65
+    assert 18 <= per.get("de", 0) <= 42
+    # --mix-total cap scales everything down proportionally
+    out2 = str(tmp_path / "out_m2")
+    curate.run(["--input", inp, "--output", out2,
+                "--mix-weights", "en=0.5,de=0.3,fr=0.2",
+                "--mix-total", "50"])
+    per2 = spark.read.parquet(out2).toPandas().groupby("lang").size()
+    assert per2.sum() < per.sum()
+
+
 def test_curate_job_temperature_mix(spark, tmp_path):
     """--temperature-total downsamples toward an expected N kept docs
     with per-group rate ∝ n^alpha/n; alpha=0 on a skewed corpus keeps
