@@ -34,6 +34,7 @@ from dataquality_spark.operators import (bloom, clustering,  # noqa: E402
                                          curation, dedup, evaluation,
                                          graph, joins, multimodal, profile,
                                          similarity, text_analysis)
+from dataquality_spark.operators import html as html_ops  # noqa: E402
 from dataquality_spark.sources import warc  # noqa: E402
 
 
@@ -1241,6 +1242,77 @@ def q_wet_roundtrip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _html_page_expr() -> F.Column:
+    """Deterministic full-markup page built around each document's text:
+    title, style + script blocks (must vanish), an HTML comment, an
+    escaped-entity heading, a nav div with an anchor, and the document
+    body in a <p> — every HTML_RULES class is exercised on real corpus
+    text. Built with || semantics (NULL text propagates) in BOTH
+    engines; the oracle twin concatenates the same pieces."""
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit('<html><head><title>Doc '), sid,
+        F.lit('</title><style>p{margin:0}</style>'
+              '<script type="text/javascript">var t = "<p>never</p>";'
+              '</script></head><body><!-- doc '), sid,
+        F.lit(' --><h1>Doc &amp; '), sid,
+        F.lit('</h1><div class="nav">Home | <a href="/doc/'),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit('">prev</a></div><p>'), F.col("text"),
+        F.lit('</p></body></html>'))
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (operators/html.extract_html_text):
+    script/style/comment removal, block-tag newline structure,
+    inline-tag strip, fixed entity decode, whitespace canon — over
+    full deterministic markup wrapped around each document's text
+    (_html_page_expr). The whole extractor is a built-in
+    regexp_replace chain: WholeStageCodegen, zero Python crossings,
+    zero shuffles (the contract orderBy is the only exchange). Exact
+    oracle: the DuckDB twin is GENERATED from the same HTML_RULES
+    (html.duckdb_extract_expr), so the chain cannot drift between
+    engines. Serves the north rule's byte-identical-extracted-text
+    invariant on the general-markup path (pipeline.extract_text_udf
+    covers the synth-wrapper path)."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _html_page_expr().alias("h"))
+    out = html_ops.extract_html_text(pages, "h", "text_x",
+                                     input_is_binary=False)
+    return (out.select(
+                "doc_id", "text_x",
+                F.length("text_x").cast("long").alias("n_chars_x"))
+            .orderBy("doc_id"))
+
+
+def q_html_links(spark, sf_dir):
+    """Anchor-href extraction (operators/html.extract_links): the edge
+    list for host-graph link analysis, one regexp_extract_all per row
+    in pure codegen. Planted markup: one always-present anchor, a
+    second anchor on doc_id%3==0 (case-folded attributes), a non-anchor
+    href decoy and a single-quoted href that BOTH engines must skip.
+    Output: links joined '|' (array_to_string([])=NULL in DuckDB —
+    coalesced) + count."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<body><a href="/d/'), (F.col("doc_id") % 97).cast("string"),
+        F.lit('">a</a><img href="/decoy">'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<A CLASS="m" HREF="https://h'),
+                        (F.col("doc_id") % 11).cast("string"),
+                        F.lit('.example/x">b</A>')))
+         .otherwise(F.lit("<a href='/single-quoted'>s</a>")),
+        F.lit('</body>'))
+    out = html_ops.extract_links(docs.select("doc_id", page.alias("h")),
+                                 "h", "links", input_is_binary=False)
+    return (out.select(
+                "doc_id",
+                F.array_join("links", "|").alias("links_j"),
+                F.size("links").cast("long").alias("n_links"))
+            .orderBy("doc_id"))
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode/whitespace normalization (operators/curation.
     normalize_text): NFC + CRLF + NBSP + control-strip + whitespace
@@ -1981,11 +2053,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries on post-vectorization code.
     return {
         # --- r01/r02-green only; rotated into the window for fresh rows ---
-        "approx_distinct": q_approx_distinct,
+        # (approx_distinct and fingerprint_roll — rows-only BY
+        # CONSTRUCTION, so a driver row adds nothing beyond "it runs" —
+        # yielded their window slots to the exact-oracle html queries;
+        # both remain covered by the committed local full-surface run.)
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "langid_vote": q_langid_vote,
-        "fingerprint_roll": q_fingerprint_roll,
         "fingerprint_roll_md5": q_fingerprint_roll_md5,
         "exact_dedup": q_exact_dedup,
         "exact_dedup_pairs": q_exact_dedup_pairs,
@@ -2007,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate,
         "normalized_dedup": q_normalized_dedup,
         "wet_roundtrip": q_wet_roundtrip,
+        "html_extract": q_html_extract,
+        "html_links": q_html_links,
         "webtext_audit_rules": q_webtext_audit_rules,
         "kmeans_fit_sample": q_kmeans_fit_sample,
         "token_budget": q_token_budget,
@@ -2084,6 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_extract": q_host_extract,
         "url_canonicalize": q_url_canonicalize,
         # --- r01/r02-green, no vectorized path; rotated out to make room ---
+        "approx_distinct": q_approx_distinct,
+        "fingerprint_roll": q_fingerprint_roll,
         "fingerprints": q_fingerprints,
         "winnow": q_winnow,
         "corpus_top_ngrams": q_corpus_top_ngrams,
@@ -3697,6 +3775,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
                    md5(coalesce(text, '')) AS text_md5
             FROM documents
+        """,
+
+        # HTML extraction twin: the SAME page construction (|| is
+        # NULL-propagating like Spark's concat), then the regexp_replace
+        # chain GENERATED from html.HTML_RULES — rule-for-rule identical
+        # to what the Spark side compiled into codegen.
+        "html_extract": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                     || '</title><style>p{{margin:0}}</style>'
+                     || '<script type="text/javascript">'
+                     || 'var t = "<p>never</p>";</script>'
+                     || '</head><body><!-- doc ' || CAST(doc_id AS VARCHAR)
+                     || ' --><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR)
+                     || '</h1><div class="nav">Home | <a href="/doc/'
+                     || CAST(doc_id % 97 AS VARCHAR)
+                     || '">prev</a></div><p>' || text
+                     || '</p></body></html>' AS h
+              FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {html_ops.duckdb_extract_expr('h')} AS text_x,
+                   CAST(length({html_ops.duckdb_extract_expr('h')})
+                        AS BIGINT) AS n_chars_x
+            FROM p ORDER BY doc_id
+        """,
+
+        # Anchor-href twin: same RE2-safe pattern, same planted decoys;
+        # array_to_string([]) is NULL in DuckDB — coalesce.
+        "html_links": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     '<body><a href="/d/' || CAST(doc_id % 97 AS VARCHAR)
+                     || '">a</a><img href="/decoy">'
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                          '<A CLASS="m" HREF="https://h'
+                          || CAST(doc_id % 11 AS VARCHAR)
+                          || '.example/x">b</A>'
+                        ELSE '<a href=''/single-quoted''>s</a>' END
+                     || '</body>' AS h
+              FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     regexp_extract_all(h, '{html_ops.LINK_PATTERN}', 1)
+                       AS links
+              FROM p
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   coalesce(array_to_string(links, '|'), '') AS links_j,
+                   CAST(len(links) AS BIGINT) AS n_links
+            FROM l ORDER BY doc_id
         """,
 
         # Length-histogram ground truth: same bit-length bucketing

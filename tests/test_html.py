@@ -1,0 +1,124 @@
+"""HTML -> text extraction (operators/html.py): pinned extraction
+behavior, cross-engine byte identity vs the mechanically generated
+DuckDB twin, link extraction, and adversarial markup."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from dataquality_spark.operators import html as H
+
+
+def _spark_extract(spark, cases):
+    df = spark.createDataFrame(list(enumerate(cases)), "i long, h string")
+    out = H.extract_html_text(df, "h", "t", input_is_binary=False)
+    return {r.i: r.t for r in out.collect()}
+
+
+def _duck_extract(cases):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT i, {H.duckdb_extract_expr('h')} FROM "
+        f"(SELECT UNNEST(range({len(cases)})) AS i, UNNEST(?) AS h)",
+        [list(cases)]).fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+class TestExtractHtmlText:
+    def test_full_document_pinned(self, spark):
+        doc = ('<html><head><title>My Title</title>'
+               '<style>.x{color:red}</style>'
+               '<script type="text/javascript">var x = "<p>";</script>'
+               '</head><body><!-- nav -->'
+               '<div class="nav">Home | <a href="/about">About</a></div>'
+               '<h1>Head &amp; Tail</h1>'
+               '<p>first   para with <b>bold</b> and <i>ital</i>.</p>'
+               '<p>5 &lt; 6 &gt; 4 &quot;q&quot; &#39;a&#39; &nbsp;end</p>'
+               '<ul><li>one</li><li>two</li></ul></body></html>')
+        got = _spark_extract(spark, [doc])[0]
+        assert got == ('My Title\nHome | About\nHead & Tail\n'
+                       'first para with bold and ital.\n'
+                       '5 < 6 > 4 "q" \'a\' end\none\ntwo')
+
+    def test_script_content_never_leaks(self, spark):
+        # the script BODY (including markup-looking strings) must
+        # vanish, even across newlines
+        doc = ('<p>before</p><script>\nif (a < b) { emit("<p>SPY</p>") }'
+               '\n</script><p>after</p>')
+        got = _spark_extract(spark, [doc])[0]
+        assert got == 'before\nafter'
+        assert 'SPY' not in got
+
+    def test_unclosed_script_is_just_a_tag(self, spark):
+        # no closing tag -> block rule can't fire; the open tag is
+        # stripped as inline markup and the body survives as text
+        # (deterministic, documented behavior — not silent truncation)
+        got = _spark_extract(spark, ['<p>a</p><script>var x;'])[0]
+        assert got == 'a\nvar x;'
+
+    def test_entity_double_escape_order(self, spark):
+        # '&amp;lt;' is the ESCAPED literal '&lt;' — decoding &amp;
+        # last must yield the 4-char string, never '<'
+        got = _spark_extract(spark, ['<p>&amp;lt; &amp;amp;</p>'])[0]
+        assert got == '&lt; &amp;'
+
+    def test_whitespace_canon_and_null(self, spark):
+        cases = ['  leading <br>  and\r\ncrlf\t\ttabs  ',
+                 'plain text, no markup',
+                 '', None,
+                 '<p>\n\n\n</p><p>x</p>']
+        got = _spark_extract(spark, cases)
+        assert got[0] == 'leading\nand\ncrlf tabs'
+        assert got[1] == 'plain text, no markup'
+        assert got[2] == ''
+        assert got[3] is None
+        assert got[4] == 'x'
+
+    def test_numeric_entities_left_verbatim(self, spark):
+        got = _spark_extract(spark, ['<p>&#160;&#x27;&eacute;</p>'])[0]
+        assert got == '&#160;&#x27;&eacute;'
+
+    def test_cross_engine_byte_identity(self, spark):
+        cases = [
+            '<html><body><h1>T &amp; U</h1><p>a<b>b</b>c</p></body></html>',
+            '<SCRIPT>UPPER()</SCRIPT><P>case <A HREF="x">fold</A></P>',
+            '<!-- c1 --><div>d<!-- c2\nmultiline --></div>',
+            'literal < not a tag > and & alone',
+            '<pre>  spaced\n  block  </pre>',
+            '<p>unicode café — dash</p>',
+            '  \n \t ', '',
+        ]
+        s, d = _spark_extract(spark, cases), _duck_extract(cases)
+        for i in range(len(cases)):
+            assert s[i] == d[i], (i, s[i], d[i])
+
+    def test_binary_input_path(self, spark):
+        df = spark.createDataFrame(
+            [(1, '<p>café</p>'.encode())], "i long, html binary")
+        got = H.extract_html_text(df, "html", "t").collect()[0].t
+        assert got == 'café'
+
+
+class TestExtractLinks:
+    def test_links_in_order_and_anchors_only(self, spark):
+        doc = ('<a href="/first">1</a><img href="/not-an-anchor">'
+               '<A class="x" HREF="/second">2</A>'
+               "<a href='/single-quoted'>skipped</a>"
+               '<a href="">empty</a>')
+        df = spark.createDataFrame([(1, doc)], "i long, h string")
+        got = H.extract_links(df, "h", "links",
+                              input_is_binary=False).collect()[0].links
+        assert got == ['/first', '/second', '']
+
+    def test_links_cross_engine(self, spark):
+        cases = ['<a href="http://h/a">x</a> text <a href="/b#f">y</a>',
+                 'no anchors', None]
+        df = spark.createDataFrame(list(enumerate(cases)),
+                                   "i long, h string")
+        s = {r.i: r.links for r in H.extract_links(
+            df, "h", "links", input_is_binary=False).collect()}
+        con = duckdb.connect()
+        d = {r[0]: r[1] for r in con.execute(
+            f"SELECT i, regexp_extract_all(h, '{H.LINK_PATTERN}', 1) "
+            f"FROM (SELECT UNNEST(range(3)) AS i, UNNEST(?) AS h)",
+            [cases]).fetchall()}
+        assert s == d
