@@ -1313,6 +1313,80 @@ def q_html_links(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank (operators/graph.pagerank, 4 iterations on
+    the exact integer lattice) over edges obtained through the REAL
+    extraction composition: planted anchors (one always, a second on
+    doc_id%3==0) -> html.extract_links -> parse_url(HOST) -> distinct
+    host edges -> iterate. The oracle derives the same edge set
+    arithmetically from doc_id and unrolls the four iterations as
+    chained CTEs — two independent derivations that must agree bit-
+    for-bit, covering both the extraction plumbing and the iteration
+    math (integer div after exact integer sums = partition-order-free).
+    Scale shape: edges-only iterations, slim (host, rank) shuffles,
+    localCheckpoint lineage truncation per round; text/html never
+    crosses an exchange after the one extraction projection."""
+    docs = _t(spark, sf_dir, "documents")
+    h7 = ((F.col("doc_id") * 7 + 1) % 53).cast("string")
+    h5 = ((F.col("doc_id") * 5 + 2) % 53).cast("string")
+    page = F.concat(
+        F.lit('<body><p>see <a href="https://h'), h7,
+        F.lit('.example/a">x</a>'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(' and <a href="https://h'), h5,
+                        F.lit('.example/b">y</a>')))
+         .otherwise(F.lit("")),
+        F.lit('</p></body>'))
+    links = html_ops.extract_links(
+        docs.select("doc_id", page.alias("h")), "h", "links",
+        input_is_binary=False)
+    edges = links.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 53).cast("string"),
+                 F.lit(".example")).alias("src"),
+        F.explode("links").alias("link")).select(
+        "src", F.expr("parse_url(link, 'HOST')").alias("dst"))
+    pr = graph.pagerank(edges, "src", "dst", iterations=4)
+    return pr.select("node", "rank").orderBy("node")
+
+
+def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
+                         num: int = 85, den: int = 100) -> str:
+    """Unrolled-CTE twin of q_host_pagerank: the recursion is expanded
+    to `iterations` chained CTEs (portable ANSI — no RECURSIVE needed
+    for a FIXED iteration count), each one LEFT JOIN of the node set
+    against the incoming contribution sums, all-integer math."""
+    base = (scale * (den - num)) // den
+    parts = [f"""
+        WITH e0 AS (
+          SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example' AS u,
+                 'h' || CAST((doc_id*7+1) % 53 AS VARCHAR)
+                     || '.example' AS v
+          FROM documents
+          UNION ALL
+          SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example',
+                 'h' || CAST((doc_id*5+2) % 53 AS VARCHAR) || '.example'
+          FROM documents WHERE doc_id % 3 = 0
+        ), e AS (SELECT DISTINCT u, v FROM e0),
+        nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        od AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS outdeg
+               FROM e GROUP BY u),
+        r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+        r{k} AS (
+          SELECT n.node,
+                 CAST({base} + ({num} * COALESCE(s.s, 0)) // {den}
+                      AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, SUM(r.r // od.outdeg) AS s
+            FROM e JOIN r{k-1} r ON r.node = e.u
+                   JOIN od ON od.u = e.u
+            GROUP BY e.v) s ON s.node = n.node)""")
+    parts.append(f"""
+        SELECT node, r AS rank FROM r{iterations} ORDER BY node""")
+    return "".join(parts)
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode/whitespace normalization (operators/curation.
     normalize_text): NFC + CRLF + NBSP + control-strip + whitespace
@@ -2068,7 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "exact_dedup_cross": q_exact_dedup_cross,
         "bloom_dedup_cross": q_bloom_dedup_cross,
-        "simhash_neardup": q_simhash_neardup,
+        # (simhash_neardup — rows-only by construction, exact twins
+        # right here in-window — yielded its slot to host_pagerank.)
         "simhash_neardup_md5": q_simhash_neardup_md5,
         "simhash_signature": q_simhash_signature,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2083,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "html_extract": q_html_extract,
         "html_links": q_html_links,
+        "host_pagerank": q_host_pagerank,
         "webtext_audit_rules": q_webtext_audit_rules,
         "kmeans_fit_sample": q_kmeans_fit_sample,
         "token_budget": q_token_budget,
@@ -2162,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r01/r02-green, no vectorized path; rotated out to make room ---
         "approx_distinct": q_approx_distinct,
         "fingerprint_roll": q_fingerprint_roll,
+        "simhash_neardup": q_simhash_neardup,
         "fingerprints": q_fingerprints,
         "winnow": q_winnow,
         "corpus_top_ngrams": q_corpus_top_ngrams,
@@ -3828,6 +3905,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(links) AS BIGINT) AS n_links
             FROM l ORDER BY doc_id
         """,
+
+        # Host-PageRank twin: edge set re-derived arithmetically from
+        # doc_id (the Spark side goes through the real extract_links →
+        # parse_url composition — two independent derivations must
+        # agree), iterations unrolled as chained CTEs, all-integer.
+        "host_pagerank": _pagerank_oracle_sql(),
 
         # Length-histogram ground truth: same bit-length bucketing
         # (bin() exists in both engines), integer aggregates only.

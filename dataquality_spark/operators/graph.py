@@ -123,6 +123,69 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     return child.unionByName(roots)
 
 
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 4, damping_num: int = 85,
+             damping_den: int = 100, scale: int = 1_000_000) -> DataFrame:
+    """Fixed-iteration PageRank over a (host) link graph on an exact
+    integer lattice — the link-centrality signal RefinedWeb/CCNet-style
+    curation uses to weight hosts (a quality prior that needs no model),
+    fed by `operators/html.extract_links` edge lists.
+
+    Math (mass-per-node convention, all integer):
+        r0(v) = scale
+        r_{k+1}(v) = base + (damping_num * S_k(v)) div damping_den
+        S_k(v)     = Σ_{u→v} ( r_k(u) div outdeg(u) )
+    with base = (scale * (damping_den - damping_num)) div damping_den.
+    Integer division AFTER exact integer sums makes every iteration
+    partition-order-free, so a SQL twin (the unrolled CTE chain in the
+    `host_pagerank` oracle) reproduces ranks bit-for-bit — no float
+    drift, no tolerance. rank/scale ≈ classical PageRank × n_nodes.
+
+    Semantics: multi-edges collapse (distinct), self-loops kept, NULL
+    endpoints dropped. Dangling nodes (outdeg 0) leak their mass
+    rather than redistributing it — redistribution needs one extra
+    global scalar per round; left out deliberately and documented, as
+    the per-host RANKING (what curation consumes) is unaffected for
+    the dominant connected crawl graph.
+
+    Scale design at 10^12 docs / 10^8 hosts: the graph is edges only —
+    (string, string) pairs, never text. Per iteration: one join of the
+    slim rank table against the persisted edges-with-outdeg relation
+    (both keyed on u — AQE co-partitions; at host cardinality the rank
+    side is broadcastable) and one map-side-combined groupBy(v) sum.
+    Each round ends in localCheckpoint(eager=True), truncating lineage
+    so round k+1 never replays rounds 1..k (same requirement as
+    connected_components above). Overflow: damping_num * S fits BIGINT
+    while total mass n_nodes·scale < 2^63/damping_num ≈ 10^17 — at
+    larger n·scale, lower `scale` or lift the sums to DECIMAL(38,0).
+    """
+    base = (scale * (damping_den - damping_num)) // damping_den
+    e = (edges.select(F.col(src).cast("string").alias("u"),
+                      F.col(dst).cast("string").alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_outdeg"))
+    ew = e.join(outdeg, "u").localCheckpoint(eager=True)
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select(F.col("v").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (ew.join(ranks, ew["u"] == ranks["node"])
+                   .select(F.col("v"),
+                           F.expr("rank div _outdeg").alias("_c")))
+        sums = contrib.groupBy("v").agg(F.sum("_c").alias("_s"))
+        ranks = (nodes.join(sums, nodes["node"] == sums["v"], "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.expr(f"({damping_num} * coalesce(_s, 0L))"
+                                   f" div {damping_den}")
+                          ).cast("long").alias("rank")))
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def resolve_duplicates(df: DataFrame, pairs: DataFrame, id_col: str,
                        src: str = "id_a", dst: str = "id_b") -> DataFrame:
     """Annotate `df` with its duplicate cluster and the keep decision:

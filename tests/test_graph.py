@@ -109,3 +109,67 @@ class TestResolveDuplicates:
         pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
         with pytest.raises(RuntimeError, match="converge"):
             graph.connected_components(pairs, max_iter=0)
+
+
+class TestPagerank:
+    """pagerank: bit-identity to a pure-Python integer-lattice
+    reference, ranking sanity, dangling behavior, determinism."""
+
+    @staticmethod
+    def _ref(edges, iterations=4, num=85, den=100, scale=1_000_000):
+        e = sorted({(str(u), str(v)) for u, v in edges
+                    if u is not None and v is not None})
+        nodes = sorted({u for u, _ in e} | {v for _, v in e})
+        outdeg = {}
+        for u, _ in e:
+            outdeg[u] = outdeg.get(u, 0) + 1
+        base = (scale * (den - num)) // den
+        r = {n: scale for n in nodes}
+        for _ in range(iterations):
+            s = {n: 0 for n in nodes}
+            for u, v in e:
+                s[v] += r[u] // outdeg[u]
+            r = {n: base + (num * s[n]) // den for n in nodes}
+        return r
+
+    def _run(self, spark, edges, **kw):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.rank
+               for r in graph.pagerank(df, **kw).collect()}
+        return got
+
+    def test_matches_integer_reference(self, spark):
+        # hub-and-spoke plus a chain, a self-loop, a multi-edge, and
+        # a dangling sink
+        edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"),
+                 ("a", "b"), ("b", "c"), ("c", "d"), ("d", "d"),
+                 ("a", "hub"), ("hub", "sink")]
+        got = self._run(spark, edges)
+        assert got == self._ref(edges)
+
+    def test_hub_flow_and_base_floor(self, spark):
+        edges = [(f"s{i}", "hub") for i in range(8)] + [("hub", "s0")]
+        got = self._run(spark, edges)
+        assert got == self._ref(edges)
+        # s0 receives the hub's ENTIRE mass (hub's only out-edge), so
+        # it tops the ranking; hub still beats the no-inlink spokes,
+        # which sit exactly at the base term
+        assert got["s0"] == max(got.values())
+        base = (1_000_000 * 15) // 100
+        assert all(got[f"s{i}"] == base for i in range(1, 8))
+        assert got["hub"] > base
+
+    def test_nulls_dropped_and_deterministic(self, spark):
+        edges = [("a", "b"), ("b", "a"), (None, "a"), ("b", None)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        r1 = {r.node: r.rank for r in graph.pagerank(df).collect()}
+        r2 = {r.node: r.rank
+              for r in graph.pagerank(df.repartition(7)).collect()}
+        assert r1 == r2 == self._ref([("a", "b"), ("b", "a")])
+
+    def test_iterations_and_damping_knobs(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        got = self._run(spark, edges, iterations=7, damping_num=50,
+                        damping_den=100, scale=10_000)
+        assert got == self._ref(edges, iterations=7, num=50, den=100,
+                                scale=10_000)
