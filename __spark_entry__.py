@@ -1387,6 +1387,36 @@ def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
     return "".join(parts)
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Crawl-snapshot diff (operators/snapshot.snapshot_diff): planted
+    re-crawl of the documents corpus — doc_id%7 pages vanish (removed),
+    doc_id%5 (and not %7) get a ' v2' suffix (changed), doc_id%11 gain
+    a fresh url (added), everything else byte-identical (unchanged).
+    The join carries (url, md5, n_chars) only — text never shuffles;
+    the oracle replays the same mutations with a FULL OUTER JOIN and
+    direct text equality (equivalent to the md5 compare). NULL-text =
+    '' semantics pinned by pytest."""
+    from dataquality_spark.operators import snapshot
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://ex.org/d/"),
+                   F.col("doc_id").cast("string"))
+    old = docs.select(url.alias("url"), "text")
+    new = (docs.where(F.col("doc_id") % 7 != 0)
+           .select(url.alias("url"),
+                   F.when(F.col("doc_id") % 5 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                    .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               docs.where(F.col("doc_id") % 11 == 0).select(
+                   F.concat(F.lit("https://ex.org/new/"),
+                            F.col("doc_id").cast("string")).alias("url"),
+                   F.concat(F.lit("fresh "),
+                            F.col("doc_id").cast("string")).alias("text"))))
+    return (snapshot.snapshot_diff(old, new, "url", "text")
+            .orderBy("url"))
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode/whitespace normalization (operators/curation.
     normalize_text): NFC + CRLF + NBSP + control-strip + whitespace
@@ -2146,7 +2176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # right here in-window — yielded its slot to host_pagerank.)
         "simhash_neardup_md5": q_simhash_neardup_md5,
         "simhash_signature": q_simhash_signature,
-        "ngram_jaccard": q_ngram_jaccard,
+        # (ngram_jaccard — r01/r02-green and its pure-SQL dedup.py path
+        # untouched by the r3 vectorization and every r4 change — gave
+        # its slot to crawl_diff, exactly the late-r4 rotation rule.)
         "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
         # --- new in round 4 (never driver-checked) ---
@@ -2159,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "html_links": q_html_links,
         "host_pagerank": q_host_pagerank,
+        "crawl_diff": q_crawl_diff,
         "webtext_audit_rules": q_webtext_audit_rules,
         "kmeans_fit_sample": q_kmeans_fit_sample,
         "token_budget": q_token_budget,
@@ -2239,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "fingerprint_roll": q_fingerprint_roll,
         "simhash_neardup": q_simhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
         "fingerprints": q_fingerprints,
         "winnow": q_winnow,
         "corpus_top_ngrams": q_corpus_top_ngrams,
@@ -3911,6 +3945,40 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # Crawl-diff twin: same planted mutations, FULL OUTER JOIN with
+        # direct text equality (collision-free stand-in for the md5
+        # compare); NULL text folds to '' on both sides.
+        "crawl_diff": """
+            WITH old AS (
+              SELECT 'https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     coalesce(text, '') AS t
+              FROM documents
+            ), new AS (
+              SELECT 'https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN coalesce(text || ' v2', '')
+                          ELSE coalesce(text, '') END AS t
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'https://ex.org/new/' || CAST(doc_id AS VARCHAR),
+                     'fresh ' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT coalesce(old.url, new.url) AS url,
+                   CASE WHEN old.url IS NULL THEN 'added'
+                        WHEN new.url IS NULL THEN 'removed'
+                        WHEN old.t <> new.t THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CAST(length(old.t) AS BIGINT) AS n_chars_old,
+                   CAST(length(new.t) AS BIGINT) AS n_chars_new,
+                   CAST(length(new.t) - length(old.t) AS BIGINT)
+                     AS delta_chars
+            FROM old FULL OUTER JOIN new ON old.url = new.url
+            ORDER BY url
+        """,
 
         # Length-histogram ground truth: same bit-length bucketing
         # (bin() exists in both engines), integer aggregates only.
