@@ -156,3 +156,36 @@ def write_decisions(decisions: DataFrame, out_dir: str) -> None:
 
 def append_audit(audit_df: DataFrame, out_dir: str) -> None:
     audit_df.coalesce(1).write.mode("append").parquet(out_dir)
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
+                   n_buckets: int = 64, path: str | None = None,
+                   sort: bool = True, mode: str = "overwrite") -> None:
+    """Persist as a Hive-bucketed, bucket-sorted parquet table — the
+    co-located-join layout for every relation this engine repeatedly
+    joins or aggregates on one key (url-keyed page snapshots for
+    crawl_diff/exact dedup, host-keyed link edges for pagerank,
+    doc_id-keyed embeddings for semdedup).
+
+    Why it matters at 100 TB: a join between two tables bucketed by
+    the join key with the same bucket count is planned with ZERO
+    Exchange on either side (and zero Sort when bucket-sorted) — the
+    shuffle that would otherwise move the full corpus happens ONCE at
+    write time and is amortized over every subsequent query. The
+    pytest proves the elision from the executed plan, not by
+    assumption; the production Iceberg analog is
+    sources/iceberg_spec.py's bucket(64, url) partition transform.
+
+    `path` makes it an external table (data survives DROP TABLE);
+    bucket pruning additionally lets point lookups on bucket_col read
+    1/n_buckets of the files.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive: {n_buckets}")
+    w = (df.write.format("parquet").mode(mode)
+         .bucketBy(n_buckets, bucket_col))
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
