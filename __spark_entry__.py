@@ -1387,6 +1387,30 @@ def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
     return "".join(parts)
 
 
+def q_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit (operators/curation.
+    split_leakage): documents split 80/10/10 by doc_id, with planted
+    leakage — doc_id%13 rows collapse onto five shared canonical
+    texts that land in multiple splits; the corpus' natural duplicate
+    texts leak too and the oracle counts them identically (it joins
+    on normalized text directly — equivalent to the md5 compare).
+    Proves the post-split hygiene gate: exact-dedup-then-split yields
+    an empty result, and this is the query that would catch a split
+    regression. Slim (split, md5, n) shuffle only; per-hash join
+    fan-out bounded by the split count."""
+    docs = _t(spark, sf_dir, "documents")
+    split = (F.when(F.col("doc_id") % 10 <= 7, F.lit("train"))
+             .when(F.col("doc_id") % 10 == 8, F.lit("val"))
+             .otherwise(F.lit("test")))
+    text2 = (F.when(F.col("doc_id") % 13 == 0,
+                    F.concat(F.lit("leak "),
+                             (F.col("doc_id") % 5).cast("string")))
+             .otherwise(F.col("text")))
+    df = docs.select(split.alias("split"), text2.alias("text"))
+    return (curation.split_leakage(df, "split")
+            .orderBy("split_a", "split_b"))
+
+
 def q_crawl_diff(spark, sf_dir):
     """Crawl-snapshot diff (operators/snapshot.snapshot_diff): planted
     re-crawl of the documents corpus — doc_id%7 pages vanish (removed),
@@ -2217,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_exemplars": q_source_exemplars,
         "report_merge": q_report_merge,
         "length_hist": q_length_hist,
+        "split_leakage": q_split_leakage,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -3945,6 +3970,31 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # Split-leakage twin: joins on the normalized text itself
+        # (collision-free equivalent of the md5 compare); same planted
+        # shared texts, same 80/10/10 split rule.
+        "split_leakage": r"""
+            WITH d AS (
+              SELECT CASE WHEN doc_id % 10 <= 7 THEN 'train'
+                          WHEN doc_id % 10 = 8 THEN 'val'
+                          ELSE 'test' END AS s,
+                     regexp_replace(trim(coalesce(
+                       CASE WHEN doc_id % 13 = 0
+                            THEN 'leak ' || CAST(doc_id % 5 AS VARCHAR)
+                            ELSE text END, '')), '\s+', ' ', 'g') AS t
+              FROM documents
+            ), g AS (
+              SELECT s, t, CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY s, t
+            )
+            SELECT a.s AS split_a, b.s AS split_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_contents,
+                   CAST(SUM(a.n + b.n) AS BIGINT) AS n_leaked_docs
+            FROM g a JOIN g b ON a.t = b.t AND a.s < b.s
+            GROUP BY a.s, b.s
+            ORDER BY split_a, split_b
+        """,
 
         # Crawl-diff twin: same planted mutations, FULL OUTER JOIN with
         # direct text equality (collision-free stand-in for the md5

@@ -1175,3 +1175,46 @@ def weighted_mix(df: DataFrame, group_col: str, key_col: str,
             .withColumn("bucket", b)
             .where(F.col("bucket") < F.col("_thr"))
             .drop("_g", "_thr"))
+
+
+def split_leakage(df: DataFrame, split_col: str, text_col: str = "text",
+                  normalize_ws: bool = True) -> DataFrame:
+    """Cross-split contamination audit: for every pair of splits,
+    how many distinct CONTENTS (md5 of the — optionally whitespace-
+    normalized — text) appear in BOTH. The check that belongs after
+    any split step (split_assign / stratified_sample): exact dedup
+    before splitting guarantees zero leakage by construction, and this
+    operator PROVES it — or measures the damage when dedup ran with a
+    different normalization than the one training cares about.
+
+    Output: (split_a, split_b, n_shared_contents, n_leaked_docs) with
+    split_a < split_b; n_leaked_docs counts documents in EITHER split
+    whose content also lives in the other (the rows a decontaminated
+    rerun would drop or re-assign).
+
+    Scale shape: one slim distinct over (split, md5) — text is hashed
+    in the scan's projection and never shuffles — then a self-join on
+    the 32-hex hash whose per-key fan-out is bounded by the number of
+    splits (single digits), never by corpus size; doc counts ride on a
+    pre-aggregated (split, hash, n_docs) relation, so the widest
+    shuffle is ~50 bytes/distinct-content.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    if normalize_ws:
+        txt = F.regexp_replace(F.trim(txt), r"\s+", " ")
+    slim = (df.select(F.col(split_col).cast("string").alias("_s"),
+                      F.md5(F.encode(txt, "UTF-8")).alias("_h"))
+            .groupBy("_s", "_h")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    a = slim.select(F.col("_s").alias("split_a"), "_h",
+                    F.col("_n").alias("_na"))
+    b = slim.select(F.col("_s").alias("split_b"),
+                    F.col("_h").alias("_h2"),
+                    F.col("_n").alias("_nb"))
+    return (a.join(b, (F.col("_h") == F.col("_h2"))
+                   & (F.col("split_a") < F.col("split_b")))
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_shared_contents"),
+                 F.sum(F.col("_na") + F.col("_nb")).cast("long")
+                  .alias("n_leaked_docs")))

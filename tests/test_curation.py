@@ -1399,3 +1399,41 @@ class TestWeightedMix:
                                   target_total=0)
         with pytest.raises(ValueError):
             curation.weighted_mix(df, "g", "doc_id", {"a": 1e-9})
+
+
+class TestSplitLeakage:
+    def test_counts_shared_contents_and_docs(self, spark):
+        rows = [
+            ("train", "alpha"), ("train", "beta"), ("train", "alpha"),
+            ("val", "alpha"), ("val", "gamma"),
+            ("test", "beta"), ("test", "beta"), ("test", "delta"),
+        ]
+        df = spark.createDataFrame(rows, "split string, text string")
+        got = {(r.split_a, r.split_b): r for r in
+               curation.split_leakage(df, "split").collect()}
+        # 'alpha' leaks train<->val (2 train docs + 1 val doc);
+        # 'beta' leaks test<->train (1 train + 2 test)
+        assert got[("train", "val")].n_shared_contents == 1
+        assert got[("train", "val")].n_leaked_docs == 3
+        assert got[("test", "train")].n_shared_contents == 1
+        assert got[("test", "train")].n_leaked_docs == 3
+        assert ("test", "val") not in got  # no overlap
+
+    def test_whitespace_normalization_toggle(self, spark):
+        rows = [("train", "same  text"), ("val", "same text"),
+                ("val", None), ("train", "")]
+        df = spark.createDataFrame(rows, "split string, text string")
+        norm = {(r.split_a, r.split_b): r.n_shared_contents for r in
+                curation.split_leakage(df, "split").collect()}
+        # normalized: 'same  text' == 'same text'; NULL == ''
+        assert norm[("train", "val")] == 2
+        raw = {(r.split_a, r.split_b): r.n_shared_contents for r in
+               curation.split_leakage(df, "split",
+                                      normalize_ws=False).collect()}
+        # raw bytes differ on the double space; NULL=='' still shared
+        assert raw[("train", "val")] == 1
+
+    def test_clean_split_reports_nothing(self, spark):
+        rows = [("train", "a"), ("val", "b"), ("test", "c")]
+        df = spark.createDataFrame(rows, "split string, text string")
+        assert curation.split_leakage(df, "split").count() == 0
