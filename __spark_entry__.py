@@ -1387,6 +1387,29 @@ def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
     return "".join(parts)
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two quality signals (operators/
+    ranking.rank_fusion): exact global ranks via the two-phase range
+    trick (NO single-partition window — per-range-partition row_number
+    + prefix offsets from a bounded per-partition-count collect), then
+    the integer RRF lattice scale div (k + rank). Signals: text length
+    (real ties broken by doc_id; NULL text ranks last) and a
+    doc_id-derived pseudo-score. Oracle: plain row_number windows +
+    the same lattice — the scale-safe plan must equal the textbook
+    single-window SQL bit-for-bit."""
+    from dataquality_spark.operators import ranking
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("len_score"),
+        ((F.col("doc_id") * 53 + 7) % 97).cast("double")
+        .alias("hash_score"))
+    return (ranking.rank_fusion(d, "doc_id",
+                                ["len_score", "hash_score"])
+            .orderBy("doc_id"))
+
+
 def q_split_leakage(spark, sf_dir):
     """Cross-split contamination audit (operators/curation.
     split_leakage): documents split 80/10/10 by doc_id, with planted
@@ -2242,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "report_merge": q_report_merge,
         "length_hist": q_length_hist,
         "split_leakage": q_split_leakage,
+        "rrf_fusion": q_rrf_fusion,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -3970,6 +3994,31 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # RRF twin: textbook single-window row_number + the same
+        # integer lattice — must equal the scale-safe two-phase plan.
+        "rrf_fusion": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS len_score,
+                     CAST((doc_id*53 + 7) % 97 AS DOUBLE) AS hash_score
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                       ORDER BY len_score DESC NULLS LAST, doc_id)
+                       AS BIGINT) AS rank_len_score,
+                     CAST(row_number() OVER (
+                       ORDER BY hash_score DESC NULLS LAST, doc_id)
+                       AS BIGINT) AS rank_hash_score
+              FROM d
+            )
+            SELECT doc_id, rank_len_score, rank_hash_score,
+                   CAST(1000000000 // (60 + rank_len_score)
+                        + 1000000000 // (60 + rank_hash_score)
+                        AS BIGINT) AS rrf
+            FROM r ORDER BY doc_id
+        """,
 
         # Split-leakage twin: joins on the normalized text itself
         # (collision-free equivalent of the md5 compare); same planted
