@@ -56,6 +56,15 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--lenient-schema", action="store_true",
                     help="tolerate case-drifted input columns "
                          "(io.read_pages_lenient fallback chain)")
+    ap.add_argument("--previous", default=None, metavar="DIR",
+                    help="previous crawl snapshot (same pages schema): "
+                         "process ONLY pages that are new or whose text "
+                         "changed vs it (operators/snapshot."
+                         "needs_processing keyed on url#warc_ts). The "
+                         "output is a DELTA — unchanged pages carry "
+                         "their previous run's decisions forward, which "
+                         "is sound because identical bytes yield the "
+                         "identical decision")
     ap.add_argument("--approx-distinct", action="store_true")
     ap.add_argument("--repartition", type=int, default=None,
                     help="salted (host, salt) repartition width")
@@ -77,6 +86,18 @@ def _run(argv: list[str] | None = None) -> dict:
     done = [] if args.no_resume else resume.completed_partitions(
         spark, manifest_dir)
     remaining = resume.filter_remaining(pages, done)
+
+    if args.previous:
+        from dataquality_spark.operators import snapshot
+
+        prev = reader(spark, args.previous)
+        key = F.concat_ws("#", F.col("url"),
+                          F.col("warc_ts").cast("string"))
+        remaining = (snapshot.needs_processing(
+            prev.withColumn("_snap_key", key),
+            remaining.withColumn("_snap_key", key),
+            "_snap_key", "text")
+            .drop("_snap_key", "status"))
 
     if args.max_partitions is not None:
         pids = sorted(r[0] for r in

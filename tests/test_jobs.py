@@ -631,3 +631,35 @@ def test_curate_job_boilerplate(spark, tmp_path):
     for i in (4, 5):
         assert out.loc[i, "text"] == f"unique {i}\nCOOKIE BANNER"
     assert set(out.columns) >= {"host", "text"}
+
+
+def test_run_pipeline_incremental_previous(spark, pages_dir, tmp_path):
+    """--previous processes only added/changed pages: a mutated
+    re-crawl of the same corpus yields a delta run whose doc count is
+    exactly the mutation count."""
+    from jobs import run_pipeline
+
+    pages = spark.read.parquet(pages_dir)
+    n_total = pages.count()
+    # re-crawl: 1 in 5 pages gets new text, 10 brand-new urls appear,
+    # the rest are byte-identical
+    changed = (F.col("url").substr(-1, 1).isin("0", "5"))
+    v2 = pages.withColumn(
+        "text", F.when(changed, F.concat(F.col("text"),
+                                         F.lit(" updated"))).otherwise(
+            F.col("text")))
+    fresh = pages.limit(10).withColumn(
+        "url", F.concat(F.lit("https://new.example/"),
+                        F.md5("url")))
+    v2 = v2.unionByName(fresh)
+    v2_dir = str(tmp_path / "pages_v2")
+    v2.write.parquet(v2_dir)
+    n_changed = pages.where(changed).count()
+
+    out = str(tmp_path / "out_inc")
+    stats = run_pipeline.run(["--input", v2_dir, "--output", out,
+                              "--previous", pages_dir, "--no-resume"])
+    assert stats["n_docs"] == n_changed + 10
+    assert stats["n_docs"] < n_total
+    got = spark.read.parquet(out + "/decisions")
+    assert got.count() == n_changed + 10
