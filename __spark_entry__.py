@@ -1387,6 +1387,33 @@ def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
     return "".join(parts)
 
 
+def q_anchor_hosts(spark, sf_dir):
+    """Anchor-text host reputation (operators/html.anchor_text_counts):
+    (host, anchor, n_refs, n_docs) aggregated from (href, anchor-text)
+    pairs extracted by two same-pattern regexp_extract_all passes
+    (identical match list → arrays_zip cannot misalign). Planted: one
+    anchor per doc + a second on doc_id%4==0; the oracle re-derives
+    the counts arithmetically from doc_id — the extraction path and
+    the arithmetic twin must agree. Slim (host, anchor, doc_id)
+    shuffle; html never leaves the scan stage."""
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<p><a href="https://h'),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('.ex/p">site '), (F.col("doc_id") % 7).cast("string"),
+        F.lit('</a>'),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit('<a class="x" href="https://h'),
+                        ((F.col("doc_id") * 3) % 13).cast("string"),
+                        F.lit('.ex/q">other</a>')))
+         .otherwise(F.lit("")),
+        F.lit('</p>'))
+    df = docs.select("doc_id", page.alias("h"))
+    return (html_ops.anchor_text_counts(df, "h", id_col="doc_id",
+                                        input_is_binary=False)
+            .orderBy("host", "anchor"))
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of two quality signals (operators/
     ranking.rank_fusion): exact global ranks via the two-phase range
@@ -2266,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_hist": q_length_hist,
         "split_leakage": q_split_leakage,
         "rrf_fusion": q_rrf_fusion,
+        "anchor_hosts": q_anchor_hosts,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -3994,6 +4022,29 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # Anchor-reputation twin: the planted (host, anchor) pairs
+        # re-derived arithmetically — extraction path vs arithmetic
+        # derivation must agree.
+        "anchor_hosts": """
+            WITH a AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 13 AS VARCHAR) || '.ex'
+                       AS host,
+                     'site ' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     'h' || CAST((doc_id*3) % 13 AS VARCHAR) || '.ex',
+                     'other'
+              FROM documents WHERE doc_id % 4 = 0
+            )
+            SELECT host, anchor,
+                   CAST(COUNT(*) AS BIGINT) AS n_refs,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM a GROUP BY host, anchor
+            ORDER BY host, anchor
+        """,
 
         # RRF twin: textbook single-window row_number + the same
         # integer lattice — must equal the scale-safe two-phase plan.

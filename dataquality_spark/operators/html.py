@@ -119,3 +119,56 @@ def duckdb_extract_expr(col_expr: str) -> str:
         r = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
     return expr
+
+
+ANCHOR_PATTERN = r'(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a\s*>'
+
+
+def extract_anchor_pairs(df: DataFrame, html_col: str = "html",
+                         out_col: str = "anchors",
+                         input_is_binary: bool = True) -> DataFrame:
+    """Add `out_col` = array<struct<href, anchor>> of (link target,
+    anchor text) pairs in document order — the raw material for
+    anchor-text reputation signals (what OTHER pages call a host is a
+    quality/topic prior the host cannot fake).
+
+    Alignment trick: hrefs and texts come from two regexp_extract_all
+    calls with the IDENTICAL pattern (different capture group), so the
+    two arrays index the same match list and arrays_zip can never
+    misalign — anchors without a double-quoted href simply don't
+    match. Anchor text is captured RAW (inner inline markup included);
+    compose with extract_html_text-style cleanup downstream if needed.
+    Pure codegen: two regex passes + a zip, zero Python, zero shuffles.
+    """
+    col = F.col(html_col).cast("string") if input_is_binary \
+        else F.col(html_col)
+    hrefs = F.regexp_extract_all(col, F.lit(ANCHOR_PATTERN), 1)
+    texts = F.regexp_extract_all(col, F.lit(ANCHOR_PATTERN), 2)
+    return df.withColumn(
+        out_col,
+        F.arrays_zip(hrefs.alias("href"), texts.alias("anchor")))
+
+
+def anchor_text_counts(df: DataFrame, html_col: str = "html",
+                       id_col: str | None = None,
+                       input_is_binary: bool = True) -> DataFrame:
+    """(host, anchor, n_refs, n_docs): how often each anchor string
+    points at each target host, and from how many distinct documents —
+    the aggregation behind anchor-text host reputation. One slim
+    shuffle of (host, anchor, doc-id); html never leaves the scan
+    stage. Relative hrefs (no host) aggregate under NULL host — keep
+    or filter downstream. `id_col` identifies documents; without one,
+    xxhash64(html) stands in (byte-identical docs then count once —
+    usually the right thing after exact dedup)."""
+    pairs = extract_anchor_pairs(df, html_col, "_an", input_is_binary)
+    doc = (F.col(id_col) if id_col
+           else F.xxhash64(F.col(html_col)))
+    ex = pairs.select(
+        doc.alias("_doc"),
+        F.explode("_an").alias("_p")).select(
+        "_doc",
+        F.expr("parse_url(_p.href, 'HOST')").alias("host"),
+        F.col("_p.anchor").alias("anchor"))
+    return (ex.groupBy("host", "anchor")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_refs"),
+                 F.count_distinct("_doc").cast("long").alias("n_docs")))

@@ -122,3 +122,36 @@ class TestExtractLinks:
             f"FROM (SELECT UNNEST(range(3)) AS i, UNNEST(?) AS h)",
             [cases]).fetchall()}
         assert s == d
+
+
+class TestAnchorPairs:
+    def test_pairs_aligned_and_ordered(self, spark):
+        doc = ('<a href="/a">first</a> mid '
+               '<a name="no-href">skipped</a>'
+               '<A HREF="https://h1.example/x" class="c">Second <b>bold</b></A>'
+               '<a href="/c"></a>')
+        df = spark.createDataFrame([(1, doc)], "i long, h string")
+        got = H.extract_anchor_pairs(
+            df, "h", "anchors", input_is_binary=False).collect()[0].anchors
+        assert [(p.href, p.anchor) for p in got] == [
+            ("/a", "first"),
+            ("https://h1.example/x", "Second <b>bold</b>"),
+            ("/c", ""),
+        ]
+
+    def test_anchor_text_counts(self, spark):
+        rows = [
+            (1, '<a href="https://h1.ex/a">Good Site</a>'
+                '<a href="https://h1.ex/b">Good Site</a>'),
+            (2, '<a href="https://h1.ex/c">Good Site</a>'
+                '<a href="/relative">rel</a>'),
+            (3, '<a href="https://h2.ex/">Spam</a>'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, h string")
+        got = {(r.host, r.anchor): (r.n_refs, r.n_docs)
+               for r in H.anchor_text_counts(
+                   df, "h", id_col="doc_id",
+                   input_is_binary=False).collect()}
+        assert got[("h1.ex", "Good Site")] == (3, 2)
+        assert got[("h2.ex", "Spam")] == (1, 1)
+        assert got[(None, "rel")] == (1, 1)
