@@ -165,3 +165,40 @@ def host_quality_state(decided: DataFrame,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     out_mode,
                                     GroupStateTimeout.NoTimeout))
+
+
+def streaming_needs_processing(new_stream: DataFrame,
+                               previous: DataFrame,
+                               key_col: str = "url",
+                               text_col: str = "text") -> DataFrame:
+    """Streaming twin of operators/snapshot.needs_processing: as the
+    new crawl lands file-by-file, emit only pages that are NEW or whose
+    text CHANGED vs the static previous snapshot — the incremental
+    curation front-door (`--previous` in jobs/run_pipeline is the batch
+    form; this is the continuous form).
+
+    Shape: a stream-STATIC left join (supported stateless by Structured
+    Streaming — no watermark or state store needed: the static side is
+    a snapshot, each micro-batch joins against it map-side when the
+    slim (key, md5) projection broadcasts). A page is re-emitted only
+    when its key is absent from the previous snapshot (added) or its
+    md5 differs (changed) — NULL text folds to '' exactly as in the
+    batch operator, and the batch/stream results are proven equivalent
+    by the availableNow pytest.
+    """
+    from pyspark.sql import functions as F
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    prev_slim = previous.select(
+        F.col(key_col).alias("_pk"),
+        F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")),
+                       "UTF-8")).alias("_ph"))
+    cur = new_stream.withColumn("_h", F.md5(F.encode(txt, "UTF-8")))
+    joined = cur.join(
+        prev_slim, cur[key_col] == prev_slim["_pk"], "left")
+    status = (F.when(F.col("_ph").isNull(), F.lit("added"))
+              .otherwise(F.lit("changed")))
+    return (joined
+            .where(F.col("_ph").isNull() | (F.col("_h") != F.col("_ph")))
+            .withColumn("status", status)
+            .drop("_pk", "_ph", "_h"))

@@ -228,3 +228,47 @@ def test_streaming_source_report_matches_batch(spark, stream_dirs):
             for r in profile.group_quality_report(
                 spark.createDataFrame(docs), "source").collect()}
     assert got == want
+
+
+def test_streaming_needs_processing_matches_batch(spark, stream_dirs):
+    """Stream-static incremental diff == the batch operator: the new
+    crawl lands as two files; the drained stream emits exactly the
+    added+changed set that snapshot.needs_processing computes."""
+    from pyspark.sql import functions as F
+
+    from dataquality_spark.operators import snapshot
+    from dataquality_spark.sources.io import PAGES_SCHEMA
+
+    old = synth.gen_pages(200, seed=31)[
+        ["url", "warc_ts", "html", "text", "lang"]]
+    old = old.drop_duplicates(subset=["url"])  # unique keys per snapshot
+    new = old.copy()
+    # mutate 1 in 4, drop 1 in 10, add 15 fresh urls
+    changed_mask = new.index % 4 == 0
+    new.loc[changed_mask, "text"] = new.loc[changed_mask, "text"] + " v2"
+    new = new[new.index % 10 != 0]
+    fresh = old.iloc[:15].copy()
+    fresh["url"] = "https://fresh.example/" + fresh.index.astype(str)
+    new = pd.concat([new, fresh])
+
+    _write_batch(stream_dirs["in"], new.iloc[:100], "n0")
+    _write_batch(stream_dirs["in"], new.iloc[100:], "n1")
+
+    prev_df = spark.createDataFrame(old)
+    stream = incremental.read_pages_stream(spark, stream_dirs["in"])
+    out = incremental.streaming_needs_processing(stream, prev_df)
+    q = (out.writeStream.format("parquet")
+         .option("path", stream_dirs["out"])
+         .option("checkpointLocation", stream_dirs["ckpt"])
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(stream_dirs["out"])
+    batch = snapshot.needs_processing(
+        prev_df, spark.createDataFrame(new), "url", "text")
+    g = {(r.url, r.status) for r in got.select("url", "status").collect()}
+    b = {(r.url, r.status) for r in
+         batch.select("url", "status").collect()}
+    assert g == b
+    assert any(s == "added" for _, s in g)
+    assert any(s == "changed" for _, s in g)
