@@ -1387,6 +1387,30 @@ def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
     return "".join(parts)
 
 
+def q_url_patterns(spark, sf_dir):
+    """URL pattern blocklist in audit mode (operators/curation.
+    url_pattern_filter): UT1-style path/query rules over planted urls
+    (casino path stem on doc_id%17, session-id querystring on %9,
+    calendar-archive date path on %23 — first match wins in that
+    order). ONE codegen rlike alternation + a CASE tag chain, zero
+    shuffles; patterns stay in the Java∩RE2 subset so the DuckDB twin
+    replays them verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".ex"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("/casino/slots"))
+         .when(F.col("doc_id") % 9 == 0,
+               F.concat(F.lit("/p?sid="),
+                        F.col("doc_id").cast("string")))
+         .when(F.col("doc_id") % 23 == 0, F.lit("/2013/07/cal"))
+         .otherwise(F.lit("/article")))
+    pats = [r"/casino/", r"[?&]sid=", r"/\d{4}/\d{2}/"]
+    out = curation.url_pattern_filter(
+        docs.select("doc_id", url.alias("url")), pats)
+    return out.orderBy("doc_id")
+
+
 def q_anchor_hosts(spark, sf_dir):
     """Anchor-text host reputation (operators/html.anchor_text_counts):
     (host, anchor, n_refs, n_docs) aggregated from (href, anchor-text)
@@ -2294,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "rrf_fusion": q_rrf_fusion,
         "anchor_hosts": q_anchor_hosts,
+        "url_patterns": q_url_patterns,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -4022,6 +4047,31 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # URL-pattern twin: same RE2-safe patterns via regexp_matches,
+        # same first-match CASE order.
+        "url_patterns": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 13 AS VARCHAR)
+                     || '.ex' ||
+                     CASE WHEN doc_id % 17 = 0 THEN '/casino/slots'
+                          WHEN doc_id % 9 = 0
+                            THEN '/p?sid=' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 23 = 0 THEN '/2013/07/cal'
+                          ELSE '/article' END AS url
+              FROM documents
+            )
+            SELECT doc_id, url,
+                   CASE WHEN regexp_matches(url, '(?is)/casino/')
+                          THEN '/casino/'
+                        WHEN regexp_matches(url, '(?is)[?&]sid=')
+                          THEN '[?&]sid='
+                        WHEN regexp_matches(url, '(?is)/\d{4}/\d{2}/')
+                          THEN '/\d{4}/\d{2}/'
+                        ELSE NULL END AS url_block_reason
+            FROM u ORDER BY doc_id
+        """,
 
         # Anchor-reputation twin: the planted (host, anchor) pairs
         # re-derived arithmetically — extraction path vs arithmetic

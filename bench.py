@@ -45,6 +45,8 @@ HEADLINE = [
     "bm25_search", "bm25_indexed", "pr_sweep",
     "doc_chunks", "train_shards",
     "normalize_text", "script_profile", "wet_roundtrip",
+    "html_extract", "host_pagerank", "crawl_diff", "rrf_fusion",
+    "anchor_hosts",
 ]
 
 

@@ -1218,3 +1218,40 @@ def split_leakage(df: DataFrame, split_col: str, text_col: str = "text",
                   .alias("n_shared_contents"),
                  F.sum(F.col("_na") + F.col("_nb")).cast("long")
                   .alias("n_leaked_docs")))
+
+
+def url_pattern_filter(df: DataFrame, patterns: list[str],
+                       url_col: str = "url", mode: str = "block",
+                       tag_col: str | None = "url_block_reason"
+                       ) -> DataFrame:
+    """UT1-blocklist-style URL pattern filtering: drop (mode='block')
+    or keep (mode='allow') rows whose url matches ANY of the regex
+    `patterns` — the path/query-level complement of host_blocklist
+    (adult/gambling path stems, session-id querystrings, calendar
+    archives, print/feed variants).
+
+    With `tag_col` set (block mode), matching rows are NOT dropped but
+    tagged with the FIRST matching pattern (audit mode — count rule
+    hits before committing to a drop list); tag_col=None drops them.
+
+    Execution: the bank compiles to ONE alternation regex evaluated by
+    a single codegen rlike per row — no UDF, no join, zero shuffles;
+    the first-match tag is a short CASE chain only in audit mode.
+    Patterns should stay in the Java∩RE2 subset (see operators/html)
+    so a SQL twin replays them; they are applied case-insensitively.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow': {mode}")
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    big = "(?is)" + "|".join(f"(?:{p})" for p in patterns)
+    hit = url.rlike(big)
+    if mode == "allow":
+        return df.where(hit)
+    if tag_col is None:
+        return df.where(~hit)
+    tag = F.lit(None).cast("string")
+    for p in reversed(patterns):
+        tag = F.when(url.rlike(f"(?is){p}"), F.lit(p)).otherwise(tag)
+    return df.withColumn(tag_col, tag)

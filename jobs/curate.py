@@ -178,6 +178,11 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--url-dedup", action="store_true",
                     help="with --url-canon: keep only the min-id doc "
                          "per canonical url")
+    ap.add_argument("--url-patterns", default=None, metavar="SPEC",
+                    help="UT1-style URL regex blocklist: ';;'-separated "
+                         "patterns (curation.url_pattern_filter, drop "
+                         "mode); requires a 'url' column or --url-canon "
+                         "source column")
     ap.add_argument("--upsample-weight", default=None, metavar="W_COL",
                     help="deterministic fractional upsampling by this "
                          "weight column (curation.repeat_upsample; "
@@ -297,6 +302,13 @@ def _run(argv: list[str] | None = None) -> dict:
                       .select(id_col))
             df = df.join(F.broadcast(losers), id_col, "left_anti")
             steps.append("url_dedup")
+
+    if args.url_patterns:
+        url_col = args.url_canon or "url"
+        df = curation.url_pattern_filter(
+            df, args.url_patterns.split(";;"), url_col=url_col,
+            tag_col=None)
+        steps.append("url_patterns")
 
     if args.dedup_ref:
         from dataquality_spark.operators import dedup

@@ -1437,3 +1437,47 @@ class TestSplitLeakage:
         rows = [("train", "a"), ("val", "b"), ("test", "c")]
         df = spark.createDataFrame(rows, "split string, text string")
         assert curation.split_leakage(df, "split").count() == 0
+
+
+class TestUrlPatternFilter:
+    ROWS = [
+        (1, "https://ok.example/article/1"),
+        (2, "https://bad.example/casino/slots"),
+        (3, "https://ok.example/print/page?sid=abc123"),
+        (4, "https://ARCHIVE.example/2009/07/cal"),
+        (5, None),
+    ]
+    PATS = [r"/casino/", r"[?&]sid=", r"/\d{4}/\d{2}/"]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, url string")
+
+    def test_block_drop_mode(self, spark):
+        out = curation.url_pattern_filter(
+            self._df(spark), self.PATS, tag_col=None)
+        assert {r.doc_id for r in out.collect()} == {1, 5}
+
+    def test_audit_mode_tags_first_match(self, spark):
+        got = {r.doc_id: r.url_block_reason for r in
+               curation.url_pattern_filter(
+                   self._df(spark), self.PATS).collect()}
+        assert got[1] is None and got[5] is None
+        assert got[2] == r"/casino/"
+        assert got[3] == r"[?&]sid="
+        assert got[4] == r"/\d{4}/\d{2}/"
+
+    def test_allow_mode_and_case_insensitive(self, spark):
+        out = curation.url_pattern_filter(
+            self._df(spark), [r"https://ok\."], mode="allow")
+        assert {r.doc_id for r in out.collect()} == {1, 3}
+        out2 = curation.url_pattern_filter(
+            self._df(spark), [r"https://archive\."], mode="allow")
+        assert {r.doc_id for r in out2.collect()} == {4}
+
+    def test_validation(self, spark):
+        import pytest
+        df = self._df(spark)
+        with pytest.raises(ValueError):
+            curation.url_pattern_filter(df, [])
+        with pytest.raises(ValueError):
+            curation.url_pattern_filter(df, ["x"], mode="nope")

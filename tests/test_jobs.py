@@ -663,3 +663,25 @@ def test_run_pipeline_incremental_previous(spark, pages_dir, tmp_path):
     assert stats["n_docs"] < n_total
     got = spark.read.parquet(out + "/decisions")
     assert got.count() == n_changed + 10
+
+
+def test_curate_job_url_patterns(spark, tmp_path):
+    """--url-patterns drops matching urls (block mode)."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "url": [f"https://h.ex/casino/{i}" if i % 4 == 0
+                else f"https://h.ex/a/{i}" for i in range(40)],
+        "text": [f"doc {i}" for i in range(40)],
+    })
+    inp, outp = str(tmp_path / "in_u"), str(tmp_path / "out_u")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--url-patterns", r"/casino/;;[?&]utm_"])
+    assert stats["steps"] == ["url_patterns"]
+    assert stats["n_docs_out"] == 30
+    kept = spark.read.parquet(outp)
+    assert kept.where(kept.url.contains("/casino/")).count() == 0
