@@ -1387,6 +1387,22 @@ def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
     return "".join(parts)
 
 
+def q_markup_density(spark, sf_dir):
+    """Markup-density stats (operators/html.markup_stats): html_len,
+    tag/anchor/script tallies, extracted-text length and the
+    text-to-markup ratio on a ppm integer lattice — the jusText-family
+    boilerplate priors, over the same full planted markup as
+    html_extract. One codegen projection; the oracle re-counts with
+    regexp_extract_all lengths and replays the generated extraction
+    chain for text_len."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _html_page_expr().alias("h"))
+    out = html_ops.markup_stats(pages, "h", input_is_binary=False)
+    return (out.select("doc_id", "html_len", "n_tags", "n_anchors",
+                       "n_scripts", "text_len", "text_ratio_ppm")
+            .orderBy("doc_id"))
+
+
 def q_url_patterns(spark, sf_dir):
     """URL pattern blocklist in audit mode (operators/curation.
     url_pattern_filter): UT1-style path/query rules over planted urls
@@ -2319,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "anchor_hosts": q_anchor_hosts,
         "url_patterns": q_url_patterns,
+        "markup_density": q_markup_density,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -4047,6 +4064,45 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # Markup-density twin: regexp_extract_all lengths for the
+        # tallies, the GENERATED extraction chain for text_len, and a
+        # HUGEINT // for the ppm ratio lattice.
+        "markup_density": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                     || '</title><style>p{{margin:0}}</style>'
+                     || '<script type="text/javascript">'
+                     || 'var t = "<p>never</p>";</script>'
+                     || '</head><body><!-- doc ' || CAST(doc_id AS VARCHAR)
+                     || ' --><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR)
+                     || '</h1><div class="nav">Home | <a href="/doc/'
+                     || CAST(doc_id % 97 AS VARCHAR)
+                     || '">prev</a></div><p>' || text
+                     || '</p></body></html>' AS h
+              FROM documents
+            ), s AS (
+              SELECT doc_id, h,
+                     {html_ops.duckdb_extract_expr('h')} AS tx
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(length(h) AS BIGINT) AS html_len,
+                   CAST(len(regexp_extract_all(h, '(?s)<[^>]*>'))
+                        AS BIGINT) AS n_tags,
+                   CAST(len(regexp_extract_all(h, '(?is)<a\\b'))
+                        AS BIGINT) AS n_anchors,
+                   CAST(len(regexp_extract_all(h, '(?is)<script\\b'))
+                        AS BIGINT) AS n_scripts,
+                   CAST(length(tx) AS BIGINT) AS text_len,
+                   CASE WHEN h IS NULL THEN NULL
+                        WHEN length(h) > 0 THEN
+                          CAST((CAST(length(tx) AS HUGEINT) * 1000000)
+                               // length(h) AS BIGINT)
+                        ELSE 0 END AS text_ratio_ppm
+            FROM s ORDER BY doc_id
+        """,
 
         # URL-pattern twin: same RE2-safe patterns via regexp_matches,
         # same first-match CASE order.

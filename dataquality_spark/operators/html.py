@@ -172,3 +172,47 @@ def anchor_text_counts(df: DataFrame, html_col: str = "html",
     return (ex.groupBy("host", "anchor")
             .agg(F.count(F.lit(1)).cast("long").alias("n_refs"),
                  F.count_distinct("_doc").cast("long").alias("n_docs")))
+
+
+def markup_stats(df: DataFrame, html_col: str = "html",
+                 input_is_binary: bool = True,
+                 ratio_scale: int = 1_000_000) -> DataFrame:
+    """Add per-page markup-density columns — the jusText/trafilatura
+    family of boilerplate priors, computable without extracting
+    anything: html_len (chars), n_tags, n_anchors, n_scripts,
+    text_len (chars of extract_html_text output) and text_ratio_ppm
+    (text_len·ratio_scale div html_len, an integer lattice so the
+    ratio is engine-exact; 0 when html is empty). Low text ratio and
+    high anchor density mark link farms and chrome-heavy pages; the
+    thresholds belong downstream.
+
+    Pure codegen: regexp_count for the tallies plus the extraction
+    chain for text_len, all in one projection — zero Python, zero
+    shuffles, scan pruned to the html column. NULL html yields NULL
+    stats.
+    """
+    col = F.col(html_col).cast("string") if input_is_binary \
+        else F.col(html_col)
+    extracted = col
+    for pat, rep in HTML_RULES:
+        extracted = F.regexp_replace(extracted, pat, rep)
+    return (df
+            .withColumn("html_len", F.length(col).cast("long"))
+            .withColumn("n_tags",
+                        F.regexp_count(col, F.lit(r"(?s)<[^>]*>"))
+                        .cast("long"))
+            .withColumn("n_anchors",
+                        F.regexp_count(col, F.lit(r"(?is)<a\b"))
+                        .cast("long"))
+            .withColumn("n_scripts",
+                        F.regexp_count(col, F.lit(r"(?is)<script\b"))
+                        .cast("long"))
+            .withColumn("text_len", F.length(extracted).cast("long"))
+            .withColumn(
+                "text_ratio_ppm",
+                F.when(F.col("html_len").isNull(),
+                       F.lit(None).cast("long"))
+                 .when(F.col("html_len") > 0,
+                       F.expr(f"CAST(text_len * {int(ratio_scale)} AS "
+                              f"BIGINT) div html_len"))
+                 .otherwise(F.lit(0).cast("long"))))

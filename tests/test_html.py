@@ -155,3 +155,37 @@ class TestAnchorPairs:
         assert got[("h1.ex", "Good Site")] == (3, 2)
         assert got[("h2.ex", "Spam")] == (1, 1)
         assert got[(None, "rel")] == (1, 1)
+
+
+class TestMarkupStats:
+    def test_counts_and_ratio(self, spark):
+        doc = ('<html><body><script src="x"></script>'
+               '<a href="/a">link</a><p>some visible text</p>'
+               '</body></html>')
+        df = spark.createDataFrame([(1, doc)], "i long, h string")
+        r = H.markup_stats(df, "h", input_is_binary=False).collect()[0]
+        assert r.html_len == len(doc)
+        assert r.n_tags == 10
+        assert r.n_anchors == 1
+        assert r.n_scripts == 1
+        # extracted text: 'link\nsome visible text'
+        assert r.text_len == len("link\nsome visible text")
+        assert r.text_ratio_ppm == r.text_len * 1_000_000 // len(doc)
+
+    def test_empty_and_null(self, spark):
+        df = spark.createDataFrame([(1, ""), (2, None)],
+                                   "i long, h string")
+        got = {r.i: r for r in H.markup_stats(
+            df, "h", input_is_binary=False).collect()}
+        assert got[1].html_len == 0 and got[1].text_ratio_ppm == 0
+        assert got[2].html_len is None and got[2].text_ratio_ppm is None
+
+    def test_link_farm_signature(self, spark):
+        farm = "".join(f'<a href="/l{i}">x</a>' for i in range(50))
+        prose = "<p>" + ("real words " * 50) + "</p>"
+        df = spark.createDataFrame([(1, farm), (2, prose)],
+                                   "i long, h string")
+        got = {r.i: r for r in H.markup_stats(
+            df, "h", input_is_binary=False).collect()}
+        assert got[1].n_anchors == 50 and got[2].n_anchors == 0
+        assert got[1].text_ratio_ppm < got[2].text_ratio_ppm
