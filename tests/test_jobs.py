@@ -685,3 +685,32 @@ def test_curate_job_url_patterns(spark, tmp_path):
     assert stats["n_docs_out"] == 30
     kept = spark.read.parquet(outp)
     assert kept.where(kept.url.contains("/casino/")).count() == 0
+
+
+def test_link_graph_job(spark, tmp_path):
+    """pages with planted anchors -> host PageRank table: the hub that
+    every page links to tops the ranking."""
+    import pandas as pd
+
+    from jobs import link_graph
+
+    n = 60
+    pages = pd.DataFrame({
+        "url": [f"https://s{i % 6}.example/p/{i}" for i in range(n)],
+        "warc_ts": pd.Timestamp("2024-01-01"),
+        "html": [(f'<html><body><a href="https://hub.example/x">hub'
+                  f'</a><a href="https://s{(i + 1) % 6}.example/n">n'
+                  f'</a></body></html>').encode() for i in range(n)],
+        "text": ["t"] * n,
+        "lang": ["en"] * n,
+    })
+    inp, outp = str(tmp_path / "lg_in"), str(tmp_path / "lg_out")
+    spark.createDataFrame(pages).write.parquet(inp)
+    stats = link_graph.run(["--input", inp, "--output", outp,
+                            "--top", "3"])
+    assert stats["n_hosts"] == 7  # 6 sources + hub
+    assert stats["top_hosts"][0]["host"] == "hub.example"
+    ranks = spark.read.parquet(outp)
+    assert ranks.count() == 7
+    assert ranks.filter("node = 'hub.example'").first().rank == max(
+        r.rank for r in ranks.collect())
