@@ -1349,15 +1349,14 @@ def q_host_pagerank(spark, sf_dir):
     return pr.select("node", "rank").orderBy("node")
 
 
-def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
-                         num: int = 85, den: int = 100) -> str:
-    """Unrolled-CTE twin of q_host_pagerank: the recursion is expanded
-    to `iterations` chained CTEs (portable ANSI — no RECURSIVE needed
-    for a FIXED iteration count), each one LEFT JOIN of the node set
-    against the incoming contribution sums, all-integer math."""
+def _pagerank_cte(iterations: int = 4, scale: int = 1_000_000,
+                  num: int = 85, den: int = 100) -> tuple[str, str]:
+    """The unrolled PageRank recursion as a reusable CTE chain:
+    returns (with_body, final_cte_name) so composition oracles
+    (host_reputation) can join against the final rank table."""
     base = (scale * (den - num)) // den
     parts = [f"""
-        WITH e0 AS (
+        e0 AS (
           SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example' AS u,
                  'h' || CAST((doc_id*7+1) % 53 AS VARCHAR)
                      || '.example' AS v
@@ -1382,9 +1381,47 @@ def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
             FROM e JOIN r{k-1} r ON r.node = e.u
                    JOIN od ON od.u = e.u
             GROUP BY e.v) s ON s.node = n.node)""")
-    parts.append(f"""
-        SELECT node, r AS rank FROM r{iterations} ORDER BY node""")
-    return "".join(parts)
+    return "".join(parts), f"r{iterations}"
+
+
+def _pagerank_oracle_sql(iterations: int = 4, scale: int = 1_000_000,
+                         num: int = 85, den: int = 100) -> str:
+    """Unrolled-CTE twin of q_host_pagerank: the recursion is expanded
+    to `iterations` chained CTEs (portable ANSI — no RECURSIVE needed
+    for a FIXED iteration count), each one LEFT JOIN of the node set
+    against the incoming contribution sums, all-integer math."""
+    body, final = _pagerank_cte(iterations, scale, num, den)
+    return (f"WITH {body}\n        SELECT node, r AS rank "
+            f"FROM {final} ORDER BY node")
+
+
+def q_host_reputation(spark, sf_dir):
+    """Composition: per-host corpus aggregates ⋈ host PageRank — the
+    host reputation table a curation run keys filters on (volume +
+    content mass + link centrality in one relation). Both inputs are
+    independently exact (host_pagerank, plain aggregates), and the
+    composition must stay exact through the join; the oracle reuses
+    the SAME unrolled-CTE pagerank chain via _pagerank_cte. Scale
+    shape: slim (host, n, chars) aggregate ⋈ slim (host, rank) —
+    AQE-broadcastable at host cardinality."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 53).cast("string"),
+                    F.lit(".example"))
+    agg = (docs.groupBy(host.alias("host"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.coalesce(F.length("text"), F.lit(0)))
+                 .cast("long").alias("sum_chars")))
+    h7 = F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 1) % 53)
+                  .cast("string"), F.lit(".example"))
+    h5 = F.concat(F.lit("h"), ((F.col("doc_id") * 5 + 2) % 53)
+                  .cast("string"), F.lit(".example"))
+    edges = (docs.select(host.alias("src"), h7.alias("dst"))
+             .unionByName(docs.where(F.col("doc_id") % 3 == 0)
+                          .select(host.alias("src"), h5.alias("dst"))))
+    pr = graph.pagerank(edges, "src", "dst", iterations=4)
+    return (agg.join(pr, agg["host"] == pr["node"])
+            .select("host", "n_docs", "sum_chars", "rank")
+            .orderBy("host"))
 
 
 def q_markup_density(spark, sf_dir):
@@ -2336,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_hosts": q_anchor_hosts,
         "url_patterns": q_url_patterns,
         "markup_density": q_markup_density,
+        "host_reputation": q_host_reputation,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -4064,6 +4102,24 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # Host-reputation twin: the SAME unrolled pagerank CTE chain
+        # (via _pagerank_cte) joined with plain per-host aggregates.
+        "host_reputation": (lambda body_final: f"""
+            WITH {body_final[0]},
+            agg AS (
+              SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example'
+                       AS host,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(coalesce(length(text), 0)) AS BIGINT)
+                       AS sum_chars
+              FROM documents GROUP BY 1
+            )
+            SELECT agg.host, agg.n_docs, agg.sum_chars,
+                   CAST(r.r AS BIGINT) AS rank
+            FROM agg JOIN {body_final[1]} r ON r.node = agg.host
+            ORDER BY agg.host
+        """)(_pagerank_cte()),
 
         # Markup-density twin: regexp_extract_all lengths for the
         # tallies, the GENERATED extraction chain for text_len, and a
