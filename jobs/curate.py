@@ -178,6 +178,14 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--url-dedup", action="store_true",
                     help="with --url-canon: keep only the min-id doc "
                          "per canonical url")
+    ap.add_argument("--rrf-signals", default=None, metavar="COLS",
+                    help="comma-separated numeric score columns to "
+                         "fuse into a single rrf ranking column "
+                         "(operators/ranking.rank_fusion — exact "
+                         "two-phase global ranks, no single-partition "
+                         "window; adds rank_<col> per signal + rrf)")
+    ap.add_argument("--rrf-k", type=int, default=60,
+                    help="RRF damping constant k (default 60)")
     ap.add_argument("--url-patterns", default=None, metavar="SPEC",
                     help="UT1-style URL regex blocklist: ';;'-separated "
                          "patterns (curation.url_pattern_filter, drop "
@@ -309,6 +317,14 @@ def _run(argv: list[str] | None = None) -> dict:
             df, args.url_patterns.split(";;"), url_col=url_col,
             tag_col=None)
         steps.append("url_patterns")
+
+    if args.rrf_signals:
+        from dataquality_spark.operators import ranking
+
+        fused = ranking.rank_fusion(
+            df, id_col, args.rrf_signals.split(","), k=args.rrf_k)
+        df = df.join(fused, id_col)
+        steps.append("rrf")
 
     if args.dedup_ref:
         from dataquality_spark.operators import dedup

@@ -714,3 +714,31 @@ def test_link_graph_job(spark, tmp_path):
     assert ranks.count() == 7
     assert ranks.filter("node = 'hub.example'").first().rank == max(
         r.rank for r in ranks.collect())
+
+
+def test_curate_job_rrf_signals(spark, tmp_path):
+    """--rrf-signals fuses two score columns into a single rrf
+    ranking column; the doc best on both signals tops the fusion."""
+    import pandas as pd
+
+    from jobs import curate
+
+    n = 50
+    docs = pd.DataFrame({
+        "doc_id": range(n),
+        "text": [f"doc {i}" for i in range(n)],
+        "s_quality": [float((i * 7) % n) for i in range(n)],
+        "s_rank": [float((i * 7) % n) for i in range(n)],
+    })
+    # doc 43 maximizes (43*7)%50 = 1? compute the argmax instead
+    best = max(range(n), key=lambda i: (i * 7) % n)
+    inp, outp = str(tmp_path / "in_r"), str(tmp_path / "out_r")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--rrf-signals", "s_quality,s_rank"])
+    assert stats["steps"] == ["rrf"]
+    out = spark.read.parquet(outp).toPandas()
+    assert {"rank_s_quality", "rank_s_rank", "rrf"} <= set(out.columns)
+    top = out.sort_values("rrf", ascending=False).iloc[0]
+    assert int(top.doc_id) == best
+    assert int(top.rank_s_quality) == 1
