@@ -1424,6 +1424,32 @@ def q_host_reputation(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_outlier_iqr(spark, sf_dir):
+    """IQR outlier detection (Tukey fences over the scale-safe exact
+    percentile machinery — profile.exact_percentiles, reference
+    accuracy-dimension analog): p25/p75 of documents.n_chars, fences
+    at ±1.5·IQR, then one conditional-aggregate scan counting rows
+    outside. The 1-row percentile relation broadcast-joins the corpus;
+    double fence arithmetic is deterministic IEEE given the exact
+    interpolated quartiles (cross-engine interpolation equality is
+    already pinned by the percentiles query)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = profile.exact_percentiles(
+        docs, {"n_chars": [(0.25, "p25"), (0.75, "p75")]})
+    lo = F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))
+    hi = F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))
+    return (docs.crossJoin(F.broadcast(q))
+            .agg(F.round(F.first("p25"), 4).alias("p25"),
+                 F.round(F.first("p75"), 4).alias("p75"),
+                 F.round(F.first(lo), 4).alias("fence_lo"),
+                 F.round(F.first(hi), 4).alias("fence_hi"),
+                 F.sum(F.when(F.col("n_chars") < lo, 1)
+                        .otherwise(0)).cast("long").alias("n_low"),
+                 F.sum(F.when(F.col("n_chars") > hi, 1)
+                        .otherwise(0)).cast("long").alias("n_high"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows")))
+
+
 def q_markup_density(spark, sf_dir):
     """Markup-density stats (operators/html.markup_stats): html_len,
     tag/anchor/script tallies, extracted-text length and the
@@ -2374,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_patterns": q_url_patterns,
         "markup_density": q_markup_density,
         "host_reputation": q_host_reputation,
+        "outlier_iqr": q_outlier_iqr,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -4102,6 +4129,29 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # IQR-outlier twin: quantile_cont quartiles (interpolation
+        # equality pinned by the percentiles query), same IEEE fence
+        # arithmetic, one conditional aggregate.
+        "outlier_iqr": """
+            WITH q AS (
+              SELECT quantile_cont(n_chars, 0.25) AS p25,
+                     quantile_cont(n_chars, 0.75) AS p75
+              FROM documents
+            )
+            SELECT ROUND(p25, 4) AS p25, ROUND(p75, 4) AS p75,
+                   ROUND(p25 - 1.5*(p75 - p25), 4) AS fence_lo,
+                   ROUND(p75 + 1.5*(p75 - p25), 4) AS fence_hi,
+                   CAST((SELECT COUNT(*) FROM documents, q
+                         WHERE n_chars < p25 - 1.5*(p75 - p25))
+                        AS BIGINT) AS n_low,
+                   CAST((SELECT COUNT(*) FROM documents, q
+                         WHERE n_chars > p75 + 1.5*(p75 - p25))
+                        AS BIGINT) AS n_high,
+                   CAST((SELECT COUNT(*) FROM documents)
+                        AS BIGINT) AS n_rows
+            FROM q
+        """,
 
         # Host-reputation twin: the SAME unrolled pagerank CTE chain
         # (via _pagerank_cte) joined with plain per-host aggregates.
