@@ -189,3 +189,40 @@ class TestMarkupStats:
             df, "h", input_is_binary=False).collect()}
         assert got[1].n_anchors == 50 and got[2].n_anchors == 0
         assert got[1].text_ratio_ppm < got[2].text_ratio_ppm
+
+
+class TestCrossEngineFuzz:
+    """Hypothesis fuzz: on RANDOM markup-ish strings the Spark (Java
+    regex) and DuckDB (RE2) extraction chains must agree byte-for-byte
+    — the strongest guard against dialect drift in HTML_RULES."""
+
+    def test_random_markup_agrees(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        frag = st.one_of(
+            st.text(alphabet="<>&; \t\r\n\"'abcZ09é—", max_size=12),
+            st.sampled_from([
+                "<p>", "</p>", "<script>", "</script>", "<style>",
+                "</style>", "<!--", "-->", "<a href=\"x\">", "</a>",
+                "&amp;", "&lt;", "&nbsp;", "&#39;", "<br/>", "<DIV >",
+                "< div", "<<p>>", "</ p>", "&amp;lt;",
+            ]))
+        docs = st.lists(st.lists(frag, max_size=14).map("".join),
+                        min_size=1, max_size=8)
+
+        collected: list[list[str]] = []
+
+        @settings(max_examples=30, deadline=None)
+        @given(docs)
+        def _gather(case):
+            collected.append(case)
+
+        _gather()
+        # one Spark job over every generated corpus (per-example Spark
+        # jobs would be 30x slower for no extra coverage)
+        cases = [s for case in collected for s in case]
+        s = _spark_extract(spark, cases)
+        d = _duck_extract(cases)
+        for i, raw in enumerate(cases):
+            assert s[i] == d[i], (repr(raw), s[i], d[i])
