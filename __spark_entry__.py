@@ -1424,6 +1424,20 @@ def q_host_reputation(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (operators/curation.cap_per_group,
+    Gopher-style anti-spam): keep the 15 longest docs per source
+    (priority = n_chars DESC, doc_id tie-break). ONE group-partitioned
+    window — per-group state, no global sort; oracle is the identical
+    row_number predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.cap_per_group(docs, "source", "doc_id", 15,
+                                 priority_col="n_chars")
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("n_chars")) \
+              .orderBy("doc_id")
+
+
 def q_outlier_iqr(spark, sf_dir):
     """IQR outlier detection (Tukey fences over the scale-safe exact
     percentile machinery — profile.exact_percentiles, reference
@@ -2401,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_density": q_markup_density,
         "host_reputation": q_host_reputation,
         "outlier_iqr": q_outlier_iqr,
+        "domain_cap": q_domain_cap,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -4129,6 +4144,19 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # Domain-cap twin: identical window predicate.
+        "domain_cap": """
+            WITH r AS (
+              SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC NULLS LAST, doc_id) AS rk
+              FROM documents
+            )
+            SELECT doc_id, source, n_chars FROM r
+            WHERE rk <= 15 ORDER BY doc_id
+        """,
 
         # IQR-outlier twin: quantile_cont quartiles (interpolation
         # equality pinned by the percentiles query), same IEEE fence

@@ -1255,3 +1255,38 @@ def url_pattern_filter(df: DataFrame, patterns: list[str],
     for p in reversed(patterns):
         tag = F.when(url.rlike(f"(?is){p}"), F.lit(p)).otherwise(tag)
     return df.withColumn(tag_col, tag)
+
+
+def cap_per_group(df: DataFrame, group_col: str, key_col: str,
+                  max_docs: int, priority_col: str | None = None,
+                  salt: int = 0) -> DataFrame:
+    """Keep at most `max_docs` documents per group (host/domain) — the
+    Gopher-style anti-spam cap that stops one boilerplate-heavy or
+    SEO-generated domain from dominating the corpus.
+
+    Which docs survive is deterministic: rank within the group by
+    `priority_col` DESC (keep the best-scoring) when given, else by
+    the salted hash of `key_col` (an unbiased uniform cap, stable
+    across runs and retries); `key_col` breaks all ties, so the kept
+    set is unique regardless of partitioning.
+
+    Scale shape: ONE hash-partitioned window keyed by the group —
+    per-group state, never a global sort; with text in the row the
+    window shuffle carries it once, so for a 100-TB corpus run this
+    on a slim (group, key, priority) projection and anti-join the
+    drop list back (same recipe as the url-dedup drop-list shape).
+    """
+    from pyspark.sql.window import Window
+
+    if max_docs <= 0:
+        raise ValueError(f"max_docs must be positive: {max_docs}")
+    if priority_col is not None:
+        order = [F.col(priority_col).desc_nulls_last(),
+                 F.col(key_col).asc()]
+    else:
+        order = [F.xxhash64(F.col(key_col), F.lit(salt)).asc(),
+                 F.col(key_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_docs)
+            .drop("_rk"))

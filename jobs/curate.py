@@ -178,6 +178,13 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--url-dedup", action="store_true",
                     help="with --url-canon: keep only the min-id doc "
                          "per canonical url")
+    ap.add_argument("--group-cap", type=int, default=None, metavar="N",
+                    help="keep at most N docs per --budget-group "
+                         "(curation.cap_per_group; Gopher-style "
+                         "anti-spam domain cap, salted at salt+6)")
+    ap.add_argument("--cap-priority", default=None, metavar="COL",
+                    help="with --group-cap: keep the N highest by this "
+                         "column instead of a uniform hash cap")
     ap.add_argument("--rrf-signals", default=None, metavar="COLS",
                     help="comma-separated numeric score columns to "
                          "fuse into a single rrf ranking column "
@@ -317,6 +324,12 @@ def _run(argv: list[str] | None = None) -> dict:
             df, args.url_patterns.split(";;"), url_col=url_col,
             tag_col=None)
         steps.append("url_patterns")
+
+    if args.group_cap:
+        df = curation.cap_per_group(
+            df, args.budget_group, id_col, args.group_cap,
+            priority_col=args.cap_priority, salt=args.salt + 6)
+        steps.append("group_cap")
 
     if args.rrf_signals:
         from dataquality_spark.operators import ranking

@@ -1481,3 +1481,38 @@ class TestUrlPatternFilter:
             curation.url_pattern_filter(df, [])
         with pytest.raises(ValueError):
             curation.url_pattern_filter(df, ["x"], mode="nope")
+
+
+class TestCapPerGroup:
+    def test_priority_mode_keeps_best(self, spark):
+        rows = [(i, "big" if i < 20 else "small", float(i))
+                for i in range(25)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+        got = {r.doc_id for r in curation.cap_per_group(
+            df, "g", "doc_id", 3, priority_col="s").collect()}
+        # big keeps its 3 highest scores; small (5 docs) keeps its 3
+        assert got == {17, 18, 19, 22, 23, 24}
+
+    def test_hash_mode_deterministic_and_capped(self, spark):
+        rows = [(i, f"h{i % 4}") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        a = {r.doc_id for r in curation.cap_per_group(
+            df, "g", "doc_id", 10, salt=3).collect()}
+        b = {r.doc_id for r in curation.cap_per_group(
+            df.repartition(13), "g", "doc_id", 10, salt=3).collect()}
+        assert a == b and len(a) == 40
+        # different salt -> different (but equally sized) survivor set
+        c = {r.doc_id for r in curation.cap_per_group(
+            df, "g", "doc_id", 10, salt=4).collect()}
+        assert len(c) == 40 and c != a
+
+    def test_under_cap_groups_untouched(self, spark):
+        rows = [(i, "only") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        assert curation.cap_per_group(df, "g", "doc_id", 10).count() == 5
+
+    def test_validation(self, spark):
+        import pytest
+        df = spark.createDataFrame([(1, "a")], "doc_id long, g string")
+        with pytest.raises(ValueError):
+            curation.cap_per_group(df, "g", "doc_id", 0)

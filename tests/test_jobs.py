@@ -742,3 +742,30 @@ def test_curate_job_rrf_signals(spark, tmp_path):
     top = out.sort_values("rrf", ascending=False).iloc[0]
     assert int(top.doc_id) == best
     assert int(top.rank_s_quality) == 1
+
+
+def test_curate_job_group_cap(spark, tmp_path):
+    """--group-cap keeps at most N docs per group; --cap-priority
+    keeps the best-scoring ones."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "lang": ["en"] * 40 + ["de"] * 20,
+        "score": [float(i) for i in range(60)],
+        "text": [f"doc {i}" for i in range(60)],
+    })
+    inp, outp = str(tmp_path / "in_c"), str(tmp_path / "out_c")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--group-cap", "5",
+                        "--cap-priority", "score"])
+    assert stats["steps"] == ["group_cap"]
+    out = spark.read.parquet(outp).toPandas()
+    per = out.groupby("lang").size()
+    assert per["en"] == 5 and per["de"] == 5
+    # priority mode kept the top scores of each group
+    assert set(out[out.lang == "en"].doc_id) == {35, 36, 37, 38, 39}
+    assert set(out[out.lang == "de"].doc_id) == {55, 56, 57, 58, 59}
