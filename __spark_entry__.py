@@ -1424,6 +1424,28 @@ def q_host_reputation(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_sentences(spark, sf_dir):
+    """Sentence segmentation (operators/curation.split_sentences):
+    boundary = terminal-punctuation run + optional closing quotes +
+    whitespace, applied via one capture-group regexp_replace (the
+    shared pattern is lookaround-free; the replacement group ref is
+    $1 on the Java side, \\1 in the RE2 twin) then split/filter/
+    posexplode. Pure codegen, zero shuffles; the oracle must produce
+    byte-identical sentences and 0-based ids over the corpus text."""
+    docs = _t(spark, sf_dir, "documents")
+    # plant boundaries around the corpus text (the synth documents are
+    # punctuation-free word soup): an intro of 3 sentences with quoted
+    # and multi-punct terminals, the doc text, and a tail — >=5
+    # sentences per doc, byte-identically constructed in the oracle
+    mess = F.concat(F.lit('Intro one. Two!! Three?" '),
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(' end of doc.  Tail ').cast("string"),
+                    F.col("doc_id").cast("string"), F.lit("."))
+    d = docs.select("doc_id", mess.alias("text"))
+    return (curation.split_sentences(d, "text", "doc_id")
+            .orderBy("doc_id", "sentence_id"))
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-domain document cap (operators/curation.cap_per_group,
     Gopher-style anti-spam): keep the 15 longest docs per source
@@ -2416,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": q_host_reputation,
         "outlier_iqr": q_outlier_iqr,
         "domain_cap": q_domain_cap,
+        "sentences": q_sentences,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -4144,6 +4167,33 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # Sentence twin: same boundary pattern, RE2 \1 group ref +
+        # chr(30) separator, list_filter + generate_series ordinality.
+        "sentences": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       'Intro one. Two!! Three?" '
+                         || coalesce(text, '') || ' end of doc.  Tail '
+                         || CAST(doc_id AS VARCHAR) || '.',
+                       '([.!?]+["'')\]]*)\s+',
+                       '\1' || chr(30), 'g') AS mk
+              FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     list_filter(string_split(mk, chr(30)),
+                                 x -> x <> '') AS sents
+              FROM m
+            ), e AS (
+              SELECT doc_id, sents,
+                     unnest(generate_series(1, len(sents))) AS i
+              FROM l WHERE len(sents) > 0
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS sentence_id,
+                   sents[i] AS sentence
+            FROM e ORDER BY doc_id, sentence_id
+        """,
 
         # Domain-cap twin: identical window predicate.
         "domain_cap": """

@@ -1516,3 +1516,36 @@ class TestCapPerGroup:
         df = spark.createDataFrame([(1, "a")], "doc_id long, g string")
         with pytest.raises(ValueError):
             curation.cap_per_group(df, "g", "doc_id", 0)
+
+
+class TestSplitSentences:
+    def test_boundaries_and_ids(self, spark):
+        df = spark.createDataFrame(
+            [(1, 'One sentence. Two!  Three?" Quoted." No terminal tail'),
+             (2, 'Only one line'),
+             (3, ''), (4, None)],
+            "doc_id long, text string")
+        got = {}
+        for r in curation.split_sentences(df).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.sentence_id, r.sentence))
+        assert got[1] == [(0, 'One sentence.'), (1, 'Two!'),
+                          (2, 'Three?"'), (3, 'Quoted."'),
+                          (4, 'No terminal tail')]
+        assert got[2] == [(0, 'Only one line')]
+        assert 3 not in got and 4 not in got
+
+    def test_inner_whitespace_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(1, 'keeps  inner   runs. next\tkeeps\ttabs.')],
+            "doc_id long, text string")
+        got = [r.sentence for r in
+               curation.split_sentences(df).collect()]
+        assert got == ['keeps  inner   runs.', 'next\tkeeps\ttabs.']
+
+    def test_abbreviations_split_by_design(self, spark):
+        df = spark.createDataFrame([(1, 'Dr. Smith arrived. Yes.')],
+                                   "doc_id long, text string")
+        got = [r.sentence for r in
+               curation.split_sentences(df).collect()]
+        assert got == ['Dr.', 'Smith arrived.', 'Yes.']
