@@ -178,6 +178,12 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--url-dedup", action="store_true",
                     help="with --url-canon: keep only the min-id doc "
                          "per canonical url")
+    ap.add_argument("--split-sentences", action="store_true",
+                    help="REPLACE the output grain with one row per "
+                         "sentence (curation.split_sentences: id, "
+                         "sentence_id, sentence, sentence_key) — "
+                         "applied after all doc-level steps; "
+                         "mutually exclusive with --chunk-tokens")
     ap.add_argument("--group-cap", type=int, default=None, metavar="N",
                     help="keep at most N docs per --budget-group "
                          "(curation.cap_per_group; Gopher-style "
@@ -285,6 +291,9 @@ def _run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if args.split_sentences and args.chunk_tokens is not None:
+        raise SystemExit("--split-sentences and --chunk-tokens both "
+                         "replace the output grain; pick one")
 
     spark = get_spark("dq-curate", master=args.master)
     t0 = time.monotonic()
@@ -493,6 +502,17 @@ def _run(argv: list[str] | None = None) -> dict:
                           + F.col("chunk_id")))
         shard_key = "chunk_key"
         steps.append("chunk")
+
+    if args.split_sentences:
+        # grain change: one row per sentence; sentence_key is the
+        # synthesized unique shard/sort key (docs with >2^20 sentences
+        # would collide — that is a degenerate document)
+        df = (curation.split_sentences(df, text_col, id_col)
+              .withColumn("sentence_key",
+                          F.col(id_col) * F.lit(1 << 20)
+                          + F.col("sentence_id")))
+        shard_key = "sentence_key"
+        steps.append("sentences")
 
     if args.shards is not None:
         df = curation.shard_assign(df, shard_key, n_shards=args.shards,

@@ -769,3 +769,31 @@ def test_curate_job_group_cap(spark, tmp_path):
     # priority mode kept the top scores of each group
     assert set(out[out.lang == "en"].doc_id) == {35, 36, 37, 38, 39}
     assert set(out[out.lang == "de"].doc_id) == {55, 56, 57, 58, 59}
+
+
+def test_curate_job_split_sentences(spark, tmp_path):
+    """--split-sentences replaces the grain with sentence rows and
+    composes with --shards on the sentence key."""
+    import pandas as pd
+
+    import pytest as _pytest
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(10),
+        "text": [f"First {i}. Second {i}! Third {i}?" for i in range(10)],
+    })
+    inp, outp = str(tmp_path / "in_s"), str(tmp_path / "out_s")
+    spark.createDataFrame(docs).write.parquet(inp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--split-sentences", "--shards", "4"])
+    assert stats["steps"] == ["sentences", "shards"]
+    out = spark.read.parquet(outp)
+    assert out.count() == 30
+    assert {"sentence", "sentence_id", "sentence_key",
+            "shard", "pos"} <= set(out.columns)
+    assert out.select("shard").distinct().count() <= 4
+    with _pytest.raises(SystemExit):
+        curate.run(["--input", inp, "--output", outp,
+                    "--split-sentences", "--chunk-tokens", "8"])
