@@ -1424,6 +1424,26 @@ def q_host_reputation(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (operators/similarity.
+    quantize_embeddings): one global max(|x|) scale broadcast back,
+    codes floor(x·127/s + 0.5) — float→double promotion + IEEE double
+    ops + floor are engine-exact, so every code matches the DuckDB
+    list_transform twin bit-for-bit (the twin CASTs to DOUBLE
+    explicitly: DuckDB would otherwise do single-precision FLOAT
+    math). Zero data shuffles; embeddings never move."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb)
+    return (out.select(
+                "vec_id",
+                F.array_join(F.transform("q", lambda v: v.cast("string")),
+                             "|").alias("q_str"),
+                F.aggregate("q", F.lit(0).cast("long"),
+                            lambda a, v: a + v).alias("q_sum"),
+                F.col("q_scale").cast("double").alias("scale_d"))
+            .orderBy("vec_id"))
+
+
 def q_sentences(spark, sf_dir):
     """Sentence segmentation (operators/curation.split_sentences):
     boundary = terminal-punctuation run + optional closing quotes +
@@ -2439,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_iqr": q_outlier_iqr,
         "domain_cap": q_domain_cap,
         "sentences": q_sentences,
+        "embedding_quantize": q_embedding_quantize,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -4167,6 +4188,28 @@ def oracle_sql() -> dict[str, str]:
         # parse_url composition — two independent derivations must
         # agree), iterations unrolled as chained CTEs, all-integer.
         "host_pagerank": _pagerank_oracle_sql(),
+
+        # Quantization twin: explicit DOUBLE promotion (DuckDB FLOAT
+        # math is single-precision), same floor(x*127/s + 0.5) lattice.
+        "embedding_quantize": """
+            WITH s AS (
+              SELECT CAST(MAX(abs(x)) AS DOUBLE) AS s
+              FROM (SELECT unnest(embedding) AS x FROM embeddings)
+            ), q AS (
+              SELECT vec_id,
+                     list_transform(
+                       embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127 / s
+                                       + 0.5) AS INT)) AS qv,
+                     s
+              FROM embeddings, s
+            )
+            SELECT vec_id,
+                   array_to_string(qv, '|') AS q_str,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   s AS scale_d
+            FROM q ORDER BY vec_id
+        """,
 
         # Sentence twin: same boundary pattern, RE2 \1 group ref +
         # chr(30) separator, list_filter + generate_series ordinality.

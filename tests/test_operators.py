@@ -1227,3 +1227,36 @@ class TestScriptProfile:
         assert got[7]["n_chars"] == 0 and got[7]["main_script"] == "none"
         # latin-extended block belongs to latin
         assert got[8]["n_latin"] == 5 and got[8]["main_script"] == "latin"
+
+
+def test_quantize_embeddings_matches_numpy(spark, emb, emb_np):
+    """int8 symmetric quantization: bit-identity to the numpy
+    floor(x*B/s + 0.5) reference, codes bounded, scale = max|x|."""
+    import math
+
+    from dataquality_spark.operators import similarity
+
+    ids, mat = emb_np
+    s = float(np.abs(mat.astype(np.float32)).max())
+    out = similarity.quantize_embeddings(emb).orderBy("vec_id")
+    rows = out.collect()
+    assert all(abs(r.q_scale - s) < 1e-12 for r in rows[:5])
+    by_id = {r.vec_id: r.q for r in rows}
+    for i, vid in enumerate(ids[:50]):
+        ref = [math.floor(float(np.float32(x)) * 127 / s + 0.5)
+               for x in mat[i]]
+        assert by_id[vid] == ref
+    allq = [q for r in rows for q in r.q]
+    assert min(allq) >= -127 and max(allq) <= 127
+
+
+def test_quantize_embeddings_null_passthrough(spark):
+    from dataquality_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, None)],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.q for r in
+           similarity.quantize_embeddings(df).collect()}
+    assert got[2] is None
+    assert got[1] == [64, -127]  # floor(1*127/2 + .5)=64, floor(-127+.5)
