@@ -1444,6 +1444,25 @@ def q_embedding_quantize(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def q_embedding_topk_int8(spark, sf_dir):
+    """Quantized retrieval (operators/similarity.quantized_topk): the
+    serving half of SQ8 quantization — top-10 by EXACT BIGINT dot
+    product of int8 codes (query = vec 0's own codes, self-match must
+    rank first), ties broken by id. Every score is an integer sum, so
+    ordering is engine- and partition-exact with no float rounding
+    anywhere. Plan: one zip_with/aggregate projection →
+    TakeOrderedAndProject; 4× less scan IO than the float path."""
+    from dataquality_spark.caching import track_persist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = track_persist(similarity.quantize_embeddings(emb)
+                      .select("vec_id", "q"))
+    query_row = q.where(F.col("vec_id") == 0) \
+                 .select(F.col("q").alias("_qq"))
+    return similarity.quantized_topk(
+        q.crossJoin(F.broadcast(query_row)), F.col("_qq"), k=10)
+
+
 def q_sentences(spark, sf_dir):
     """Sentence segmentation (operators/curation.split_sentences):
     boundary = terminal-punctuation run + optional closing quotes +
@@ -2460,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "sentences": q_sentences,
         "embedding_quantize": q_embedding_quantize,
+        "embedding_topk_int8": q_embedding_topk_int8,
         # --- r03-green (proof on current-generation code already) ---
         "webtext_rules": q_webtext_rules,
         "quality_model_fixed": q_quality_model_fixed,
@@ -4209,6 +4229,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(qv) AS BIGINT) AS q_sum,
                    s AS scale_d
             FROM q ORDER BY vec_id
+        """,
+
+        # Quantized-retrieval twin: positional double-unnest dot
+        # product in BIGINT, same (dot DESC, id) top-10.
+        "embedding_topk_int8": """
+            WITH s AS (
+              SELECT CAST(MAX(abs(x)) AS DOUBLE) AS s
+              FROM (SELECT unnest(embedding) AS x FROM embeddings)
+            ), q AS (
+              SELECT vec_id,
+                     list_transform(
+                       embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127 / s
+                                       + 0.5) AS INT)) AS qv
+              FROM embeddings, s
+            ), qq AS (
+              SELECT qv AS query FROM q WHERE vec_id = 0
+            )
+            SELECT q.vec_id,
+                   CAST((SELECT SUM(CAST(a AS BIGINT) * b)
+                         FROM (SELECT unnest(q.qv) AS a,
+                                      unnest(qq.query) AS b) z)
+                        AS BIGINT) AS dot_q
+            FROM q, qq
+            ORDER BY dot_q DESC, vec_id LIMIT 10
         """,
 
         # Sentence twin: same boundary pattern, RE2 \1 group ref +

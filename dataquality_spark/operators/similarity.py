@@ -196,3 +196,29 @@ def quantize_embeddings(df: DataFrame, emb_col: str = "embedding",
                                       / F.col("_s") + 0.5)
                                .cast("int")))
             .withColumnRenamed("_s", "q_scale"))
+
+
+def quantized_topk(quantized: DataFrame, query_q, k: int = 10,
+                   id_col: str = "vec_id",
+                   q_col: str = "q") -> DataFrame:
+    """Top-k retrieval over int8 codes by EXACT integer dot product —
+    the serving-side half of quantize_embeddings: for unit-normalized
+    embeddings the code dot product preserves the cosine ordering up
+    to quantization error, and because every score is a BIGINT sum of
+    int products, ties and order are engine- and partition-exact
+    (contrast float cosine, where only rounded scores compare).
+
+    `query_q`: the query's code vector (list[int] or a 1-row Column).
+    Plan shape: one zip_with/aggregate projection (codegen, ints) →
+    TakeOrderedAndProject on (dot DESC, id ASC) — no shuffle beyond
+    the top-k reduction, 4× less scan IO than the float path.
+    """
+    if not isinstance(query_q, F.Column):
+        query_q = F.array(*[F.lit(int(v)).cast("int") for v in query_q])
+    dot = F.aggregate(
+        F.zip_with(F.col(q_col), query_q,
+                   lambda x, y: (x.cast("long") * y.cast("long"))),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+    return (quantized.select(F.col(id_col), dot.alias("dot_q"))
+            .orderBy(F.col("dot_q").desc(), F.col(id_col))
+            .limit(k))

@@ -1260,3 +1260,20 @@ def test_quantize_embeddings_null_passthrough(spark):
            similarity.quantize_embeddings(df).collect()}
     assert got[2] is None
     assert got[1] == [64, -127]  # floor(1*127/2 + .5)=64, floor(-127+.5)
+
+
+def test_quantized_topk_matches_numpy_int_dot(spark, emb, emb_np):
+    """Top-k by exact integer code dot: identical ids and scores to
+    the numpy reference; self-match ranks first."""
+    from dataquality_spark.operators import similarity
+
+    ids, mat = emb_np
+    q = similarity.quantize_embeddings(emb)
+    codes = {r.vec_id: r.q for r in q.collect()}
+    query = codes[int(ids[0])]
+    got = similarity.quantized_topk(q, query, k=10).collect()
+    ref = sorted(((sum(int(a) * int(b) for a, b in zip(v, query)), -i)
+                  for i, v in codes.items()), reverse=True)[:10]
+    assert [(r.vec_id, r.dot_q) for r in got] == \
+        [(-ni, d) for d, ni in ref]
+    assert got[0].vec_id == int(ids[0])  # self-match first
