@@ -4213,7 +4213,8 @@ def oracle_sql() -> dict[str, str]:
         # math is single-precision), same floor(x*127/s + 0.5) lattice.
         "embedding_quantize": """
             WITH s AS (
-              SELECT CAST(MAX(abs(x)) AS DOUBLE) AS s
+              SELECT CAST(coalesce(nullif(MAX(abs(x)), 0), 1.0)
+                          AS DOUBLE) AS s
               FROM (SELECT unnest(embedding) AS x FROM embeddings)
             ), q AS (
               SELECT vec_id,
@@ -4235,7 +4236,8 @@ def oracle_sql() -> dict[str, str]:
         # product in BIGINT, same (dot DESC, id) top-10.
         "embedding_topk_int8": """
             WITH s AS (
-              SELECT CAST(MAX(abs(x)) AS DOUBLE) AS s
+              SELECT CAST(coalesce(nullif(MAX(abs(x)), 0), 1.0)
+                          AS DOUBLE) AS s
               FROM (SELECT unnest(embedding) AS x FROM embeddings)
             ), q AS (
               SELECT vec_id,

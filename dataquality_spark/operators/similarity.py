@@ -183,10 +183,16 @@ def quantize_embeddings(df: DataFrame, emb_col: str = "embedding",
     Scale shape: one map-side-combined global max (bytes: one double
     per task) broadcast back as a scalar; quantization itself is a
     pure projection — zero data shuffles, embeddings never move.
+
+    Degenerate corpora (all-zero, all-NULL, or empty): s would be 0 or
+    NULL and x·B/s would emit NaN→NULL codes that poison downstream
+    dot products silently — substitute scale 1 so such corpora yield
+    exact all-zero codes instead (q_scale reports the substituted 1.0).
     """
     spark = df.sparkSession
     s = (df.select(F.explode(emb_col).alias("_x"))
-         .agg(F.max(F.abs(F.col("_x"))).alias("_s")))
+         .agg(F.coalesce(F.nullif(F.max(F.abs(F.col("_x"))), F.lit(0.0)),
+                         F.lit(1.0)).cast("double").alias("_s")))
     return (df.crossJoin(F.broadcast(s))
             .withColumn(
                 "q",

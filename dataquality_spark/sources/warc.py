@@ -53,6 +53,20 @@ _CRLF = b"\r\n"
 _DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"  # WARC-Date (spec: UTC, second precision)
 
 
+def _assert_utc(spark: SparkSession, fn: str) -> None:
+    """WARC-Date is spec-mandated UTC and this module renders/parses it
+    with a literal 'Z' suffix, which is only correct when Spark's
+    session timezone is UTC (get_spark pins it; a foreign session might
+    not). Fail loudly instead of writing mislabeled timestamps that
+    shift on cross-session read-back."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"{fn} requires spark.sql.session.timeZone=UTC (got {tz!r}): "
+            "WARC-Date carries a literal 'Z' (UTC) suffix, so a non-UTC "
+            "session would stamp spec-violating shifted timestamps")
+
+
 def _record_bytes(rec_type: str, uri: str, date_iso: str,
                   content_type: str, payload: bytes) -> bytes:
     """Serialize one WARC record. WARC-Record-ID is REQUIRED by the
@@ -123,15 +137,43 @@ RECORD_SCHEMA = StructType([
 def write_warc(df: DataFrame, out_dir: str, *, rec_type: str = "conversion",
                content_type: str = "text/plain",
                uri_col: str = "uri", ts_col: str = "warc_ts",
-               payload_col: str = "payload") -> DataFrame:
+               payload_col: str = "payload",
+               mode: str = "overwrite") -> DataFrame:
     """Write `df` as member-gzipped WARC part files under `out_dir`.
 
     One output file per input partition, written by the task itself
-    (shared-storage pattern — no driver funnel). Returns the one-row-
-    per-file summary frame; the caller triggers the write by acting on
-    it. Rows with NULL payload are written as empty records so every
-    input row survives the round trip."""
+    (shared-storage pattern — no driver funnel; requires driver and
+    executors to share the filesystem under `out_dir`, e.g. NFS/local
+    mode — an object store needs a Hadoop-FS-based writer instead, and
+    the in-task makedirs fails loudly when the path isn't mountable).
+    Returns the one-row-per-file summary frame; the caller triggers the
+    write by acting on it. Rows with NULL payload are written as empty
+    records so every input row survives the round trip.
+
+    Rerun/retry safety: `mode='overwrite'` (default) clears pre-existing
+    part files on the driver before planning the write, so a rerun that
+    produces fewer partitions cannot leave stale parts that read_warc
+    would silently include; `mode='error'` refuses instead. Each task
+    writes to a temp name suffixed with its task attempt id and
+    `os.replace`s it into place — atomic on POSIX, so a speculative or
+    retried attempt can never interleave bytes into a half-written
+    part, and because record bytes are deterministic the last rename
+    wins with identical content."""
+    _assert_utc(df.sparkSession, "write_warc")
     os.makedirs(out_dir, exist_ok=True)
+    stale = [f for f in os.listdir(out_dir)
+             if f.startswith("part-") and ".warc.gz" in f]
+    if stale:
+        if mode == "overwrite":
+            for f in stale:
+                os.remove(os.path.join(out_dir, f))
+        elif mode == "error":
+            raise FileExistsError(
+                f"write_warc(mode='error'): {out_dir} already holds "
+                f"{len(stale)} part file(s), e.g. {stale[0]!r}")
+        else:
+            raise ValueError(f"unknown mode {mode!r} "
+                             "(expected 'overwrite' or 'error')")
     slim = df.select(
         F.col(uri_col).cast("string").alias("uri"),
         F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
@@ -140,7 +182,8 @@ def write_warc(df: DataFrame, out_dir: str, *, rec_type: str = "conversion",
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
         n_rec = 0
         buf = _io.BytesIO()
@@ -155,8 +198,13 @@ def write_warc(df: DataFrame, out_dir: str, *, rec_type: str = "conversion",
                 n_rec += 1
         data = buf.getvalue()
         if n_rec:
-            with open(path, "wb") as f:
+            # makedirs in the task too: on a multi-node cluster the
+            # driver-side makedirs only touched the driver's filesystem
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
+            with open(tmp, "wb") as f:
                 f.write(data)
+            os.replace(tmp, path)  # atomic publish; retries never interleave
             yield pd.DataFrame({"file": [path], "n_records": [n_rec],
                                 "n_bytes": [len(data)]})
 
@@ -167,7 +215,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read WARC/WET part files into (rec_type, uri, warc_ts,
     content_type, payload). One task per file (gzip members are not
     random-access); Common-Crawl-sized corpora parallelize across
-    their tens of thousands of files."""
+    their tens of thousands of files. In-progress temp files
+    (`*.inprogress-<attempt>`) never match the glob, so a concurrent
+    or crashed writer is invisible to readers."""
+    _assert_utc(spark, "read_warc")
     files = (spark.read.format("binaryFile")
              .load(os.path.join(path, "*.warc.gz"))
              .select("content"))

@@ -58,13 +58,15 @@ def _run(argv: list[str] | None = None) -> dict:
                          "(io.read_pages_lenient fallback chain)")
     ap.add_argument("--previous", default=None, metavar="DIR",
                     help="previous crawl snapshot (same pages schema): "
-                         "process ONLY pages that are new or whose text "
-                         "changed vs it (operators/snapshot."
-                         "needs_processing keyed on url#warc_ts). The "
-                         "output is a DELTA — unchanged pages carry "
-                         "their previous run's decisions forward, which "
-                         "is sound because identical bytes yield the "
-                         "identical decision")
+                         "process ONLY urls that are new or whose "
+                         "newest text changed vs it (operators/snapshot."
+                         "needs_processing keyed on url after keep-"
+                         "newest dedup, so a timestamp-bumped recrawl "
+                         "with byte-identical text is detected as "
+                         "unchanged). The output is a DELTA — unchanged "
+                         "urls carry their previous run's decisions "
+                         "forward, which is sound because identical "
+                         "bytes yield the identical decision")
     ap.add_argument("--approx-distinct", action="store_true")
     ap.add_argument("--repartition", type=int, default=None,
                     help="salted (host, salt) repartition width")
@@ -91,13 +93,22 @@ def _run(argv: list[str] | None = None) -> dict:
         from dataquality_spark.operators import snapshot
 
         prev = reader(spark, args.previous)
-        key = F.concat_ws("#", F.col("url"),
-                          F.col("warc_ts").cast("string"))
+
+        def _newest(df):
+            # Keep-newest record per url (the rule the decision
+            # pipeline's url-duplicate ranker applies anyway) so the
+            # diff keys on url alone: a recrawl that bumps warc_ts but
+            # leaves text byte-identical diffs as UNCHANGED instead of
+            # "added" — the carry-forward optimization actually fires.
+            # Slim (url, max ts) agg + semi join back: text never
+            # shuffles; ties on (url, max ts) are assumed unique per
+            # crawl (snapshot_diff's documented precondition).
+            ts = df.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+            return df.join(ts, ["url", "warc_ts"], "left_semi")
+
         remaining = (snapshot.needs_processing(
-            prev.withColumn("_snap_key", key),
-            remaining.withColumn("_snap_key", key),
-            "_snap_key", "text")
-            .drop("_snap_key", "status"))
+            _newest(prev), _newest(remaining), "url", "text")
+            .drop("status"))
 
     if args.max_partitions is not None:
         pids = sorted(r[0] for r in

@@ -648,13 +648,15 @@ def test_run_pipeline_incremental_previous(spark, pages_dir, tmp_path):
         "text", F.when(changed, F.concat(F.col("text"),
                                          F.lit(" updated"))).otherwise(
             F.col("text")))
-    fresh = pages.limit(10).withColumn(
+    fresh = pages.dropDuplicates(["url"]).limit(10).withColumn(
         "url", F.concat(F.lit("https://new.example/"),
                         F.md5("url")))
     v2 = v2.unionByName(fresh)
     v2_dir = str(tmp_path / "pages_v2")
     v2.write.parquet(v2_dir)
-    n_changed = pages.where(changed).count()
+    # the diff keys on url after keep-newest dedup, so the delta holds
+    # ONE row per changed url (planted dup urls collapse)
+    n_changed = pages.where(changed).select("url").distinct().count()
 
     out = str(tmp_path / "out_inc")
     stats = run_pipeline.run(["--input", v2_dir, "--output", out,
@@ -663,6 +665,29 @@ def test_run_pipeline_incremental_previous(spark, pages_dir, tmp_path):
     assert stats["n_docs"] < n_total
     got = spark.read.parquet(out + "/decisions")
     assert got.count() == n_changed + 10
+
+
+def test_run_pipeline_incremental_recrawl_same_text(spark, pages_dir,
+                                                    tmp_path):
+    """A recrawl that bumps every warc_ts but leaves text byte-identical
+    must diff as UNCHANGED (the carry-forward optimization actually
+    fires): only genuinely-new urls land in the delta. Regression test
+    for the url#warc_ts keying that classified every timestamp-bumped
+    page as 'added'."""
+    from jobs import run_pipeline
+
+    pages = spark.read.parquet(pages_dir)
+    v2 = pages.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 7 DAYS"))
+    fresh = pages.dropDuplicates(["url"]).limit(5).withColumn(
+        "url", F.concat(F.lit("https://brandnew.example/"), F.md5("url")))
+    v2_dir = str(tmp_path / "pages_recrawl")
+    v2.unionByName(fresh).write.parquet(v2_dir)
+
+    out = str(tmp_path / "out_recrawl")
+    stats = run_pipeline.run(["--input", v2_dir, "--output", out,
+                              "--previous", pages_dir, "--no-resume"])
+    assert stats["n_docs"] == 5
 
 
 def test_curate_job_url_patterns(spark, tmp_path):

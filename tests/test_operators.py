@@ -1262,6 +1262,27 @@ def test_quantize_embeddings_null_passthrough(spark):
     assert got[1] == [64, -127]  # floor(1*127/2 + .5)=64, floor(-127+.5)
 
 
+def test_quantize_embeddings_degenerate_scale(spark):
+    """All-zero / all-NULL corpus: max|x| is 0/NULL, which unguarded
+    would emit NaN→NULL codes; the guard substitutes scale 1 so codes
+    come out exact zeros and q_scale reports the substituted 1.0."""
+    from dataquality_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.q, r.q_scale)
+           for r in similarity.quantize_embeddings(df).collect()}
+    assert got[1] == ([0, 0, 0], 1.0)
+    assert got[2] == ([0, 0, 0], 1.0)
+    assert got[3][0] is None
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>")
+    rows = similarity.quantize_embeddings(all_null).collect()
+    assert all(r.q is None and r.q_scale == 1.0 for r in rows)
+
+
 def test_quantized_topk_matches_numpy_int_dot(spark, emb, emb_np):
     """Top-k by exact integer code dot: identical ids and scores to
     the numpy reference; self-match ranks first."""

@@ -69,6 +69,57 @@ def test_warc_response_records_binary_payload(spark, tmp_path):
                for a, b in zip(m["payload_g"], m["payload_s"]))
 
 
+def test_write_warc_overwrite_clears_stale_parts(spark, tmp_path):
+    """A rerun that produces FEWER partitions must not leave stale part
+    files behind (mode='overwrite' default), and mode='error' must
+    refuse to clobber; orphaned .inprogress temp files are also swept
+    and never match the reader glob."""
+    ts = dt.datetime(2022, 3, 4, 5, 6, 7)
+    rows = pd.DataFrame({
+        "url": [f"http://s.test/{i}" for i in range(8)],
+        "warc_ts": [ts] * 8,
+        "text": [f"doc {i}" for i in range(8)],
+    })
+    sdf = spark.createDataFrame(rows)
+    out = str(tmp_path / "wet_rerun")
+    warc.write_wet(sdf.repartition(4), out).collect()
+    assert len(glob.glob(os.path.join(out, "*.warc.gz"))) == 4
+    # plant an orphaned temp file from a hypothetical crashed attempt
+    with open(os.path.join(out, "part-00099.warc.gz.inprogress-7"),
+              "wb") as f:
+        f.write(b"garbage")
+
+    # rerun with fewer partitions: stale parts + temp swept, not merged
+    warc.write_wet(sdf.repartition(1), out).collect()
+    files = glob.glob(os.path.join(out, "part-*"))
+    assert len(files) == 1 and files[0].endswith(".warc.gz")
+    back = warc.read_wet(spark, out).toPandas()
+    assert len(back) == 8  # exactly one copy of each record
+
+    with pytest.raises(FileExistsError):
+        warc.write_warc(
+            sdf.withColumn("payload", F.encode("text", "UTF-8")),
+            out, uri_col="url", payload_col="payload", mode="error")
+
+
+def test_warc_requires_utc_session(spark, tmp_path):
+    """WARC-Date stamps a literal 'Z': a non-UTC session must be
+    rejected loudly rather than writing mislabeled timestamps."""
+    ts = dt.datetime(2022, 1, 1)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"url": ["http://a/1"], "warc_ts": [ts],
+                      "text": ["x"]}))
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            warc.write_wet(sdf, str(tmp_path / "tz"))
+        with pytest.raises(ValueError, match="timeZone"):
+            warc.read_wet(spark, str(tmp_path / "tz"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_wet_files_are_deterministic(spark, pages_sdf, tmp_path):
     """Retried tasks must overwrite with identical bytes: same input +
     same partitioning → byte-identical part files (mtime pinned to 0,
