@@ -458,6 +458,44 @@ def q_nl_orphans(spark, sf_dir):
     return spark.sql(p["sql"])
 
 
+def q_nl_dup_rate(spark, sf_dir):
+    """A20 curation intent (r04 VERDICT item 4): the compound
+    "duplicate … rate" phrasing routes to the dup_rate grammar branch —
+    the NL twin of the exact_dedup operator — emitting a one-scan hash
+    aggregate (n_rows, distinct content hashes, duplicate share)."""
+    from dataquality_spark import nlq
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    p = nlq.plan(spark, "what is the duplicate rate of text in documents")
+    assert "error" not in p and p["intent"] == "dup_rate", p
+    return spark.sql(p["sql"])
+
+
+def q_nl_source_report(spark, sf_dir):
+    """A20 curation intent: "per source quality report" routes to the
+    source_report branch (the NL twin of group_quality_report) — per-
+    source doc count, distinct-text count, duplicate rate, mean length,
+    grouped+ordered by the question-mentioned text column."""
+    from dataquality_spark import nlq
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    p = nlq.plan(spark, "per source quality report for documents")
+    assert "error" not in p and p["intent"] == "source_report", p
+    return spark.sql(p["sql"])
+
+
+def q_nl_drift_avg(spark, sf_dir):
+    """A20 parameterized drift (reference CaseStudy.md:936-974 shape):
+    a question-mentioned numeric column adds its monthly mean to the
+    drift template, computed on the cents lattice (BIGINT sum ÷ 100 ÷
+    count) so the mean is partition-order-free — engine-exact vs the
+    DuckDB twin."""
+    from dataquality_spark import nlq
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    p = nlq.plan(spark, "monthly drift of totalprice in orders")
+    assert "error" not in p and p["intent"] == "drift", p
+    assert "avg_o_totalprice" in p["sql"], p
+    return spark.sql(p["sql"])
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (text_analysis.token_counts(docs)
@@ -1463,6 +1501,29 @@ def q_embedding_topk_int8(spark, sf_dir):
         q.crossJoin(F.broadcast(query_row)), F.col("_qq"), k=10)
 
 
+def q_embedding_ivf_int8(spark, sf_dir):
+    """Quantized-ANN SERVING composition (r04 VERDICT item 8): quantize
+    → IVF cell assign → int8 in-cell top-k (similarity.ivf_topk_int8) —
+    the billion-vector layout where codes live partitioned by cell (4×
+    less scan IO) and a query reads 3 of 64 cells. Every piece is
+    individually exact-proven (embedding_quantize, kmeans_assign/
+    embedding_ivf, embedding_topk_int8); this pins the COMPOSITION:
+    same fixed 64-cell quantizer, probe ties to the lowest cell id,
+    candidates ranked by exact BIGINT code dot with id tie-break."""
+    from dataquality_spark.caching import track_persist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = track_persist(similarity.quantize_embeddings(emb)
+                       .select("vec_id", "embedding", "q"))
+    cents = _fixed_centroids(spark, sf_dir)
+    assigned = similarity.ivf_assign(qz, "embedding", cents)
+    query_row = qz.where(F.col("vec_id") == 0) \
+                  .select(F.col("q").alias("_qq"))
+    return similarity.ivf_topk_int8(
+        assigned.crossJoin(F.broadcast(query_row)), "vec_id", cents,
+        _query_vec(spark, sf_dir), F.col("_qq"), k=10, n_probe=3)
+
+
 def q_sentences(spark, sf_dir):
     """Sentence segmentation (operators/curation.split_sentences):
     boundary = terminal-punctuation run + optional closing quotes +
@@ -2365,6 +2426,50 @@ def q_webtext_audit_rules(spark, sf_dir):
         .orderBy(C.PARTITION_COL, "rule"))
 
 
+def q_webtext_decisions_fixed(spark, sf_dir):
+    """END-TO-END exact twin of the decision assembly (r04 VERDICT item
+    5): run the REAL pipeline over the planted corpus, then replay the
+    IDENTICAL S7 assembly code (pipeline.assemble_rules — the same
+    function with_decisions calls) with fixed-lattice MODEL columns
+    that DuckDB re-derives from doc_id arithmetic:
+
+      lang_pred  = 'xx' when doc_id % 7 == 3 else lang (planted
+                   mismatches), lang_score = (doc_id·37 mod 100)/100
+      ppl        = 700 + (doc_id·131 mod 600) — straddles MAX_PPL=1000
+                   — emitted ONLY when the production gate would fire
+                   (all heuristic/dup/stale rules passed, no mismatch),
+                   reproducing the gated-perplexity semantics
+
+    so the final keep/rule_hits row — including the lang_mismatch
+    ordering slot and the [high_perplexity]-only collapse — gets a hard
+    value oracle. The trained-model path stays covered by the rows-only
+    q_webtext_decisions + the pytest F1/byte-identity gate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.with_decisions(_rules_pages(docs))
+    model_rules = [C.R_LANG_MISMATCH, C.R_PPL]
+    heur = F.filter("rule_hits", lambda r: ~r.isin(model_rules))
+    pred_fx = (F.when(F.col("doc_id") % 7 == 3, F.lit("xx"))
+               .otherwise(F.col("lang")))
+    score_fx = (F.col("doc_id") * 37 % 100) / F.lit(100.0)
+    mismatch_fx = ((pred_fx != F.lit("und")) & (pred_fx != F.col("lang"))
+                   & (score_fx >= C.LANGID_MIN_SCORE))
+    gate_fx = (F.size(heur) == 0) & ~mismatch_fx
+    ppl_fx = F.when(gate_fx, (F.lit(700) + F.col("doc_id") * 131 % 600)
+                    .cast("double"))
+    fixed = (out
+             .withColumn("is_dup_url",
+                         F.array_contains("rule_hits", C.R_DUP_URL))
+             .withColumn("lang_pred", pred_fx)
+             .withColumn("lang_score", score_fx)
+             .withColumn("ppl", ppl_fx)
+             .drop("rule_hits", "keep"))
+    res = pipeline.assemble_rules(fixed)
+    return (res.select("doc_id", "keep",
+                       F.concat_ws(",", "rule_hits").alias("rules"),
+                       "lang_pred", "lang_score", "ppl")
+            .orderBy("doc_id"))
+
+
 def q_kmeans_fit_sample(spark, sf_dir):
     """Exact oracle for kmeans_fit's fit-on-sample mode (the 100-TB fit
     recipe, operators/clustering.py): ONE Lloyd iteration from the
@@ -2393,58 +2498,31 @@ def q_kmeans_fit_sample(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness harness samples the FIRST
-    # 50 dict entries only. Round 3 front-loaded the 26 entries that had
-    # never had a driver row; this round ROTATES the window again so the
-    # queries the r03 artifact pushed past position 50 (whose green
-    # rows date from r01/r02, pre-vectorization code) get fresh rows on
-    # current-generation code, alongside every operator added in round 4.
-    # Five pure-SQL r01/r02-green queries (corpus_top_ngrams,
-    # repeat_upsample, char_entropy, vocab_coverage, split_sample — no
-    # Python/vectorized path, so their old rows still describe current
-    # code) yield their slots to the five newest round-4 operators
-    # (normalize_text, containment_join, script_profile,
-    # boilerplate_lines, normalized_dedup), which have never had a
-    # driver row. Union of CORRECTNESS_r03 + r04 + the committed local
-    # full-surface run (BENCH/contract_local_r04.txt) covers all
-    # queries on post-vectorization code.
+    # 50 dict entries only. Round-5 rotation (r04 VERDICT item 1): the 11
+    # queries that had never had a driver row (split_leakage …
+    # embedding_topk_int8, added after the r04 rotation) move into the
+    # window, together with the 5 queries NEW this round
+    # (webtext_decisions_fixed, embedding_ivf_int8, nl_dup_rate,
+    # nl_source_report, nl_drift_avg) and the 3 whose code paths round-5
+    # changes touch (webtext_rules — pipeline.assemble_rules refactor;
+    # nl_completeness / nl_orphans — nlq grammar extension;
+    # wet_roundtrip already in-window covers the warc.py write changes;
+    # embedding_quantize/topk_int8 cover the similarity.py guard).
+    # They displace 19 r04-green entries whose paths no r05 change
+    # touches (token_counts … boilerplate_lines — text_stats/langid/
+    # dedup/curation paths, all untouched). Union of CORRECTNESS_r03 +
+    # r04 + r05 then covers every query on current-generation code; the
+    # committed local full-surface run re-proves the rotated-out set.
     return {
-        # --- r01/r02-green only; rotated into the window for fresh rows ---
-        # (approx_distinct and fingerprint_roll — rows-only BY
-        # CONSTRUCTION, so a driver row adds nothing beyond "it runs" —
-        # yielded their window slots to the exact-oracle html queries;
-        # both remain covered by the committed local full-surface run.)
-        "token_counts": q_token_counts,
-        "quality_score": q_quality_score,
-        "langid_vote": q_langid_vote,
-        "fingerprint_roll_md5": q_fingerprint_roll_md5,
-        "exact_dedup": q_exact_dedup,
-        "exact_dedup_pairs": q_exact_dedup_pairs,
-        "minhash_neardup": q_minhash_neardup,
-        "minhash_cross": q_minhash_cross,
-        "dedup_clusters": q_dedup_clusters,
-        "exact_dedup_cross": q_exact_dedup_cross,
-        "bloom_dedup_cross": q_bloom_dedup_cross,
-        # (simhash_neardup — rows-only by construction, exact twins
-        # right here in-window — yielded its slot to host_pagerank.)
-        "simhash_neardup_md5": q_simhash_neardup_md5,
-        "simhash_signature": q_simhash_signature,
-        # (ngram_jaccard — r01/r02-green and its pure-SQL dedup.py path
-        # untouched by the r3 vectorization and every r4 change — gave
-        # its slot to crawl_diff, exactly the late-r4 rotation rule.)
-        "dup_span_stats": q_dup_span_stats,
-        "decontaminate": q_decontaminate,
-        # --- new in round 4 (never driver-checked) ---
-        "normalize_text": q_normalize_text,
-        "containment_join": q_containment_join,
-        "script_profile": q_script_profile,
-        "boilerplate_lines": q_boilerplate,
-        "normalized_dedup": q_normalized_dedup,
+        # --- paths touched in round 5 / never driver-checked / new ---
         "wet_roundtrip": q_wet_roundtrip,
         "html_extract": q_html_extract,
         "html_links": q_html_links,
         "host_pagerank": q_host_pagerank,
         "crawl_diff": q_crawl_diff,
         "webtext_audit_rules": q_webtext_audit_rules,
+        "webtext_rules": q_webtext_rules,
+        "webtext_decisions_fixed": q_webtext_decisions_fixed,
         "kmeans_fit_sample": q_kmeans_fit_sample,
         "token_budget": q_token_budget,
         "temperature_mix": q_temperature_mix,
@@ -2469,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_exemplars": q_source_exemplars,
         "report_merge": q_report_merge,
         "length_hist": q_length_hist,
+        # the 11 that had never had a driver row before this round
         "split_leakage": q_split_leakage,
         "rrf_fusion": q_rrf_fusion,
         "anchor_hosts": q_anchor_hosts,
@@ -2480,13 +2559,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences": q_sentences,
         "embedding_quantize": q_embedding_quantize,
         "embedding_topk_int8": q_embedding_topk_int8,
-        # --- r03-green (proof on current-generation code already) ---
-        "webtext_rules": q_webtext_rules,
+        # new in round 5
+        "embedding_ivf_int8": q_embedding_ivf_int8,
+        "nl_dup_rate": q_nl_dup_rate,
+        "nl_source_report": q_nl_source_report,
+        "nl_drift_avg": q_nl_drift_avg,
+        "nl_completeness": q_nl_completeness,
+        "nl_orphans": q_nl_orphans,
+        "normalized_dedup": q_normalized_dedup,
+        # --- r03/r04-green (proof on current-generation code already) ---
+        "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
+        "langid_vote": q_langid_vote,
+        "fingerprint_roll_md5": q_fingerprint_roll_md5,
+        "exact_dedup": q_exact_dedup,
+        "exact_dedup_pairs": q_exact_dedup_pairs,
+        "minhash_neardup": q_minhash_neardup,
+        "minhash_cross": q_minhash_cross,
+        "dedup_clusters": q_dedup_clusters,
+        "exact_dedup_cross": q_exact_dedup_cross,
+        "bloom_dedup_cross": q_bloom_dedup_cross,
+        "simhash_neardup_md5": q_simhash_neardup_md5,
+        "simhash_signature": q_simhash_signature,
+        "dup_span_stats": q_dup_span_stats,
+        "decontaminate": q_decontaminate,
+        "normalize_text": q_normalize_text,
+        "containment_join": q_containment_join,
+        "script_profile": q_script_profile,
+        "boilerplate_lines": q_boilerplate,
         "quality_model_fixed": q_quality_model_fixed,
         "multimodal_features_fixed": q_multimodal_features_fixed,
         "approx_distinct_bounds": q_approx_distinct_bounds,
-        "nl_completeness": q_nl_completeness,
-        "nl_orphans": q_nl_orphans,
         "stratified_sample": q_stratified_sample,
         "dedupe_lines": q_dedupe_lines,
         "dedupe_paragraphs": q_dedupe_paragraphs,
@@ -2845,6 +2948,131 @@ def _webtext_rules_sql() -> str:
         )
         SELECT doc_id, (rules_heur = '') AS keep_heur, rules_heur
         FROM r ORDER BY doc_id
+    """
+
+
+def _webtext_decisions_fixed_sql() -> str:
+    """DuckDB re-derivation of the FULL decision assembly (pipeline.
+    assemble_rules) over the planted corpus with the fixed-lattice
+    model columns of q_webtext_decisions_fixed: same heuristic stats as
+    _webtext_rules_sql, plus pred/score/mismatch from doc_id
+    arithmetic, the gated perplexity lattice, the lang_mismatch slot in
+    rule order (after duplicate_url, before stale_timestamp), and the
+    [high_perplexity]-only collapse when ppl > MAX_PPL."""
+    words = _sql_words("t")
+    stoplist = _sql_stop_in(sorted(set(C.ALL_STOPWORDS)))
+    sym = C.SYMBOL_CHARS.replace("'", "''")
+    mism = (f"(pred <> 'und' AND pred <> lang "
+            f"AND score >= {C.LANGID_MIN_SCORE})")
+    return f"""
+        WITH pages AS (
+          SELECT doc_id, lang,
+                 'https://docs.example.org/d/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+                 (CASE WHEN doc_id % 50 = 0
+                       THEN TIMESTAMP '2024-06-15 00:00:00'
+                       ELSE TIMESTAMP '2024-08-01 00:00:00' END
+                  + to_seconds(doc_id)) AS warc_ts,
+                 coalesce(text, '') AS t
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, lang,
+                 'https://docs.example.org/d/' || CAST(doc_id AS VARCHAR),
+                 (CASE WHEN doc_id % 50 = 0
+                       THEN TIMESTAMP '2024-06-15 00:00:00'
+                       ELSE TIMESTAMP '2024-08-01 00:00:00' END
+                  + to_seconds(doc_id) + to_seconds(100000)),
+                 coalesce(text, '')
+          FROM documents WHERE doc_id % 10 = 0
+        ), mins AS (
+          SELECT url, min(warc_ts) AS min_ts FROM pages GROUP BY url
+        ), s AS (
+          SELECT p.doc_id, p.lang, p.t,
+                 (p.warc_ts > m.min_ts) AS is_dup,
+                 (p.warc_ts < TIMESTAMP '2024-07-01 00:00:00') AS stale,
+                 {words} AS words,
+                 list_filter(str_split(p.t, chr(10)), x -> x <> '')
+                   AS lines
+          FROM pages p JOIN mins m USING (url)
+        ), st AS (
+          SELECT doc_id, lang, is_dup, stale,
+                 CAST(len(words) AS BIGINT) AS n,
+                 CAST(length(translate(t, ' ' || chr(10) || chr(9)
+                                          || chr(13), '')) AS DOUBLE)
+                   AS word_chars,
+                 CAST(length(t) - length(translate(t, '{sym}', ''))
+                   AS DOUBLE) AS n_sym,
+                 CAST(len(list_filter(words,
+                   w -> lower(w) IN ({stoplist}))) AS BIGINT) AS n_stop,
+                 CAST(len(lines) AS BIGINT) AS nl,
+                 CAST(len(list_distinct(lines)) AS BIGINT) AS nl_d
+          FROM s
+        ), fx AS (
+          SELECT *,
+                 CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS pred,
+                 ((doc_id * 37) % 100) / CAST(100 AS DOUBLE) AS score
+          FROM st
+        ), r AS (
+          SELECT doc_id, pred, score, {mism} AS mismatch,
+            coalesce(array_to_string(list_filter([
+              CASE WHEN n = 0 THEN '{C.R_EMPTY}' ELSE '' END,
+              CASE WHEN n > 0 AND n < {C.MIN_WORDS}
+                   THEN '{C.R_SHORT}' ELSE '' END,
+              CASE WHEN n > 0 AND n > {C.MAX_WORDS}
+                   THEN '{C.R_LONG}' ELSE '' END,
+              CASE WHEN n > 0 AND NOT (word_chars / n
+                     BETWEEN {C.MIN_MEAN_WORD_LEN} AND {C.MAX_MEAN_WORD_LEN})
+                   THEN '{C.R_MEAN_WORD_LEN}' ELSE '' END,
+              CASE WHEN n > 0 AND n_sym / n > {C.MAX_SYMBOL_WORD_RATIO}
+                   THEN '{C.R_SYMBOL_RATIO}' ELSE '' END,
+              CASE WHEN n > 0 AND (n_stop < {C.MIN_STOPWORD_COUNT}
+                     OR CAST(n_stop AS DOUBLE) / n < {C.MIN_STOPWORD_FRACTION})
+                   THEN '{C.R_STOPWORD}' ELSE '' END,
+              CASE WHEN n > 0 AND nl > 0
+                     AND CAST(nl - nl_d AS DOUBLE) / nl
+                         > {C.MAX_REPEATED_LINE_FRACTION}
+                   THEN '{C.R_REPEATED_LINES}' ELSE '' END,
+              CASE WHEN is_dup THEN '{C.R_DUP_URL}' ELSE '' END,
+              CASE WHEN stale THEN '{C.R_STALE}' ELSE '' END
+            ], x -> x <> ''), ','), '') AS rules_heur,
+            coalesce(array_to_string(list_filter([
+              CASE WHEN n = 0 THEN '{C.R_EMPTY}' ELSE '' END,
+              CASE WHEN n > 0 AND n < {C.MIN_WORDS}
+                   THEN '{C.R_SHORT}' ELSE '' END,
+              CASE WHEN n > 0 AND n > {C.MAX_WORDS}
+                   THEN '{C.R_LONG}' ELSE '' END,
+              CASE WHEN n > 0 AND NOT (word_chars / n
+                     BETWEEN {C.MIN_MEAN_WORD_LEN} AND {C.MAX_MEAN_WORD_LEN})
+                   THEN '{C.R_MEAN_WORD_LEN}' ELSE '' END,
+              CASE WHEN n > 0 AND n_sym / n > {C.MAX_SYMBOL_WORD_RATIO}
+                   THEN '{C.R_SYMBOL_RATIO}' ELSE '' END,
+              CASE WHEN n > 0 AND (n_stop < {C.MIN_STOPWORD_COUNT}
+                     OR CAST(n_stop AS DOUBLE) / n < {C.MIN_STOPWORD_FRACTION})
+                   THEN '{C.R_STOPWORD}' ELSE '' END,
+              CASE WHEN n > 0 AND nl > 0
+                     AND CAST(nl - nl_d AS DOUBLE) / nl
+                         > {C.MAX_REPEATED_LINE_FRACTION}
+                   THEN '{C.R_REPEATED_LINES}' ELSE '' END,
+              CASE WHEN is_dup THEN '{C.R_DUP_URL}' ELSE '' END,
+              CASE WHEN {mism}
+                   THEN '{C.R_LANG_MISMATCH}' ELSE '' END,
+              CASE WHEN stale THEN '{C.R_STALE}' ELSE '' END
+            ], x -> x <> ''), ','), '') AS pre_rules
+          FROM fx
+        ), g AS (
+          SELECT doc_id, pred, score, pre_rules,
+                 CASE WHEN rules_heur = '' AND NOT mismatch
+                      THEN CAST(700 + (doc_id * 131) % 600 AS DOUBLE)
+                 END AS ppl
+          FROM r
+        )
+        SELECT doc_id,
+               (CASE WHEN ppl IS NOT NULL AND ppl > {C.MAX_PPL}
+                     THEN '{C.R_PPL}' ELSE pre_rules END = '') AS keep,
+               CASE WHEN ppl IS NOT NULL AND ppl > {C.MAX_PPL}
+                    THEN '{C.R_PPL}' ELSE pre_rules END AS rules,
+               pred AS lang_pred, score AS lang_score, ppl
+        FROM g ORDER BY doc_id
     """
 
 
@@ -5469,6 +5697,57 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
         """,
 
+        # Quantized-ANN serving composition: the embedding_quantize
+        # code lattice + the embedding_ivf cell/probe derivation +
+        # the embedding_topk_int8 BIGINT dot, composed end-to-end.
+        "embedding_ivf_int8": """
+            WITH sc AS (
+              SELECT CAST(coalesce(nullif(MAX(abs(x)), 0), 1.0)
+                          AS DOUBLE) AS s
+              FROM (SELECT unnest(embedding) AS x FROM embeddings)
+            ), qz AS (
+              SELECT vec_id,
+                     list_transform(
+                       embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127 / s
+                                       + 0.5) AS INT)) AS qcode
+              FROM embeddings, sc
+            ), qq AS (
+              SELECT qcode AS query FROM qz WHERE vec_id = 0
+            ), c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id < 64
+            ), qf AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qvf
+              FROM embeddings WHERE vec_id = 0
+            ), probe AS (
+              SELECT cid FROM c CROSS JOIN qf
+              ORDER BY -2 * list_dot_product(qf.qvf, c.ce)
+                       + list_dot_product(c.ce, c.ce), cid
+              LIMIT 3
+            ), d AS (
+              SELECT e.vec_id, c.cid,
+                     -2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           c.ce)
+                     + list_dot_product(c.ce, c.ce) AS s2,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                        ORDER BY s2, c.cid) AS rn
+              FROM embeddings e CROSS JOIN c
+            ), assign AS (
+              SELECT vec_id, cid FROM d WHERE rn = 1
+            )
+            SELECT z.vec_id,
+                   CAST((SELECT SUM(CAST(a2 AS BIGINT) * b2)
+                         FROM (SELECT unnest(z.qcode) AS a2,
+                                      unnest(qq.query) AS b2) t)
+                        AS BIGINT) AS dot_q
+            FROM qz z
+            JOIN assign a ON a.vec_id = z.vec_id
+            JOIN probe pr ON pr.cid = a.cid
+            CROSS JOIN qq
+            ORDER BY dot_q DESC, z.vec_id LIMIT 10
+        """,
+
         "multimodal_meta": """
             WITH m AS (
               SELECT doc_id AS media_id,
@@ -5523,6 +5802,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features_fixed": _multimodal_features_fixed_sql(),
         "webtext_rules": _webtext_rules_sql(),
         "webtext_audit_rules": _webtext_audit_rules_sql(),
+        "webtext_decisions_fixed": _webtext_decisions_fixed_sql(),
         "kmeans_fit_sample": _kmeans_fit_sample_sql(),
 
         # each engine checks ITS OWN HLL sketch against its exact count;
@@ -5571,6 +5851,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM customer c
               WHERE c.c_custkey % 10 <> 0
                 AND c.c_custkey = o.o_custkey)
+        """,
+
+        # NL dup_rate twin: identical one-scan hash aggregate (DuckDB
+        # md5(VARCHAR) hashes the UTF-8 bytes, same as Spark's
+        # md5(string→binary) implicit encode).
+        "nl_dup_rate": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT md5(coalesce(text, '')))
+                     AS n_unique_texts,
+                   CASE WHEN count(*) = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(count(*) -
+                                  count(DISTINCT md5(coalesce(text, '')))
+                                  AS DOUBLE) / count(*) END AS dup_rate
+            FROM documents
+        """,
+
+        # NL source_report twin: counts are exact; avg_chars is an
+        # exact BIGINT char-sum divided once in DOUBLE (order-free).
+        "nl_source_report": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(coalesce(text, '')))
+                     AS n_unique_texts,
+                   CAST(count(*) -
+                        count(DISTINCT md5(coalesce(text, '')))
+                        AS DOUBLE) / count(*) AS dup_rate,
+                   CAST(sum(length(coalesce(text, ''))) AS DOUBLE)
+                     / count(*) AS avg_chars
+            FROM documents GROUP BY source ORDER BY source
+        """,
+
+        # NL drift twin: the drift_monthly cents-lattice mean (proven
+        # exact there) under the grammar's column aliases.
+        "nl_drift_avg": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_rows,
+                   CASE WHEN count(o_totalprice) = 0 THEN NULL
+                        ELSE SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                             / CAST(100 AS DOUBLE) / count(o_totalprice)
+                   END AS avg_o_totalprice
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
 
         # normalize_text: same dirtied input (decomposed e+U+0301, NBSP

@@ -72,19 +72,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
 
     # warm the JVM/Arrow path once (tiny query, not timed)
     force(qs["scalar_probe"](spark, sf_dir))
 
-    for name in HEADLINE:
-        trials = []
-        for _ in range(2):   # min-of-2: the host's steal bursts inflate
-            t0 = time.monotonic()        # single trials up to 4×
+    # Min-merge over two PASSES of the whole set, not two back-to-back
+    # trials: a steal burst on this shared VM lasts seconds, so paired
+    # trials of one query land in the same polluted window and min-of-2
+    # doesn't help (the r04 live record read 13/29 shared queries
+    # 1.25-1.9× slower than r03 with none faster — window, not code).
+    # Interleaving puts a query's two trials a full set-length (~80 s)
+    # apart — the same estimator the committed scaling sweep uses.
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.monotonic()
             force(qs[name](spark, sf_dir))
-            trials.append(time.monotonic() - t0)
+            raw[name].append(time.monotonic() - t0)
             dedup.unpersist_all()  # release pair-operator caches
-        timings[name] = round(min(trials), 2)
+    timings = {name: round(min(ts), 2) for name, ts in raw.items()}
 
     # Webtext pipeline throughput: synthetic pages corpus sized to sf.
     # Big enough that per-job fixed costs don't dominate the docs/sec
@@ -224,6 +230,7 @@ def main() -> None:
         "pipeline_n_docs": n_pages,
         "cpus": int(cpus),
         "trials_per_query": 2,
+        "trial_scheme": "interleaved-passes-min",
         # ONLY the canonical interleaved min-of-trials committed-sweep
         # scalars are printed (method in BENCH/BASELINE.md). This run's
         # single-window live probe is steal-sensitive and reads

@@ -70,10 +70,17 @@ def _q(ident: str) -> str:
 # intents sit above the generic profile fallback.
 INTENTS: list[tuple[str, set[str], str]] = [
     ("orphans", {"orphan", "orphans", "referential", "unmatched"}, "two"),
+    # Curation-family intents (reference CaseStudy.md:896-974 worked
+    # examples): duplicate-rate stats (the NL twin of exact_dedup) and
+    # the per-source quality report (group_quality_report's shape).
+    # dup_rate also fires on the compound "duplicate(s) + rate/fraction"
+    # phrasing — see _match_intent.
+    ("dup_rate", {"dedup", "redundancy"}, "text"),
+    ("source_report", {"report"}, "text"),
     ("completeness", {"complete", "completeness", "null", "nulls",
                       "missing", "empty"}, "none"),
     ("uniqueness", {"unique", "uniqueness", "duplicate", "duplicates",
-                    "distinct", "dedup"}, "none"),
+                    "distinct"}, "none"),
     ("validity", {"valid", "validity", "range", "negative", "invalid",
                   "outlier", "outliers"}, "numeric"),
     ("timeliness", {"timeliness", "stale", "fresh", "recent", "latest",
@@ -88,9 +95,27 @@ INTENTS: list[tuple[str, set[str], str]] = [
 
 _SUPPORTED = ", ".join(i for i, _, _ in INTENTS)
 
+# Compound phrasing: "duplicate rate", "fraction of dupes", … — the
+# single-word triggers alone would route these to uniqueness.
+_DUP_WORDS = {"duplicate", "duplicates", "dup", "dupes", "dedup"}
+_RATE_WORDS = {"rate", "fraction", "percent", "percentage", "share",
+               "ratio"}
+
+# When the question names no column, fall back to a conventionally-
+# named one before pool order (confidence still degrades to 0.8): the
+# duplicate rate wants the CONTENT column, the per-group report wants
+# the GROUPING column.
+_FALLBACK_PREF: dict[str, tuple[str, ...]] = {
+    "dup_rate": ("text", "body", "content", "html"),
+    "source_report": ("source", "host", "domain", "site", "category",
+                      "lang"),
+}
+
 
 def _match_intent(question: str) -> str | None:
     words = cat._words(question)
+    if (_DUP_WORDS & words) and (_RATE_WORDS & words):
+        return "dup_rate"
     for intent, triggers, _ in INTENTS:
         if triggers & words:
             return intent
@@ -175,13 +200,15 @@ def plan(spark: SparkSession, question: str) -> dict[str, Any]:
     needs = next(n for i, _, n in INTENTS if i == intent)
 
     confidence = 0.95
-    if needs in ("numeric", "temporal"):
+    if needs in ("numeric", "temporal", "text"):
         pool = classified[needs]
         picked = [c for c in mentioned if c in pool]
         if picked:
             col = picked[0]
         elif pool:
-            col, confidence = pool[0], 0.8  # defaulted, like rule 7's
+            pref = _FALLBACK_PREF.get(intent, ())
+            col = next((p for p in pref if p in pool), pool[0])
+            confidence = 0.8  # defaulted, like rule 7's
             # "get schema first" degradation — flagged via confidence
         else:
             return _error(
@@ -202,6 +229,43 @@ def plan(spark: SparkSession, question: str) -> dict[str, Any]:
                f"FROM {t})")
         explanation = (f"Non-null ratio per column of {table} in one "
                        f"scan (single aggregate + stack unpivot).")
+    elif intent == "dup_rate":
+        qc = _q(col)
+        h = f"md5(coalesce({qc}, ''))"
+        sql = (f"SELECT count(*) AS n_rows, "
+               f"count(DISTINCT {h}) AS n_unique_texts, "
+               f"CASE WHEN count(*) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+               f"CAST(count(*) - count(DISTINCT {h}) AS DOUBLE) "
+               f"/ count(*) END AS dup_rate FROM {t}")
+        explanation = (f"Exact duplicate rate of {table}.{col}: share of "
+                       f"rows whose content hash repeats an earlier "
+                       f"row's (one hash aggregate — the NL twin of the "
+                       f"exact_dedup operator).")
+    elif intent == "source_report":
+        qg = _q(col)
+        content_pool = [c for c in classified["text"] if c != col]
+        content = next((p for p in ("text", "body", "content", "html")
+                        if p in content_pool),
+                       content_pool[0] if content_pool else None)
+        if content is None:
+            sql = (f"SELECT {qg}, count(*) AS n_docs FROM {t} "
+                   f"GROUP BY {qg} ORDER BY {qg}")
+            explanation = (f"Per-{col} document counts of {table} (no "
+                           f"second text column for content stats).")
+        else:
+            qc = _q(content)
+            h = f"md5(coalesce({qc}, ''))"
+            sql = (f"SELECT {qg}, count(*) AS n_docs, "
+                   f"count(DISTINCT {h}) AS n_unique_texts, "
+                   f"CAST(count(*) - count(DISTINCT {h}) AS DOUBLE) "
+                   f"/ count(*) AS dup_rate, "
+                   f"CAST(sum(length(coalesce({qc}, ''))) AS DOUBLE) "
+                   f"/ count(*) AS avg_chars "
+                   f"FROM {t} GROUP BY {qg} ORDER BY {qg}")
+            explanation = (f"Per-{col} quality report of {table}: doc "
+                           f"count, distinct-{content} count, duplicate "
+                           f"rate, mean length (the NL twin of "
+                           f"group_quality_report).")
     elif intent == "uniqueness":
         targets = mentioned or [c["name"] for c in cols[:1]]
         if not mentioned:
@@ -224,9 +288,27 @@ def plan(spark: SparkSession, question: str) -> dict[str, Any]:
         explanation = f"Recency window of {table}.{col}."
     elif intent == "drift":
         qc = _q(col)
+        # Parameterized measure: a question-mentioned numeric column
+        # adds its monthly mean — on a cents lattice (BIGINT sum ÷ 100
+        # ÷ count) so the mean is order-free under any partitioning,
+        # the same trick the drift_monthly operator uses.
+        nums = [c for c in mentioned
+                if c in classified["numeric"] and c != col]
+        extra = ""
+        if nums:
+            qn = _q(nums[0])
+            extra = (f", CASE WHEN count({qn}) = 0 THEN NULL ELSE "
+                     f"sum(CAST(round({qn} * 100, 0) AS BIGINT)) "
+                     f"/ CAST(100 AS DOUBLE) / count({qn}) END "
+                     f"AS avg_{nums[0]}")  # DOUBLE division — a bare
+            # 100.0 literal would make Spark divide on DECIMAL(38,17),
+            # which rounds the quotient to scale 6 before the second
+            # divide and types differently from every SQL oracle
         sql = (f"SELECT date_format({qc}, 'yyyy-MM') AS month, "
-               f"count(*) AS n_rows FROM {t} GROUP BY 1 ORDER BY 1")
-        explanation = f"Monthly volume trend of {table} over {col}."
+               f"count(*) AS n_rows{extra} FROM {t} "
+               f"GROUP BY 1 ORDER BY 1")
+        explanation = (f"Monthly volume trend of {table} over {col}"
+                       + (f" with mean {nums[0]}." if nums else "."))
     elif intent == "topk":
         k = _k_from(question)
         sql = (f"SELECT * FROM {t} ORDER BY {_q(col)} DESC "

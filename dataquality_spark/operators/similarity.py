@@ -204,6 +204,35 @@ def quantize_embeddings(df: DataFrame, emb_col: str = "embedding",
             .withColumnRenamed("_s", "q_scale"))
 
 
+def ivf_topk_int8(assigned: DataFrame, id_col: str,
+                  centroids: np.ndarray, query_vec, query_q,
+                  k: int = 10, n_probe: int = 2,
+                  q_col: str = "q") -> DataFrame:
+    """The billion-vector SERVING composition: IVF coarse probe over
+    int8 codes — quantize_embeddings → ivf_assign → this. The corpus is
+    stored partitioned by `cell` as int8 codes (4× less scan IO than
+    float); a query reads only the `n_probe` cells nearest its FLOAT
+    vector (the coarse quantizer stays float — codes replace only the
+    fine distance), then ranks candidates by the EXACT BIGINT code dot
+    (quantized_topk), so scores and ties are partition- and
+    engine-exact.
+
+    Probe choice uses the same -2·q·c + |c|² expansion (stable argsort,
+    ties to the lowest cell id) as make_cell_udf's assignment, so a SQL
+    twin reproduces the probe set bit-for-bit.
+
+    Scale shape: cell-partitioned storage prunes the scan to
+    n_probe/n_cells of the corpus; the dot is a codegen fold over int
+    arrays; only k rows per partition reach the final top-k reduction.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = centroids.astype(np.float64)
+    scores = -2.0 * (cents @ q) + (cents ** 2).sum(axis=1)
+    probe = [int(c) for c in scores.argsort(kind="stable")[:n_probe]]
+    cand = assigned.filter(F.col("cell").isin(probe))
+    return quantized_topk(cand, query_q, k=k, id_col=id_col, q_col=q_col)
+
+
 def quantized_topk(quantized: DataFrame, query_q, k: int = 10,
                    id_col: str = "vec_id",
                    q_col: str = "q") -> DataFrame:

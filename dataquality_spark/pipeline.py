@@ -549,11 +549,28 @@ def with_decisions(pages: DataFrame, extract_from_html: bool = False,
          else F.col(f"_m.{f.name}").alias(f.name))
         for f in _MODELS_T.fields]).drop("_m")
 
-    # S7: decision. rule_hits keeps config.ALL_RULES order. The perplexity
-    # gate implies every cheaper rule passed whenever ppl is non-null, so
-    # a ppl hit always yields exactly [R_PPL]. The stopword/repeated-line
-    # conditions recompute the SAME comparisons the UDF used for its gate
-    # from the returned stat columns — identical floats, identical truth.
+    # S7: decision (assemble_rules, split out so exact-oracle twins can
+    # replay the IDENTICAL assembly over fixed-lattice model columns).
+    return assemble_rules(df)
+
+
+def assemble_rules(df: DataFrame) -> DataFrame:
+    """S7: rule_hits + keep assembled from stat/model columns.
+
+    rule_hits keeps config.ALL_RULES order. The perplexity gate implies
+    every cheaper rule passed whenever ppl is non-null, so a ppl hit
+    always yields exactly [R_PPL]. The stopword/repeated-line conditions
+    recompute the SAME comparisons the UDF used for its gate from the
+    returned stat columns — identical floats, identical truth.
+
+    Split out of with_decisions so the assembly expressions themselves
+    are a testable unit: q_webtext_decisions_fixed replays this exact
+    code over SQL-derivable fixed-lattice model columns, giving the
+    end-to-end keep/rule_hits row a hard DuckDB oracle. Expects columns:
+    n_words, mean_word_len, symbol_ratio, stopword_count, stopword_frac,
+    repeated_line_frac, is_dup_url, warc_ts, lang, lang_pred,
+    lang_score, ppl."""
+    stale_cond = F.col("warc_ts") < F.lit(C.TS_MIN_ISO)
     has_text = F.col("n_words") > 0
     mismatch = ((F.col("lang_pred") != F.lit("und"))
                 & (F.col("lang_pred") != F.col("lang"))

@@ -82,6 +82,31 @@ from dataquality_spark.operators import curation  # noqa: E402
 from dataquality_spark.session import get_spark  # noqa: E402
 
 
+# One-command recipes: named expansions of the documented stage
+# ordering, so a 100-TB run is `curate --input … --output … --recipe
+# webtext-v1` instead of ten hand-composed flags. Expansion happens
+# BEFORE argparse, with user-supplied flags appended after the recipe's
+# — so value options (e.g. --split, --shards) can be overridden on the
+# command line (argparse last-wins); store_true steps can only be added,
+# not removed. webtext-v1 expects (doc_id, url, text) columns — the
+# shape run_pipeline's kept-decisions output provides.
+RECIPES: dict[str, list[str]] = {
+    # canonical webtext curation, in the job's fixed execution order:
+    # url canonicalize+dedup → MinHash near-dup cluster dedup → C4 line
+    # cleaning → global paragraph dedup → distilled quality score →
+    # deterministic split → training-shuffle shards
+    "webtext-v1": [
+        "--url-canon", "url", "--url-dedup",
+        "--c4-lines",
+        "--dedupe-paragraphs",
+        "--near-dedup",
+        "--quality-model",
+        "--split", "train=0.98,val=0.01,test=0.01",
+        "--shards", "64",
+    ],
+}
+
+
 def _parse_split(spec: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for part in spec.split(","):
@@ -105,7 +130,23 @@ def run(argv: list[str] | None = None) -> dict:
 
 
 def _run(argv: list[str] | None = None) -> dict:
+    if argv is None:
+        argv = sys.argv[1:]
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--recipe", choices=sorted(RECIPES), default=None)
+    pre_args, rest = pre.parse_known_args(argv)
+    recipe = pre_args.recipe
+    if recipe:
+        argv = RECIPES[recipe] + rest
+
     ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", choices=sorted(RECIPES), default=None,
+                    help="named flag expansion (see RECIPES): "
+                         "webtext-v1 = url-canon/dedup → near-dup "
+                         "clusters → c4-lines → paragraph dedup → "
+                         "quality score → split → 64 shards; "
+                         "flags given after --recipe override its "
+                         "value options")
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--eval", default=None,
@@ -528,6 +569,8 @@ def _run(argv: list[str] | None = None) -> dict:
     stats = {"n_docs_in": n_in, "n_docs_out": n_out,
              "steps": steps,
              "elapsed_sec": round(time.monotonic() - t0, 3)}
+    if recipe:
+        stats["recipe"] = recipe
     if args.eval and not args.drop_contaminated \
             and args.chunk_tokens is None:
         # chunking replaces the grain — doc-level flag columns are gone

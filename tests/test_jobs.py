@@ -690,6 +690,50 @@ def test_run_pipeline_incremental_recrawl_same_text(spark, pages_dir,
     assert stats["n_docs"] == 5
 
 
+def test_curate_recipe_webtext_v1(spark, tmp_path):
+    """--recipe webtext-v1 expands to the documented stage ordering
+    (url canon+dedup → c4 lines → paragraph dedup → near-dup clusters →
+    quality score → split → shards) in one flag, and later flags
+    override the recipe's value options (--shards 4 beats its 64)."""
+    import pandas as pd
+
+    from jobs import curate
+
+    n = 120
+    docs = pd.DataFrame({
+        "doc_id": range(n),
+        "url": [f"https://h{i % 7}.ex/p/{i}?utm_source=x"
+                for i in range(n)],
+        # ≥3 kept lines per doc (C4's min_kept_lines) with distinct
+        # vocab so near-dup clustering keeps every doc separate
+        "text": [("Document {i} number opening line stands alone fine.\n"
+                  "Unique filler {w0} sits on the second line today.\n"
+                  "More filler {w1} closes out the third line fully."
+                  ).format(i=i,
+                           w0=" ".join(f"a{i}x{k}" for k in range(6)),
+                           w1=" ".join(f"b{i}y{k}" for k in range(6)))
+                 for i in range(n)],
+    })
+    # a canonical-url duplicate: doc 1 collapses onto doc 0's url once
+    # the utm_ tracking param is stripped
+    docs.loc[1, "url"] = "https://h0.ex/p/0"
+    inp, outp = str(tmp_path / "in_recipe"), str(tmp_path / "out_recipe")
+    spark.createDataFrame(docs).write.parquet(inp)
+
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--recipe", "webtext-v1", "--shards", "4"])
+    assert stats["recipe"] == "webtext-v1"
+    assert stats["steps"] == ["url_canon", "url_dedup",
+                              "near_dedup_clusters", "c4_lines",
+                              "dedupe_paragraphs",
+                              "quality_model", "split", "shards"]
+    assert stats["n_docs_out"] == n - 1  # only the planted url dup drops
+    out = spark.read.parquet(outp)
+    assert {"url_canon", "split", "shard", "pos",
+            "quality_model_score"} <= set(out.columns)
+    assert out.agg(F.max("shard")).head()[0] <= 3  # override beat 64
+
+
 def test_curate_job_url_patterns(spark, tmp_path):
     """--url-patterns drops matching urls (block mode)."""
     import pandas as pd

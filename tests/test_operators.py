@@ -1298,3 +1298,35 @@ def test_quantized_topk_matches_numpy_int_dot(spark, emb, emb_np):
     assert [(r.vec_id, r.dot_q) for r in got] == \
         [(-ni, d) for d, ni in ref]
     assert got[0].vec_id == int(ids[0])  # self-match first
+
+
+def test_ivf_topk_int8_matches_numpy_composition(spark, emb, emb_np):
+    """The serving composition (quantize → ivf_assign → in-cell int8
+    top-k) equals a numpy replay of the same three steps: cell argmin
+    on -2x·c+|c|², stable 2-cell probe, exact int dot rank. The probed
+    subset must also contain the query's own cell (self-match first)."""
+    from dataquality_spark.operators import similarity
+
+    ids, mat = emb_np
+    m = mat.astype(np.float32).astype(np.float64)
+    cents = m[:8]
+    qz = similarity.quantize_embeddings(emb)
+    assigned = similarity.ivf_assign(qz, "embedding", cents)
+    codes = {r.vec_id: r.q for r in qz.select("vec_id", "q").collect()}
+    qvec = m[0]
+    query = codes[int(ids[0])]
+    got = similarity.ivf_topk_int8(assigned, "vec_id", cents, qvec,
+                                   query, k=5, n_probe=2).collect()
+
+    # numpy replay
+    sc = -2.0 * (m @ cents.T) + (cents ** 2).sum(axis=1)[None, :]
+    cell = sc.argmin(axis=1)
+    qs = -2.0 * (cents @ qvec) + (cents ** 2).sum(axis=1)
+    probe = set(qs.argsort(kind="stable")[:2].tolist())
+    cand = [(int(i), codes[int(i)]) for j, i in enumerate(ids)
+            if cell[j] in probe]
+    ref = sorted(((sum(int(a) * int(b) for a, b in zip(v, query)), -i)
+                  for i, v in cand), reverse=True)[:5]
+    assert [(r.vec_id, r.dot_q) for r in got] == \
+        [(-ni, d) for d, ni in ref]
+    assert got[0].vec_id == int(ids[0])
