@@ -187,19 +187,24 @@ def main() -> None:
     try:
         detail = {"live_probe": scaling,
                   "note": ("live probe = one shared-VM window, "
-                           "steal-sensitive; the committed interleaved "
-                           "six-size min-of-trials sweep in "
-                           "BENCH/scaling_r04.json (reproducible via its "
+                           "steal-sensitive; the newest committed "
+                           "interleaved six-size min-of-trials sweep in "
+                           "BENCH/scaling_r0N.json (reproducible via its "
                            "embedded command) is the canonical evidence")}
-        try:
-            with open(os.path.join(here, "BENCH", "scaling_r04.json")) as f:
-                ref = json.load(f)
-            detail["committed_sweep"] = {
-                "n_to_4n_pairs": ref.get("n_to_4n_pairs"),
-                "amdahl_fit": ref.get("amdahl_fit"),
-                "command": ref.get("command")}
-        except Exception:
-            pass
+        # Prefer the newest committed canonical sweep (r05 runs on the
+        # fingerprinted corpus — the documented 100-TB ingest layout).
+        for sweep_name in ("scaling_r05.json", "scaling_r04.json"):
+            try:
+                with open(os.path.join(here, "BENCH", sweep_name)) as f:
+                    ref = json.load(f)
+                detail["committed_sweep"] = {
+                    "source": sweep_name,
+                    "n_to_4n_pairs": ref.get("n_to_4n_pairs"),
+                    "amdahl_fit": ref.get("amdahl_fit"),
+                    "command": ref.get("command")}
+                break
+            except Exception:
+                continue
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)

@@ -55,9 +55,14 @@ def probe(secs: float = 5.0) -> dict:
     st_gflops = reps * flops_per / (time.monotonic() - t0) / 1e9
 
     # memory bandwidth: copy between two distinct 256 MB arrays
-    # (read+write = 512 MB/pass; far over LLC so it streams DRAM)
+    # (read+write = 512 MB/pass; far over LLC so it streams DRAM).
+    # One untimed warm-up pass first: first-touch page faults on the
+    # fresh 512 MB can cost 1-2 s under Firecracker and would otherwise
+    # dominate the 2.5 s window (observed: 0.19 GB/s reported while the
+    # steady-state copy ran at 34 GB/s).
     src = np.zeros(256 * 1024 * 1024 // 8, dtype=np.float64)
     dst = np.empty_like(src)
+    np.copyto(dst, src)
     passes = 0
     t0 = time.monotonic()
     while time.monotonic() - t0 < secs / 2:
