@@ -32,8 +32,8 @@ from dataquality_spark import config as C  # noqa: E402
 from dataquality_spark import pipeline, synth  # noqa: E402
 from dataquality_spark.operators import (bloom, clustering,  # noqa: E402
                                          curation, dedup, evaluation,
-                                         graph, joins, multimodal, profile,
-                                         similarity, text_analysis)
+                                         graph, joins, multimodal, ngram_lm,
+                                         profile, similarity, text_analysis)
 from dataquality_spark.operators import html as html_ops  # noqa: E402
 from dataquality_spark.sources import warc  # noqa: E402
 
@@ -1008,6 +1008,28 @@ def q_dsir_scores(spark, sf_dir):
     return (curation.dsir_importance(
                 docs, docs.filter(F.col("lang") == "en"),
                 "text", "doc_id", n=2)
+            .orderBy("doc_id"))
+
+
+def q_lm_train_score(spark, sf_dir):
+    """Corpus-trained bigram LM — CCNet's KenLM-training step
+    re-expressed relationally (operators/ngram_lm.py; Wenzek et al.
+    2020 train the filtering LM on an in-domain corpus and bucket the
+    crawl by its perplexity): train on the English documents with
+    count pruning (min_count=2, ctx sums post-prune so retained
+    conditionals stay self-consistent), then score EVERY document's
+    bigram log-likelihood on the 1e-6 lattice with a uniform
+    OOV escape mass floor(-1e6·ln(V+1)). The only float op is one ln
+    per MODEL row (dsir precedent); per-doc scores are order-free
+    BIGINT sums, bit-identical to the DuckDB twin. Scale shape:
+    pair counting is a map-side-combined hash aggregate over bigram
+    strings (shuffle rows = distinct bigrams per partition, not
+    occurrences), everything after the count is model-sized, and the
+    scoring join broadcasts the pruned weight table."""
+    docs = _t(spark, sf_dir, "documents")
+    model = ngram_lm.train_bigram_lm(
+        docs.filter(F.col("lang") == "en"), min_count=2)
+    return (ngram_lm.score_bigram_lm(docs, model)
             .orderBy("doc_id"))
 
 
@@ -2501,9 +2523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 dict entries only. Round-5 rotation (r04 VERDICT item 1): the 11
     # queries that had never had a driver row (split_leakage …
     # embedding_topk_int8, added after the r04 rotation) move into the
-    # window, together with the 5 queries NEW this round
+    # window, together with the 6 queries NEW this round
     # (webtext_decisions_fixed, embedding_ivf_int8, nl_dup_rate,
-    # nl_source_report, nl_drift_avg) and the 3 whose code paths round-5
+    # nl_source_report, nl_drift_avg, lm_train_score — the last
+    # displacing r04-green normalized_dedup, whose path no r05 change
+    # touches) and the 3 whose code paths round-5
     # changes touch (webtext_rules — pipeline.assemble_rules refactor;
     # nl_completeness / nl_orphans — nlq grammar extension;
     # wet_roundtrip already in-window covers the warc.py write changes;
@@ -2566,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_drift_avg": q_nl_drift_avg,
         "nl_completeness": q_nl_completeness,
         "nl_orphans": q_nl_orphans,
+        "lm_train_score": q_lm_train_score,
         "normalized_dedup": q_normalized_dedup,
         # --- r03/r04-green (proof on current-generation code already) ---
         "token_counts": q_token_counts,
@@ -5025,6 +5050,67 @@ def oracle_sql() -> dict[str, str]:
                     AND line_dup_char_frac <= 0.10
                     AND short_line_frac <= 0.67) AS keep_fineweb
             FROM fr ORDER BY doc_id
+        """,
+
+        # Corpus-trained bigram LM: en-trained pruned counts, post-prune
+        # context sums, floor(1e6*ln) lattice weights, uniform OOV mass;
+        # per-doc BIGINT log-likelihood sums (operators/ngram_lm.py).
+        "lm_train_score": r"""
+            WITH words AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(list_transform(ws, (x, i) ->
+                              CASE WHEN i + 1 <= len(ws)
+                                   THEN ws[i] || ' ' || ws[i+1] END),
+                            s -> s IS NOT NULL)) AS f
+              FROM words
+            ), pc AS (
+              SELECT split_part(f, ' ', 1) AS w1,
+                     split_part(f, ' ', 2) AS w2,
+                     COUNT(*) AS pair_n
+              FROM bg WHERE lang = 'en'
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 2
+            ), ctx AS (
+              SELECT w1, SUM(pair_n) AS ctx_n FROM pc GROUP BY w1
+            ), wts AS (
+              SELECT w1, w2,
+                     CAST(floor(1000000 * (ln(pair_n) - ln(ctx_n)))
+                          AS BIGINT) AS lp
+              FROM pc JOIN ctx USING (w1)
+            ), vocab AS (
+              SELECT COUNT(*) AS V FROM (
+                SELECT w1 AS t FROM pc UNION SELECT w2 FROM pc)
+            ), oov AS (
+              SELECT CAST(floor(1000000 * -ln(V + 1)) AS BIGINT)
+                     AS lp_oov
+              FROM vocab
+            ), occ AS (
+              SELECT doc_id,
+                     split_part(f, ' ', 1) AS w1,
+                     split_part(f, ' ', 2) AS w2
+              FROM bg
+            ), scored AS (
+              SELECT occ.doc_id, COUNT(*) AS n_bigrams,
+                     SUM(CASE WHEN wts.lp IS NULL
+                              THEN 1 ELSE 0 END) AS n_oov,
+                     SUM(COALESCE(wts.lp, oov.lp_oov)) AS lm_score_q
+              FROM occ LEFT JOIN wts USING (w1, w2) CROSS JOIN oov
+              GROUP BY occ.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT)
+                       AS n_bigrams,
+                   CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(COALESCE(s.lm_score_q, 0) AS BIGINT)
+                       AS lm_score_q
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY d.doc_id
         """,
 
         # Lee-et-al substring removal: winner per span hash keeps its
