@@ -47,6 +47,8 @@ HEADLINE = [
     "normalize_text", "script_profile", "wet_roundtrip",
     "html_extract", "host_pagerank", "crawl_diff", "rrf_fusion",
     "anchor_hosts",
+    # round-5 addition: corpus-trained bigram LM (train en + score all)
+    "lm_train_score",
 ]
 
 
