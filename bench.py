@@ -85,9 +85,16 @@ def main() -> None:
     # 1.25-1.9× slower than r03 with none faster — window, not code).
     # Interleaving puts a query's two trials a full set-length (~80 s)
     # apart — the same estimator the committed scaling sweep uses.
-    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # SPARK_GRAFT_ONLY="a,b,c": time just that subset and skip the
+    # pipeline/scaling probes — lets a short quiet window on this
+    # shared VM contribute min-merge trials for specific queries
+    # (tools/bench_merge.py) without paying the full ~13-minute line.
+    only = os.environ.get("SPARK_GRAFT_ONLY", "")
+    headline = ([q for q in HEADLINE if q in set(only.split(","))]
+                if only else HEADLINE)
+    raw: dict[str, list[float]] = {name: [] for name in headline}
     for _pass in range(2):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.monotonic()
             force(qs[name](spark, sf_dir))
             raw[name].append(time.monotonic() - t0)
@@ -97,6 +104,16 @@ def main() -> None:
     # Webtext pipeline throughput: synthetic pages corpus sized to sf.
     # Big enough that per-job fixed costs don't dominate the docs/sec
     # figure (corpus generation happens driver-side, outside the timing).
+    if only:
+        # subset mode: queries only — one small JSON line, no probes
+        total = round(sum(timings.values()), 2)
+        print(json.dumps({
+            "metric": "headline_subset_total_sec", "value": total,
+            "unit": "sec", "queries": timings, "sf": sf,
+            "cpus": int(cpus), "trials_per_query": 2,
+            "trial_scheme": "interleaved-passes-min"}))
+        return
+
     n_pages = max(int(800_000 * sf), 4_000)
     pages_pd = synth.gen_pages(n_pages, seed=42)[
         ["url", "warc_ts", "html", "text", "lang"]]
