@@ -50,6 +50,12 @@ training-data pipeline runs between filtering and tokenization:
     joins log p_target/p_raw hashed-n-gram importance scores
     (curation.dsir_importance) — chain with --quantile-buckets
     --quantile-score dsir_score to keep the most target-like docs;
+10b. CCNet-style LM scoring (--lm-ref PATH [--lm-min-count 2]): trains
+    a pruned bigram LM on the reference corpus (ngram_lm.
+    train_bigram_lm) and joins each doc's lattice log-likelihood as
+    n_bigrams/n_oov/lm_score_q — chain with --quantile-buckets
+    --quantile-score lm_score_q to keep the perplexity head, CCNet's
+    head/middle/tail recipe with the LM trained in the same plan;
 11. sliding-window chunking (--chunk-tokens N [--chunk-overlap K]):
     REPLACES the grain with context-window rows
     (curation.chunk_documents) after every doc-level step;
@@ -299,6 +305,15 @@ def _run(argv: list[str] | None = None) -> dict:
                          "n_feats/dsir_score — select on them with "
                          "--quantile-buckets --quantile-score "
                          "dsir_score")
+    ap.add_argument("--lm-ref", default=None, metavar="PATH",
+                    help="reference-corpus parquet: train a pruned "
+                         "bigram LM on it (ngram_lm.train_bigram_lm) "
+                         "and join each doc's lattice log-likelihood "
+                         "as n_bigrams/n_oov/lm_score_q — select with "
+                         "--quantile-buckets --quantile-score "
+                         "lm_score_q (CCNet head/middle/tail)")
+    ap.add_argument("--lm-min-count", type=int, default=2,
+                    help="bigram count-pruning threshold for --lm-ref")
     ap.add_argument("--dsir-buckets", type=int, default=10_000,
                     help="hashed feature-space size for --dsir-target "
                          "(0 = exact gram strings)")
@@ -523,6 +538,15 @@ def _run(argv: list[str] | None = None) -> dict:
             buckets=args.dsir_buckets or None)
         df = df.join(scores, id_col, "left")
         steps.append("dsir")
+
+    if args.lm_ref:
+        from dataquality_spark.operators import ngram_lm
+        ref = spark.read.parquet(args.lm_ref)
+        model = ngram_lm.train_bigram_lm(ref, text_col,
+                                         min_count=args.lm_min_count)
+        lm_scores = ngram_lm.score_bigram_lm(df, model, text_col, id_col)
+        df = df.join(lm_scores, id_col, "left")
+        steps.append("lm_score")
 
     if args.quantile_buckets is not None:
         df = curation.quantile_buckets(

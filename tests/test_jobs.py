@@ -866,3 +866,43 @@ def test_curate_job_split_sentences(spark, tmp_path):
     with _pytest.raises(SystemExit):
         curate.run(["--input", inp, "--output", outp,
                     "--split-sentences", "--chunk-tokens", "8"])
+
+
+def test_curate_job_lm_ref_then_quantile(spark, tmp_path):
+    """--lm-ref trains a bigram LM on the reference corpus and joins
+    lattice log-likelihood scores; chained with --quantile-buckets
+    --quantile-score lm_score_q the head bucket is the model-like docs
+    (CCNet's head/middle/tail recipe in one plan)."""
+    import pandas as pd
+
+    from jobs import curate
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "lang": ["en"] * 40,
+        "text": (["the quick brown fox jumps over the lazy dog"] * 20
+                 + ["zx qv jk wq vz kj xq zv jq kx"] * 20),
+    })
+    ref = docs.head(20)
+    inp, refp, outp = (str(tmp_path / p) for p in ("in_l", "ref_l", "out_l"))
+    spark.createDataFrame(docs).write.parquet(inp)
+    spark.createDataFrame(ref).write.parquet(refp)
+    stats = curate.run(["--input", inp, "--output", outp,
+                        "--lm-ref", refp,
+                        "--quantile-buckets", "2",
+                        "--quantile-score", "lm_score_q"])
+    assert stats["steps"] == ["lm_score", "quantile_buckets"]
+    out = spark.read.parquet(outp).toPandas()
+    assert {"n_bigrams", "n_oov", "lm_score_q", "qbucket"} <= set(out.columns)
+    # reference docs: every bigram is deterministic (p=1 → weight 0)
+    # except the two successors of "the" (p=1/2 each), so the score is
+    # exactly 2*floor(1e6*ln(1/2)); gibberish docs are all-OOV
+    top = set(out[out.qbucket == 2].doc_id)
+    assert top == set(range(20))
+    by_id = out.set_index("doc_id")
+    import math
+    ref_score = 2 * math.floor(1e6 * math.log(0.5))
+    assert (by_id.loc[range(20), "lm_score_q"] == ref_score).all()
+    assert (by_id.loc[range(20), "n_oov"] == 0).all()
+    assert (by_id.loc[range(20, 40), "n_oov"] == 9).all()
+    assert (by_id.loc[range(20, 40), "lm_score_q"] < ref_score).all()
