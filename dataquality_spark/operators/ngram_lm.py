@@ -42,6 +42,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track_persist as _track_persist
+from ..caching import unpersist_all  # noqa: F401  (re-export, bench hook)
+
 DEFAULT_SCALE = 1_000_000
 
 
@@ -78,14 +81,20 @@ def train_bigram_lm(corpus: DataFrame, text_col: str = "text",
         raise ValueError(f"min_count must be >= 1: {min_count}")
     pairs = corpus.select(
         F.explode(_bigram_strings(text_col)).alias("_f"))
-    counts = (pairs.groupBy("_f")
-              .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
-              .where(F.col("pair_n") >= min_count)
-              .select(F.split_part(F.col("_f"), F.lit(" "), F.lit(1))
-                      .alias("w1"),
-                      F.split_part(F.col("_f"), F.lit(" "), F.lit(2))
-                      .alias("w2"),
-                      "pair_n"))
+    # persist: the pruned count table feeds BOTH the output rows and the
+    # ctx aggregate — without it Spark re-scans the corpus and re-explodes
+    # every gram for the second branch (plan-verified). Model-sized
+    # (post-prune), released via the shared unpersist_all() lifecycle
+    # like the dedup pair operators' signature tables.
+    counts = _track_persist(
+        pairs.groupBy("_f")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= min_count)
+        .select(F.split_part(F.col("_f"), F.lit(" "), F.lit(1))
+                .alias("w1"),
+                F.split_part(F.col("_f"), F.lit(" "), F.lit(2))
+                .alias("w2"),
+                "pair_n"))
     ctx = counts.groupBy("w1").agg(F.sum("pair_n").alias("ctx_n"))
     return (counts.join(ctx, "w1")
             .select("w1", "w2", "pair_n", F.col("ctx_n").cast("long")
